@@ -1,0 +1,52 @@
+"""Table catalog over the driver-generated parquet test data.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file per table per scale factor.
+
+At 100 TB these would be multi-file partitioned datasets; ``table`` therefore
+accepts any path Spark's parquet source accepts (file, dir, glob) — mirroring the
+reference's multi-file ``read_fls`` glob expansion
+(/root/reference/src/reader/fls_multi_file_info.cpp:70-82).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table as a DataFrame (columnar vectorized parquet scan).
+
+    ``events.ts`` is stored as INT64 TIMESTAMP(NANOS); Spark has no nanosecond
+    timestamp type, so it is read as long (``nanosAsLong``) and converted to
+    µs TimestampType here — the same µs conversion DuckDB's parquet reader
+    applies (values are µs-aligned, so this is lossless).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every catalog table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,125 @@
+"""``read_fls`` / ``write_fls`` — the reference's scan & sink surface on Parquet+ZSTD.
+
+Reference parity map (SURVEY.md §2.A):
+
+- A1  read_fls(path|glob|list, explicit_cardinality, file_row_number)
+      → ``read_fls`` here (src/read_fls.cpp:32-46, fls_multi_file_info.cpp:26-46)
+- A2  multi-file union_by_name → ``mergeSchema`` + ``unionByName``
+      (fls_multi_file_info.cpp:70-82)
+- A3  cross-file/row-group type promotion → ``promote_schemas`` in
+      ``schema_promotion.py`` (schema_builder.cpp:132-243)
+- A9  virtual ``file_row_number`` BIGINT column → parquet ``_metadata.row_index``
+      (+ ``_metadata.file_path`` for multi-file absolute numbering)
+      (fls_reader.cpp:474-495)
+- A16-A21 COPY sink options → ``write_fls``: ``row_group_size`` →
+      ``parquet.block.size`` (bytes, derived), ``row_groups_per_file`` →
+      ``maxRecordsPerFile`` (fls_writer.cpp:213-240, 189-211)
+
+The compression kernels themselves (SURVEY §2.A′ K1-K17) are realized by
+Parquet encodings (RLE_DICTIONARY / DELTA_BINARY_PACKED / BYTE_STREAM_SPLIT /
+PLAIN) + ZSTD pages inside Spark's vectorized reader/writer — not reimplemented.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_fastlanes_spark.io.schema_promotion import promote_and_align
+
+#: FastLanes vector size and default row-group geometry
+#: (src/include/writer/fls_writer.hpp:12-22: N_VEC_PER_RG * VEC_SZ)
+VEC_SZ = 1024
+DEFAULT_ROW_GROUP_SIZE = 64 * VEC_SZ  # 65,536 — matches the reference bench data
+
+
+def read_fls(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    *,
+    file_row_number: bool = False,
+    union_by_name: bool = False,
+    explicit_cardinality: int | None = None,
+    promote_types: bool = False,
+) -> DataFrame:
+    """Scan one path / glob / list of parquet files with the reference's
+    ``read_fls`` option semantics.
+
+    - ``file_row_number``: append a BIGINT ``file_row_number`` column = row
+      offset within each physical file (reference fls_reader.cpp:474-495).
+    - ``union_by_name``: align differing file schemas by column name
+      (reference fls_multi_file_info.cpp:75-81) via parquet ``mergeSchema``.
+    - ``explicit_cardinality``: planner hint in the reference
+      (fls_multi_file_info.cpp:57-68); Spark plans from file statistics, so
+      this is accepted-and-ignored (documented no-op).
+    - ``promote_types``: apply the reference's cross-source type-promotion
+      rules (schema_builder.cpp:132-172) when unioning heterogeneous files.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    paths = list(paths)
+    _ = explicit_cardinality  # planner hint: Spark derives cardinality from file stats
+
+    reader = spark.read
+    if union_by_name:
+        reader = reader.option("mergeSchema", "true")
+
+    if promote_types and len(paths) > 1:
+        frames = [spark.read.parquet(p) for p in paths]
+        df = promote_and_align(frames)
+    else:
+        df = reader.parquet(*paths)
+
+    if file_row_number:
+        df = df.select("*", F.col("_metadata.row_index").alias("file_row_number"))
+    return df
+
+
+def write_fls(
+    df: DataFrame,
+    path: str,
+    *,
+    row_group_size: int = DEFAULT_ROW_GROUP_SIZE,
+    row_groups_per_file: int | None = None,
+    mode: str = "overwrite",
+    preserve_insertion_order: bool = False,
+    order_by: Sequence[str | Column] | None = None,
+) -> None:
+    """Write a DataFrame with the reference's COPY option semantics.
+
+    - ``row_group_size`` (rows, must be a multiple of 1024 like the reference,
+      fls_writer.cpp:219-224) → derived ``parquet.block.size`` byte target.
+    - ``row_groups_per_file`` → ``maxRecordsPerFile`` = rgs/file × rg rows
+      (reference rotation, fls_writer.cpp:189-211).
+    - ``preserve_insertion_order`` → single ordered file via coalesce(1) +
+      sortWithinPartitions (reference's non-parallel copy mode,
+      fls_writer.cpp:289-298). Off by default: at scale, parallel unordered
+      write is the only sane mode.
+    """
+    if row_group_size % VEC_SZ != 0:
+        raise ValueError(
+            f"row_group_size must be a multiple of {VEC_SZ} (reference "
+            f"fls_writer.cpp:219-224); got {row_group_size}"
+        )
+
+    # Approximate bytes-per-row from the schema to convert the row-count
+    # geometry into parquet.block.size bytes (row groups are byte-bounded in
+    # parquet). 16 B/row default covers numeric-heavy schemas.
+    approx_row_bytes = max(8 * len(df.schema.fields), 16)
+    block_bytes = max(row_group_size * approx_row_bytes, 1024 * 1024)
+
+    writer = df
+    if preserve_insertion_order or order_by:
+        writer = writer.coalesce(1)
+        if order_by:
+            writer = writer.sortWithinPartitions(*order_by)
+    out = (
+        writer.write.mode(mode)
+        .option("compression", "zstd")
+        .option("parquet.block.size", str(block_bytes))
+    )
+    if row_groups_per_file is not None:
+        out = out.option("maxRecordsPerFile", str(row_groups_per_file * row_group_size))
+    out.parquet(path)

@@ -1,0 +1,218 @@
+"""Aggregation operators (SURVEY.md §2.C Aggregation row).
+
+DuckDB v1.3.2 surface: GROUPING SETS/CUBE/ROLLUP, FILTER (WHERE), arg_min/arg_max,
+list()/string_agg — all public knowledge (vendored engine). Spark maps 1:1:
+cube/rollup/groupingSets, conditional agg, max_by/min_by, collect_list/concat_ws.
+
+Scale notes: cube/rollup expand each input row into #grouping-sets rows *after*
+partial aggregation in Spark (Expand below the first agg) — the shuffle carries
+group tuples, not raw rows. string_agg needs a deterministic element order →
+sort_array before joining, so results are order-stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.registry import register
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT
+        coalesce(l_returnflag, 'ALL') AS returnflag,
+        coalesce(l_linestatus, 'ALL') AS linestatus,
+        count(*) AS n,
+        round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grand total; NULL grouping
+    slots coalesced to 'ALL' so both engines hash identically (data is NOT NULL
+    so no ambiguity with real NULL keys)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT
+        coalesce(o_orderstatus, 'ALL')   AS status,
+        coalesce(o_orderpriority, 'ALL') AS priority,
+        count(*) AS n,
+        round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all 4 grouping sets."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "avg_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT
+        coalesce(l_returnflag, 'ALL') AS returnflag,
+        coalesce(l_linestatus, 'ALL') AS linestatus,
+        count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    ORDER BY returnflag, linestatus
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-flag and per-status marginals only."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT
+            coalesce(l_returnflag, 'ALL') AS returnflag,
+            coalesce(l_linestatus, 'ALL') AS linestatus,
+            count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY returnflag, linestatus
+        """
+    )
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+    SELECT
+        l_returnflag,
+        count(*) FILTER (WHERE l_quantity > 25)                 AS n_bulk,
+        round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS discounted_rev,
+        count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER (WHERE ...) conditional aggregation — Spark supports the same
+    syntax via expr(); stays in whole-stage codegen."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("count(*) FILTER (WHERE l_quantity > 25)").alias("n_bulk"),
+            F.round(
+                F.expr("sum(l_extendedprice) FILTER (WHERE l_discount > 0.05)"), 2
+            ).alias("discounted_rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_max_by",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        max_by(o_orderkey, o_totalprice) AS top_order,
+        min_by(o_orderkey, o_totalprice) AS bottom_order,
+        round(max(o_totalprice), 2)      AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_min/arg_max (DuckDB) = max_by/min_by (Spark). o_totalprice values
+    are distinct-enough reals that ties don't arise; both engines pick the
+    unique extremum row."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("max_by(o_orderkey, o_totalprice)").alias("top_order"),
+            F.expr("min_by(o_orderkey, o_totalprice)").alias("bottom_order"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+    SELECT
+        n_regionkey AS regionkey,
+        string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY regionkey
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string_agg / list() → collect_list + sort_array + concat_ws (element
+    order pinned so the result is partitioning-independent)."""
+    n = table(spark, sf_dir, "nation")
+    return (
+        n.groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"))
+        .orderBy("regionkey")
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT
+        l_returnflag,
+        round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        round(var_samp(l_quantity), 2)         AS var_qty,
+        round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        round(median(l_quantity), 2)           AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/corr/median) — DuckDB ordered-set
+    family (SURVEY §2.C); Spark has native equivalents (median since 3.4)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+            F.round(F.median("l_quantity"), 2).alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

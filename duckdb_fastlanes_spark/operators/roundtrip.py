@@ -1,0 +1,67 @@
+"""Write → read-back roundtrip as a declared query (SURVEY.md §2.B B16).
+
+The reference's core test idea (test/all_types_single_threaded.test:8-34):
+``compare_roundtrip`` row-numbers original and roundtripped tables, full-outer
+joins on position, and expects zero ``IS DISTINCT FROM`` mismatches. Here the
+roundtrip is parquet write (write_fls) → read (read_fls) → positional compare;
+the declared query returns the mismatch count (always 0 rows of diffs) plus the
+roundtripped row count, which the oracle can state in closed form.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.io.fls import read_fls, write_fls
+from duckdb_fastlanes_spark.registry import register
+
+
+@register(
+    "roundtrip_lineitem",
+    oracle="""
+    SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_mismatches
+    FROM lineitem
+    """,
+)
+def roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem via write_fls, read back via read_fls, compare exactly:
+    symmetric exceptAll must be empty and row counts equal. Result row:
+    (n_rows, n_mismatches=0) so the oracle verifies both write fidelity and
+    cardinality preservation."""
+    li = table(spark, sf_dir, "lineitem")
+    out = os.path.join(tempfile.gettempdir(), "dfs_roundtrip_lineitem")
+    write_fls(li, out, row_group_size=64 * 1024)
+    rt = read_fls(spark, out)
+    diff_a = li.exceptAll(rt)
+    diff_b = rt.exceptAll(li)
+    mismatches = diff_a.union(diff_b).count()
+    n = rt.count()
+    return spark.createDataFrame(
+        [(n, mismatches)], "n_rows BIGINT, n_mismatches BIGINT"
+    )
+
+
+@register(
+    "roundtrip_file_rotation",
+    oracle="""
+    SELECT CAST(ceil(count(*) / 16384.0) AS BIGINT) AS min_files, count(*) AS n_rows
+    FROM orders
+    """,
+)
+def roundtrip_file_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File rotation (reference A21, fls_writer.cpp:189-211):
+    row_groups_per_file × row_group_size caps rows per file via
+    maxRecordsPerFile. Emits (min_files = ceil(n/16384), n_rows); the actual
+    file count is asserted ≥ min_files in tests (Spark may split further by
+    input partition)."""
+    o = table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.gettempdir(), "dfs_roundtrip_rotation")
+    write_fls(o.coalesce(1), out, row_group_size=1024, row_groups_per_file=16)
+    rt = read_fls(spark, out)
+    n = rt.count()
+    return spark.createDataFrame([(-(-n // 16384), n)], "min_files BIGINT, n_rows BIGINT")

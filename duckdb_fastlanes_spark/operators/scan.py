@@ -1,0 +1,96 @@
+"""Scan-path operators: projection pushdown, filter pushdown, virtual row id.
+
+Reference parity (SURVEY.md §2.A):
+- A1/A4 projection pushdown — /root/reference/src/reader/fls_reader.cpp:560-613
+- A5 filter pushdown         — /root/reference/src/read_fls.cpp:9-11,41-42
+- A7 zone-map pruning        — /root/reference/src/reader/row_group_filter.cpp:75-199
+  (built into Spark's parquet scan; these queries make its *correctness* observable,
+  plan shape is asserted in tests/test_plans.py)
+- A9 virtual file_row_number — /root/reference/src/reader/fls_reader.cpp:474-495
+  (Spark: the parquet ``_metadata.row_index`` hidden column)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.registry import register
+
+
+@register(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    """,
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection-only scan: ReadSchema must contain exactly these 2 columns."""
+    return table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "scan_filter_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_shipdate > TIMESTAMP '2000-06-01 00:00:00'
+      AND l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+      AND l_quantity >= 45
+    """,
+)
+def scan_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective conjunctive range filter — pushed to parquet (row-group stats
+    skipping = the reference's zone-map pruning)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") > F.lit("2000-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("2000-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_quantity") >= 45)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+@register(
+    "scan_file_row_number",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS file_row_number, event_id
+    FROM events
+    WHERE event_id < 100
+    """,
+)
+def scan_file_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Virtual ``file_row_number`` column via parquet ``_metadata.row_index``
+    (single-file table ⇒ row_index == absolute file row number, matching the
+    reference's semantics). The driver's events table is written in event_id
+    order (event_id == file row index, verified), which makes the oracle
+    SQL-expressible without DuckDB's file_row_number reader option."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("_metadata.row_index").alias("file_row_number"),
+        "event_id",
+    )
+    return ev.filter(F.col("file_row_number") < 100)
+
+
+@register(
+    "scan_row_range_prune",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS file_row_number, event_id, event_type
+    FROM events
+    WHERE event_id BETWEEN 200 AND 299
+    """,
+)
+def scan_row_range_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-id range filter (reference A8 row-group range pruning,
+    row_group_filter.cpp:136-153): filter on the virtual row number."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("_metadata.row_index").alias("file_row_number"),
+        "event_id",
+        "event_type",
+    )
+    return ev.filter(F.col("file_row_number").between(200, 299))

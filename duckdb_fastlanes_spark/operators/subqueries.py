@@ -1,0 +1,85 @@
+"""Subquery operators (SURVEY.md §2.C Subqueries row): scalar, IN, EXISTS,
+correlated — Catalyst decorrelates like DuckDB's flattening does.
+
+Expressed via spark.sql so the subquery forms are literal; the optimized plans
+are joins/semijoins (verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duckdb_fastlanes_spark.catalog import register_views
+from duckdb_fastlanes_spark.registry import register
+
+_SCALAR_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+"""
+
+_IN_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+"""
+
+_EXISTS_CORR_SQL = """
+SELECT c.c_custkey, round(c.c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > c.c_acctbal * 1000
+)
+"""
+
+_NOT_IN_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1))
+"""
+
+_CORR_SCALAR_SQL = """
+SELECT o.o_orderkey,
+       round(o.o_totalprice, 2) AS price,
+       (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+FROM orders o
+WHERE o.o_orderkey % 20 = 0
+"""
+
+
+@register("subquery_scalar", oracle=_SCALAR_SQL)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (global avg) — broadcast single-row join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SQL)
+
+
+@register("subquery_in", oracle=_IN_SQL)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery → left-semi join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_IN_SQL)
+
+
+@register("subquery_exists_correlated", oracle=_EXISTS_CORR_SQL)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a cross-table predicate — decorrelated to a
+    semi join with a non-equi conjunct."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_CORR_SQL)
+
+
+@register("subquery_not_in", oracle=_NOT_IN_SQL)
+def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (null-aware anti join; subquery side is NOT NULL here so 2VL)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_SQL)
+
+
+@register("subquery_correlated_scalar", oracle=_CORR_SCALAR_SQL)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-order line count) — decorrelated to an
+    outer join over a pre-aggregated subquery."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_SCALAR_SQL)

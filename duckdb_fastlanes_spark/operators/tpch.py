@@ -1,0 +1,101 @@
+"""Workload queries from the reference's own test corpus.
+
+- TPC-H Q1 shape: /root/reference/test/sql/simple.test:40 (filtered group-by
+  aggregation with arithmetic inside aggregates) — SURVEY.md §2.B B1.
+- count(distinct): /root/reference/test/sql/simple.test:42-43 — B2.
+
+Scale notes: Q1 is a partial+final hash aggregate over 6 groups — map-side
+combine reduces the shuffle to #partitions × 6 rows, so the plan survives any
+scale-up; the only full-data pass is the (pushed-down) scan itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.registry import ROUND_SCALE, register
+
+Q1_CUTOFF = "1998-09-02"
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        round(sum(l_quantity), {ROUND_SCALE})                                       AS sum_qty,
+        round(sum(l_extendedprice), {ROUND_SCALE})                                  AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), {ROUND_SCALE})               AS sum_disc_price,
+        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {ROUND_SCALE}) AS sum_charge,
+        round(avg(l_quantity), {ROUND_SCALE})                                       AS avg_qty,
+        round(avg(l_extendedprice), {ROUND_SCALE})                                  AS avg_price,
+        round(avg(l_discount), {ROUND_SCALE})                                       AS avg_disc,
+        count(*)                                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 — filter → hash agg (partial+final) → sort on 6 groups."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(f"{Q1_CUTOFF} 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), ROUND_SCALE).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), ROUND_SCALE).alias("sum_base_price"),
+            F.round(F.sum(disc_price), ROUND_SCALE).alias("sum_disc_price"),
+            F.round(F.sum(charge), ROUND_SCALE).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), ROUND_SCALE).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), ROUND_SCALE).alias("avg_price"),
+            F.round(F.avg("l_discount"), ROUND_SCALE).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "count_distinct",
+    oracle="""
+    SELECT
+        count(DISTINCT l_orderkey) AS distinct_orders,
+        count(DISTINCT l_partkey)  AS distinct_parts,
+        count(*)                   AS n_rows
+    FROM lineitem
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) — expand+two-phase agg in Spark; exact, shuffle on key."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: orderBy().limit(k) → TakeOrderedAndProject, no global sort shuffle."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    )

@@ -1,0 +1,171 @@
+"""Window operators (SURVEY.md §2.B B3, §2.C Windows row).
+
+Reference evidence: ROW_NUMBER() OVER (ORDER BY id)
+(/root/reference/test/all_types_single_threaded.test:12-19); ranking/analytic/
+frame windows are the embedded DuckDB surface (public).
+
+Scale notes: every window here partitions by a key (user_id / custkey) so work
+distributes; the only global-ORDER-BY window (row_number over the whole table)
+is expressed on a *pre-aggregated* small input. Avoid unpartitioned windows over
+raw fact tables at 100 TB — they serialize onto one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.registry import register
+
+
+@register(
+    "window_row_number",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER per customer in order date order (orderkey tiebreak →
+    deterministic)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           rank()       OVER (PARTITION BY l_orderkey ORDER BY l_quantity)       AS qty_rank,
+           dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity)       AS qty_dense_rank,
+           ntile(4)     OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)     AS quartile
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile. rank ties on equal l_quantity are fine (rank
+    is tie-stable); ntile ordered by unique l_linenumber is deterministic."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    w_qty = Window.partitionBy("l_orderkey").orderBy("l_quantity")
+    w_ln = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w_qty).alias("qty_rank"),
+        F.dense_rank().over(w_qty).alias("qty_dense_rank"),
+        F.ntile(4).over(w_ln).alias("quartile"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value, 2) AS value,
+           round(lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value,
+           round(lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS next_value,
+           round(value - coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0), 2) AS delta
+    FROM events
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics per user ordered by time (event_id tiebreak)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2).alias("delta"),
+    )
+
+
+@register(
+    "window_moving_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100) AS BIGINT) AS moving_sum3_cents,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_frame,
+           round(min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_min
+    FROM events
+    """,
+)
+def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS BETWEEN frames: 3-row moving sum + frame count + running min per
+    user. The moving sum is emitted as exact integer cents: ``value`` sits on a
+    2-decimal grid, and Spark's retractable sliding-sum accumulates different
+    low-order bits than DuckDB's recompute — integer cents are engine-stable
+    while round(avg, 2) flips on exact .005 boundaries (2-row frames)."""
+    ev = table(spark, sf_dir, "events")
+    w3 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w3) * 100).cast("bigint").alias("moving_sum3_cents"),
+        F.count(F.lit(1)).over(w3).alias("n_frame"),
+        F.round(F.min("value").over(wrun), 2).alias("running_min"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice, 2) AS price,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING) AS n_similar_price
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE BETWEEN value frame — peers within ±50k price per customer."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-50000, 50000)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.count(F.lit(1)).over(w).alias("n_similar_price"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event,
+           last_value(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+    FROM events
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with full-partition frame, collapsed to one row
+    per user."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_event"),
+        F.last("event_type").over(w).alias("last_event"),
+    ).distinct()

@@ -1,0 +1,355 @@
+"""Deduplication operators over ``documents`` — exact, n-gram Jaccard,
+MinHash-LSH, SimHash, and embedding-cosine near-dup.
+
+Scale design notes (this is the 100 TB story, not the sf0.01 story):
+- exact dedup: one hash-shuffle on the content fingerprint; payload is
+  (fp, doc_id) only — never the text.
+- n-gram Jaccard / MinHash-LSH: candidate generation joins on *shingle/band
+  keys*, so cost is Σ bucket² not n²; the verify step touches only candidate
+  pairs. The LSH band count/width trades recall for bucket size; skewed buckets
+  (boilerplate shingles) are handled by AQE skew-join splitting.
+- SimHash: fingerprint is a pure projection (no shuffle); near-dup grouping is
+  an exact groupBy on the fingerprint.
+- embedding cosine: pairwise work is blocked by a coarse bucket (here the
+  ``label`` column; at scale an IVF/LSH assignment — see similarity.py), never
+  a full cross join.
+
+All expressions are JVM-side built-ins (md5/regexp/arrays); hashes are
+md5-based so the DuckDB oracle computes bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.registry import register
+
+#: MinHash configuration: 8 hashes in 4 bands of 2 → candidates share ≥1 band
+N_MINHASH = 8
+BAND_WIDTH = 2
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.95
+
+
+def _norm(text: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def _words(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(r"[a-z0-9]+"), F.lit(0))
+
+
+def _shingles(text: Column) -> Column:
+    """Distinct word-3-gram shingles of the normalized text (1-based arrays)."""
+    w = _words(_norm(text))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    )
+    return F.array_distinct(grams)
+
+
+#: DuckDB equivalents of the helpers above (1-based lists, same regexes)
+_ORACLE_WORDS = r"regexp_extract_all(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), '[a-z0-9]+')"
+_ORACLE_SHINGLES = (
+    f"list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+    f"FOR i IN range(1, greatest(len(w) - 1, 1))])"
+)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT
+        md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_fp,
+        min(doc_id) AS keep_doc_id,
+        count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by normalized-content md5; emit duplicate groups with
+    the kept (minimum) doc_id. One narrow shuffle on the 128-bit fingerprint."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(_norm(F.col("text"))).alias("content_fp"), "doc_id")
+        .groupBy("content_fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingled AS (
+        SELECT doc_id, {_ORACLE_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_ORACLE_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    exploded AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ),
+    pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled)
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM pair_inter p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup: explode distinct 3-gram shingles, self-join on
+    shingle to count intersections (cost ∝ Σ shingle-bucket², not n²), then
+    |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold."""
+    d = table(spark, sf_dir, "documents")
+    shingled = (
+        d.filter(F.size(_words(_norm(F.col("text")))) >= 3)
+        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    )
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pair_inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = shingled.select("doc_id", F.size("shingles").alias("n_sh"))
+    jac = F.col("n_inter").cast("double") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+    return (
+        pair_inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_cols() -> list[Column]:
+    """MinHash signature: per seed, the lexicographic min of md5(seed:shingle)
+    over the doc's shingles — a valid min-wise hash family, portable to SQL."""
+    return [
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+
+
+def _oracle_minhash(i: int) -> str:
+    return f"list_min([md5('{i}:' || s) FOR s IN shingles])"
+
+
+def _band_expr(band: int) -> Column:
+    parts: list[Column] = []
+    for j in range(band * BAND_WIDTH, (band + 1) * BAND_WIDTH):
+        parts.append(F.col(f"mh{j}"))
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def _oracle_band(band: int) -> str:
+    cols = " || '|' || ".join(
+        f"mh{j}" for j in range(band * BAND_WIDTH, (band + 1) * BAND_WIDTH)
+    )
+    return f"md5({cols})"
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH shingled AS (
+        SELECT doc_id, {_ORACLE_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_ORACLE_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    sigs AS (
+        SELECT doc_id, shingles,
+               {", ".join(f"{_oracle_minhash(i)} AS mh{i}" for i in range(N_MINHASH))}
+        FROM shingled
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, shingles, {b} AS band_id, {_oracle_band(b)} AS band_key FROM sigs" for b in range(N_MINHASH // BAND_WIDTH))}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.shingles AS sh_a, b.shingles AS sh_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                 / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 4) AS jaccard
+    FROM candidates
+    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+          / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → {N_MINHASH} min-hashes → {N_MINHASH // BAND_WIDTH}
+    bands of {BAND_WIDTH} → band-key equi-join for candidates → exact Jaccard
+    verify on candidates only. The equi-join on band keys is the scale path:
+    no n² compare, and band buckets shuffle-partition evenly."""
+    d = table(spark, sf_dir, "documents")
+    shingled = (
+        d.select("doc_id", F.col("text"))
+        .filter(F.size(_words(_norm(F.col("text")))) >= 3)
+        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    )
+    sigs = shingled.select("doc_id", "shingles", *_minhash_cols())
+    n_bands = N_MINHASH // BAND_WIDTH
+    bands = None
+    for bnd in range(n_bands):
+        piece = sigs.select(
+            "doc_id",
+            "shingles",
+            F.lit(bnd).alias("band_id"),
+            _band_expr(bnd).alias("band_key"),
+        )
+        bands = piece if bands is None else bands.union(piece)
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        candidates.filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+#: SimHash: 16-bit fingerprint from per-token md5 bits (portable bit math)
+SIMHASH_BITS = 16
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct({_ORACLE_WORDS})) AS tok
+        FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, b.bit,
+               sum(CASE WHEN (CAST(concat('0x', substr(md5(tok), 1, 4)) AS INTEGER) >> b.bit) & 1 = 1
+                        THEN 1 ELSE -1 END) AS weight
+        FROM toks, (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit) b
+        GROUP BY doc_id, b.bit
+    ),
+    fps AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN weight > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    )
+    SELECT simhash, min(doc_id) AS keep_doc_id, count(*) AS n_docs
+    FROM fps
+    GROUP BY simhash
+    HAVING count(*) > 1
+    ORDER BY simhash
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit fingerprint = per-bit majority vote of token
+    hashes; identical fingerprints group near-duplicates. Pure
+    projection+groupBy — two narrow shuffles, no pairwise compare. (Hamming-
+    radius search = re-group on fingerprint with masked bit-bands.)"""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(_words(_norm(F.col("text"))))).alias("tok")
+    )
+    h16 = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+    bit_ix = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
+    bits = toks.select("doc_id", h16.alias("h"), bit_ix).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    )
+    fps = (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("weight"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("weight") > 0, F.expr("1 << bit")).otherwise(0))
+            .cast("bigint")
+            .alias("simhash")
+        )
+    )
+    return (
+        fps.groupBy("simhash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("simhash")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= {COSINE_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairwise cosine *within coarse buckets* (label here;
+    IVF cells at scale) — the blocked-join pattern that avoids the n² cross
+    join. Dot products stay JVM-side via zip_with + aggregate."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    def norm(x: Column) -> Column:
+        return F.sqrt(F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v * v))
+
+    cos = dot(F.col("a.e"), F.col("b.e")) / (norm(F.col("a.e")) * norm(F.col("b.e")))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,129 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata structs.
+
+The FastLanes format reserves a JPEG column type it never materializes
+(/root/reference/src/reader/row_group_statistics.cpp:116) — this module is
+that hook made real on Spark: media travel as BinaryType columns with a typed
+metadata struct; decode / feature-extract run as Arrow-batched pandas
+functions over ``mapInPandas``.
+
+The image/audio codec libraries are not in this container, so the *decode*
+step is a deterministic fake behind ``decode_image`` (clearly marked); the
+Spark-side plumbing — schema, batch iteration, partition parallelism — is real
+and tested. Swap ``_fake_decode`` for PIL/libvips and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.registry import register
+
+#: schema of a decoded media feature row (what a real decoder would emit)
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_format", T.StringType(), False),
+        T.StructField("payload_bytes", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_luma", T.DoubleType(), False),
+    ]
+)
+
+
+def attach_media(df: DataFrame) -> DataFrame:
+    """Attach a synthetic binary media payload + typed metadata struct to each
+    document row. Payload = md5 digest bytes of the text (deterministic fake
+    of stored media); metadata mirrors a real ingest (format, nbytes)."""
+    payload = F.unhex(F.md5("text"))
+    return df.select(
+        "doc_id",
+        payload.alias("media"),
+        F.struct(
+            F.lit("jpeg").alias("format"),
+            F.octet_length(payload).alias("nbytes"),
+            F.col("source").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """STUB decoder — deterministic fake standing in for PIL/libvips (libs not
+    in this container). Derives (width, height, mean_luma) from the payload
+    bytes so tests are stable. A real deployment replaces only this function."""
+    h = hashlib.sha256(payload).digest()
+    width = 64 + h[0] % 64
+    height = 64 + h[1] % 64
+    mean_luma = round(sum(payload) / (len(payload) * 255.0), 6)
+    return width, height, mean_luma
+
+
+def decode_image(payload: bytes) -> tuple[int, int, float]:
+    """Decode an image payload → (width, height, mean_luma).
+
+    Real codecs are unavailable in this environment; a deterministic fake is
+    used instead (see ``_fake_decode``). Raise if someone expects real pixels.
+    """
+    return _fake_decode(payload)
+
+
+def extract_features(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over mapInPandas: one Python worker per
+    input partition, pandas batch in / pandas batch out — the canonical Spark
+    shape for media pipelines (no collect, no per-row UDF overhead)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media, meta in zip(pdf["doc_id"], pdf["media"], pdf["media_meta"]):
+                width, height, luma = decode_image(bytes(media))
+                rows.append(
+                    (int(doc_id), meta["format"], int(meta["nbytes"]), width, height, luma)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in FEATURE_SCHEMA.fields],
+            )
+
+    return media_df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT
+        doc_id,
+        'jpeg'                       AS media_format,
+        CAST(16 AS BIGINT)           AS payload_bytes,
+        source                       AS origin,
+        md5(text)                    AS content_hex
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing, SQL-observable part: payload size from the
+    binary column + metadata struct fields (md5-digest payload is 16 bytes)."""
+    d = table(spark, sf_dir, "documents")
+    media = attach_media(d)
+    return media.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.col("media_meta.format").alias("media_format"),
+        F.col("media_meta.nbytes").cast("bigint").alias("payload_bytes"),
+        F.col("media_meta.origin").alias("origin"),
+        F.lower(F.hex("media")).alias("content_hex"),
+    )
+
+
+@register("multimodal_features")  # no oracle: mapInPandas decode is not SQL-expressible
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode path: binary payload → mapInPandas feature extraction
+    (stubbed codec). Driver records the weaker rows-only check."""
+    d = table(spark, sf_dir, "documents")
+    return extract_features(attach_media(d)).orderBy("doc_id")

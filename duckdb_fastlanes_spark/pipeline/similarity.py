@@ -1,0 +1,132 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two paths, per the build plan:
+- brute-force cosine top-k: the correctness baseline — one scan, JVM-side
+  zip_with/aggregate dot product, TakeOrdered top-k. At scale this is the
+  per-query fallback and the verifier for the ANN path.
+- IVF-style bucketed ANN: assign every vector to its nearest coarse centroid
+  (here: the first NLIST vectors as fixed centroids — deterministic and
+  oracle-expressible; k-means at scale), then search only the query's cell.
+  Scale shape: centroid assignment is a broadcast-join projection; the search
+  touches 1/NLIST of the data per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.registry import register
+
+QUERY_VEC_ID = 0  # deterministic query vector: embedding of vec_id 0
+TOP_K = 10
+NLIST = 8  # IVF coarse cells (centroids = vec_id 0..7, deterministic)
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, v: a + v)
+
+
+def _norm(x: Column) -> Column:
+    return F.sqrt(F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v))
+
+
+def _cosine(x: Column, y: Column) -> Column:
+    return _dot(x, y) / (_norm(x) * _norm(y))
+
+
+def _doubled(df: DataFrame) -> DataFrame:
+    return df.select(
+        "vec_id", "label", F.transform("embedding", lambda v: v.cast("double")).alias("e")
+    )
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = {QUERY_VEC_ID})
+    SELECT v.vec_id, round(list_cosine_similarity(v.e, q.qe), 4) AS cosine
+    FROM v, q
+    WHERE v.vec_id <> {QUERY_VEC_ID}
+    ORDER BY list_cosine_similarity(v.e, q.qe) DESC, v.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id={QUERY_VEC_ID} query vector.
+    Query vector joins in as a broadcast single-row frame (no collect); top-k
+    is TakeOrderedAndProject — no global sort."""
+    v = _doubled(table(spark, sf_dir, "embeddings"))
+    q = F.broadcast(
+        v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
+    )
+    cos = _cosine(F.col("e"), F.col("qe"))
+    return (
+        v.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .select("vec_id", cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("_cos", 4).alias("cosine"))
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < {NLIST}),
+    assigned AS (
+        SELECT v.vec_id, v.e,
+               (SELECT c.cent_id FROM cents c
+                ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cent_id
+                LIMIT 1) AS cell
+        FROM v
+    ),
+    q AS (SELECT e AS qe, cell AS qcell FROM assigned WHERE vec_id = {QUERY_VEC_ID})
+    SELECT a.vec_id, round(list_cosine_similarity(a.e, q.qe), 4) AS cosine
+    FROM assigned a, q
+    WHERE a.cell = q.qcell AND a.vec_id <> {QUERY_VEC_ID}
+    ORDER BY list_cosine_similarity(a.e, q.qe) DESC, a.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: assign vectors to the nearest of {NLIST} fixed coarse
+    centroids (broadcast join + max_by — one projection pass), then brute-force
+    only inside the query's cell. The scale path: per-query work is
+    |cell| ≈ n/NLIST, and cell assignment is reusable across queries."""
+    v = _doubled(table(spark, sf_dir, "embeddings"))
+    cents = F.broadcast(
+        v.filter(F.col("vec_id") < NLIST).select(
+            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+        )
+    )
+    scored = v.crossJoin(cents).select(
+        "vec_id",
+        "e",
+        "cent_id",
+        _cosine(F.col("e"), F.col("ce")).alias("cscore"),
+    )
+    # nearest centroid per vector: max_by on (score, -cent_id) with the same
+    # DESC, cent_id ASC tie rule as the oracle's ORDER BY ... LIMIT 1
+    assigned = scored.groupBy("vec_id").agg(
+        F.expr("max_by(cent_id, struct(cscore, -cent_id))").alias("cell"),
+        F.first("e").alias("e"),
+    )
+    q = F.broadcast(
+        assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("e").alias("qe"), F.col("cell").alias("qcell")
+        )
+    )
+    cos = _cosine(F.col("e"), F.col("qe"))
+    return (
+        assigned.crossJoin(q)
+        .filter((F.col("cell") == F.col("qcell")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("_cos", 4).alias("cosine"))
+    )

@@ -1,0 +1,171 @@
+"""Text analysis operators over the ``documents`` table.
+
+All four (language-ID, quality scoring, token counting, fingerprinting) are
+pure JVM-side column expressions — no Python UDFs — so they whole-stage-codegen
+and scale linearly with input partitions; nothing shuffles except the final
+oracle-friendly ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.registry import register
+
+#: marker stopwords per language for the n-gram-ish heuristic language ID.
+#: Deterministic + SQL-expressible on both engines (word-boundary regex counts).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a"],
+    "es": ["el", "la", "de", "que"],
+    "de": ["der", "die", "und", "das"],
+}
+
+#: BPE-ish tokenizer regex: words, numbers, or single non-space symbols
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def _marker_count(text: Column, word: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(rf"\b{word}\b"), F.lit(0)))
+
+
+def _oracle_marker(word: str) -> str:
+    return rf"len(regexp_extract_all(lower(text), '\b{word}\b'))"
+
+
+def _oracle_lang_score(lang: str) -> str:
+    return " + ".join(_oracle_marker(w) for w in LANG_MARKERS[lang])
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT
+        doc_id,
+        len(regexp_extract_all(text, '{TOKEN_RE}'))     AS n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+'))       AS n_words,
+        length(text)                                     AS n_chars_measured,
+        n_chars                                          AS n_chars_recorded
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace-free BPE-ish regex token count + word count,
+    validated against the recorded n_chars column."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), F.lit(0))).alias("n_words"),
+        F.length("text").alias("n_chars_measured"),
+        F.col("n_chars").alias("n_chars_recorded"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT
+        doc_id,
+        round(CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+              / greatest(length(text), 1), 4)                                    AS punct_ratio,
+        round(CAST(len(regexp_extract_all(lower(text),
+              '\\b(the|a|and|of|to|in|is|it)\\b')) AS DOUBLE)
+              / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1), 4)      AS stopword_ratio,
+        round(CAST(length(text) AS DOUBLE)
+              / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1), 4)      AS chars_per_word,
+        (length(text) BETWEEN 64 AND 4096)
+          AND (len(regexp_extract_all(text, '[A-Za-z]+')) >= 10)                  AS passes_quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punctuation ratio, stopword ratio, mean word length,
+    and a composite keep/drop gate — the standard pretraining-corpus filters."""
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_words = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), F.lit(0)))
+    stop_re = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_stop = F.size(F.regexp_extract_all(F.lower(text), F.lit(stop_re), F.lit(0)))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[\p{Punct}]"), F.lit(0)))
+    return d.select(
+        "doc_id",
+        F.round(n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)), 4).alias(
+            "punct_ratio"
+        ),
+        F.round(n_stop.cast("double") / F.greatest(n_words, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(F.length(text).cast("double") / F.greatest(n_words, F.lit(1)), 4).alias(
+            "chars_per_word"
+        ),
+        (
+            F.length(text).between(64, 4096) & (n_words >= 10)
+        ).alias("passes_quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT
+        doc_id,
+        lang AS lang_recorded,
+        CASE
+            WHEN {_oracle_lang_score("en")} >= {_oracle_lang_score("es")}
+             AND {_oracle_lang_score("en")} >= {_oracle_lang_score("de")}
+             AND {_oracle_lang_score("en")} > 0 THEN 'en'
+            WHEN {_oracle_lang_score("es")} >= {_oracle_lang_score("de")}
+             AND {_oracle_lang_score("es")} > 0 THEN 'es'
+            WHEN {_oracle_lang_score("de")} > 0 THEN 'de'
+            ELSE 'und'
+        END AS lang_detected
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: count language-marker stopword hits per language,
+    argmax with fixed tie order (en > es > de), 'und' when no marker hits.
+    The real-world version swaps the marker table for char-n-gram profiles —
+    same plan shape (pure projection, no shuffle)."""
+    d = table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    scores = {
+        lang: sum(
+            (_marker_count(low, w) for w in words[1:]),
+            _marker_count(low, words[0]),
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    en, es, de = scores["en"], scores["es"], scores["de"]
+    detected = (
+        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("und")
+    )
+    return d.select("doc_id", F.col("lang").alias("lang_recorded"), detected.alias("lang_detected"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT
+        doc_id,
+        md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))          AS content_fp,
+        CAST(concat('0x', substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fp64
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whitespace/case-normalized md5 content hash +
+    a 60-bit integer fingerprint (hex-sliced) for compact storage/joins."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = F.md5(norm)
+    return d.select(
+        "doc_id",
+        fp.alias("content_fp"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fp64"),
+    )

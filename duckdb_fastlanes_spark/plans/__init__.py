@@ -1,0 +1,9 @@
+"""Physical-plan inspection helpers (pushdown/pruning assertions)."""
+
+from duckdb_fastlanes_spark.plans.checks import (
+    explain_str,
+    pushed_filters,
+    read_schema_columns,
+)
+
+__all__ = ["explain_str", "pushed_filters", "read_schema_columns"]

@@ -1,0 +1,138 @@
+"""Streaming operators over the ``events`` table.
+
+The reference has no streaming surface (SURVEY.md §2.C Streaming row) — this is
+the Spark-native extension: the same windowed aggregation logic is exposed
+
+- as a *batch* declared query (oracle-checkable against DuckDB), and
+- as a Structured Streaming pipeline (``stream_event_counts``) with watermarked
+  tumbling windows, exercised in tests via a file-stream source.
+
+One logic, two runners — the Spark "unified batch/streaming" idiom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.registry import register
+
+WINDOW = "1 hour"
+WATERMARK = "2 hours"
+
+
+def windowed_event_counts(events: DataFrame) -> DataFrame:
+    """Tumbling-window per-type aggregation — shared by batch and streaming."""
+    return (
+        events.groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT
+        date_trunc('hour', ts)   AS window_start,
+        event_type,
+        count(*)                 AS n_events,
+        round(sum(value), 2)     AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch runner of the tumbling-window aggregation (1-hour windows =
+    date_trunc('hour') in the oracle)."""
+    return windowed_event_counts(table(spark, sf_dir, "events")).orderBy(
+        "window_start", "event_type"
+    )
+
+
+@register(
+    "stream_sessionization",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR datediff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM ordered
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) — the batch twin of a
+    session-window streaming aggregation: gap detection via lag + running sum
+    of session starts. One shuffle on user_id."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > 1800),
+        1,
+    ).otherwise(0)
+    sessions = ev.select(
+        "user_id", "ts", "event_id", new_session.alias("new_session")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("new_session").over(wrun).alias("session_seq"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def stream_event_counts(spark: SparkSession, input_dir: str, schema) -> DataFrame:
+    """True Structured Streaming runner: file-source readStream → watermarked
+    tumbling-window aggregation. Tested with a staged parquet directory; on a
+    cluster the source swaps for Kafka/queue with no logic change."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
