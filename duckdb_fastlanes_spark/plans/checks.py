@@ -41,6 +41,17 @@ def read_schema_columns(df: DataFrame) -> list[str]:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    """Count WholeStageCodegen spans — wider is better (fewer JVM↔Python or
-    codegen breaks in the hot path)."""
-    return len(re.findall(r"WholeStageCodegen", explain_str(df, "simple")))
+    """Count WholeStageCodegen subtrees — wider is better (fewer JVM↔Python or
+    codegen breaks in the hot path). Uses the `codegen` explain mode because
+    with AQE the pre-execution plan is an AdaptiveSparkPlan wrapper that hides
+    the codegen stage markers. Physical planning is lazy, so AQE is toggled
+    off just for this inspection (the df must not have been executed yet)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        text = explain_str(df, "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", text)
+    return int(m.group(1)) if m else 0

@@ -1,0 +1,90 @@
+"""Physical-plan shape assertions — the 100 TB-readiness checks.
+
+The reference gets pushdown/pruning by construction (read_fls.cpp:9-11,
+fls_reader.cpp:560-613); Spark gets them from Catalyst — these tests pin that
+the declared queries actually produce the plans we rely on at scale:
+pushed filters, pruned read schemas, broadcast joins where expected, partial
+aggregation, and no Python UDFs in JVM-only paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.plans.checks import (
+    explain_str,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_spans,
+)
+from tests.conftest import SF_DIR
+
+
+def test_projection_pushdown_reads_only_selected_columns(spark):
+    """Reference A4: a 2-column projection must scan exactly 2 columns."""
+    df = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_linenumber")
+    assert set(read_schema_columns(df)) == {"l_orderkey", "l_linenumber"}
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    """Reference A5/A7: range filters must appear in PushedFilters (zone-map
+    row-group skipping happens inside the parquet reader from these)."""
+    df = table(spark, SF_DIR, "lineitem").filter(
+        (F.col("l_quantity") >= 45) & (F.col("l_extendedprice") < 10000.0)
+    )
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed
+    assert "l_extendedprice" in pushed
+
+
+def test_broadcast_join_for_dims(spark):
+    """Star joins must broadcast the dimension side — no fact shuffle."""
+    c = table(spark, SF_DIR, "customer")
+    n = F.broadcast(table(spark, SF_DIR, "nation"))
+    plan = explain_str(c.join(n, c.c_nationkey == n.n_nationkey), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_uses_partial_aggregation(spark):
+    """Q1 must partial-aggregate before the shuffle (map-side combine):
+    two HashAggregate nodes with a narrow exchange between them."""
+    from duckdb_fastlanes_spark.operators.tpch import tpch_q1
+
+    plan = explain_str(tpch_q1(spark, SF_DIR), "simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchScan" in plan or "FileScan" in plan
+
+
+def test_no_python_udf_in_jvm_paths(spark):
+    """Text-analysis ops must stay JVM-side (no BatchEvalPython/ArrowEvalPython
+    in the plan) — UDFs are the slow path."""
+    from duckdb_fastlanes_spark.pipeline.text import text_quality_score
+
+    plan = explain_str(text_quality_score(spark, SF_DIR), "simple")
+    assert "EvalPython" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    """orderBy().limit(k) must plan as TakeOrderedAndProject, not a global sort."""
+    from duckdb_fastlanes_spark.operators.tpch import topk_orders
+
+    plan = explain_str(topk_orders(spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scan_has_codegen(spark):
+    """The hot scan→filter→agg path must be inside WholeStageCodegen."""
+    from duckdb_fastlanes_spark.operators.tpch import tpch_q1
+
+    assert wholestage_codegen_spans(tpch_q1(spark, SF_DIR)) >= 1
+
+
+def test_minhash_has_no_cartesian_product(spark):
+    """LSH candidate generation must be an equi-join on band keys — a
+    CartesianProduct/BroadcastNestedLoop here would be the n² trap at scale."""
+    from duckdb_fastlanes_spark.pipeline.dedup import dedup_minhash_lsh
+
+    plan = explain_str(dedup_minhash_lsh(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
