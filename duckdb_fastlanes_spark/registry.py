@@ -29,6 +29,7 @@ ROUND_SCALE = 2
 # modules that register queries on import
 _MODULES = (
     "duckdb_fastlanes_spark.operators.tpch",
+    "duckdb_fastlanes_spark.operators.tpch_suite",
     "duckdb_fastlanes_spark.operators.scan",
     "duckdb_fastlanes_spark.operators.joins",
     "duckdb_fastlanes_spark.operators.aggregates",
