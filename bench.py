@@ -36,15 +36,32 @@ HEADLINE = [
     "stream_tumbling_counts",
 ]
 
-N_TIMED = 2
+N_TIMED = 3
 
 
-def run_once(fn, spark, sf_dir: str) -> float:
-    t0 = time.perf_counter()
-    df = fn(spark, sf_dir)
-    # force full execution without materializing results on the driver
-    df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+def bench_query(fn, spark, sf_dir: str) -> float:
+    """End-to-end warm wall time, min of N_TIMED runs. Each timed run builds
+    the DataFrame fresh (plan construction + Catalyst analysis/optimization/
+    physical planning + codegen-cache lookup) and collect()s the result — the
+    same work DuckDB's execute().fetchall() does, so the number is comparable
+    to the oracle baseline. A fresh plan per run also means no cross-run
+    shuffle-stage reuse: every run re-executes the full scan/shuffle/agg.
+    Results materialize on the driver via Arrow (columnar batch transfer —
+    the analogue of DuckDB's C++ fetch; per-row Python Row construction would
+    time the Py4J tax, not the engine). One untimed warm-up covers
+    JVM/codegen-compile/page-cache effects."""
+
+    def materialize(df) -> None:
+        df.toArrow()
+
+    materialize(fn(spark, sf_dir))  # warm-up
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        return time.perf_counter() - t0
+
+    return min(once() for _ in range(N_TIMED))
 
 
 def main() -> None:
@@ -52,13 +69,16 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # small-input fast path (AQE/constraint-prop off, narrow shuffles) when the
+    # whole catalog is tiny; at cluster scale this is a no-op — see session.py
+    from duckdb_fastlanes_spark.session import tune_for_input
+
+    tune_for_input(spark, sf_dir)
 
     qs = registry.queries()
     times: dict[str, float] = {}
     for name in HEADLINE:
-        fn = qs[name]
-        run_once(fn, spark, sf_dir)  # warm-up
-        times[name] = round(min(run_once(fn, spark, sf_dir) for _ in range(N_TIMED)), 3)
+        times[name] = round(bench_query(qs[name], spark, sf_dir), 3)
 
     total = round(sum(times.values()), 3)
     print(

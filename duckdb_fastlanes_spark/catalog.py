@@ -26,6 +26,13 @@ TABLES = (
     "embeddings",
 )
 
+# Analyzed-DataFrame cache: spark.read.parquet re-lists files and re-reads the
+# footer schema on every call (~100-250 ms of driver work per table reference).
+# DataFrames are immutable, so one analyzed scan per (session, dir, table) can
+# be shared by every query — the reference caches the same way (first-file
+# schema bind cached in FinalizeBindData, fls_multi_file_info.cpp:84-97).
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table as a DataFrame (columnar vectorized parquet scan).
@@ -37,12 +44,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    key = (id(spark), sf_dir.rstrip("/"), name)
+    if key in _CACHE:
+        return _CACHE[key]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _CACHE[key] = df
     return df
 
 

@@ -44,8 +44,10 @@ def _words(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(r"[a-z0-9]+"), F.lit(0))
 
 
-def _shingle_rows(d: DataFrame) -> DataFrame:
-    """Distinct word-3-gram shingles as (doc_id, shingle) rows.
+def _shingle_rows(d: DataFrame, distinct: bool = True) -> DataFrame:
+    """Word-3-gram shingles as (doc_id, shingle) rows (distinct by default;
+    pass distinct=False when the consumer is duplicate-insensitive — a
+    min-wise hash or collect_set — to skip the dedup exchange).
 
     Implementation note: building shingles with a higher-order ``transform``
     over ``element_at(words, i)`` re-evaluates the word-splitting regex for
@@ -65,7 +67,8 @@ def _shingle_rows(d: DataFrame) -> DataFrame:
         F.concat_ws(" ", F.col("word"), nxt1, nxt2).alias("shingle"),
         nxt2.alias("_w2"),
     )
-    return sh.filter(F.col("_w2").isNotNull()).select("doc_id", "shingle").distinct()
+    out = sh.filter(F.col("_w2").isNotNull()).select("doc_id", "shingle")
+    return out.distinct() if distinct else out
 
 
 def _shingle_sets(d: DataFrame) -> DataFrame:
@@ -226,14 +229,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify on candidates only. The equi-join on band keys is the scale path:
     no n² compare, and band buckets shuffle-partition evenly."""
     d = table(spark, sf_dir, "documents")
-    rows = _shingle_rows(d)
-    # Signature via md5-once-per-shingle + groupBy(doc_id): all 8 slice-
-    # minimums aggregate from one digest column; the groupBy reuses the
-    # shingle window's doc_id partitioning — no extra shuffle.
-    hashed = rows.select("doc_id", F.md5("shingle").alias("h"))
-    sigs = hashed.groupBy("doc_id").agg(*_minhash_aggs())
+    # One shared per-doc aggregate feeds BOTH the signature and the verify
+    # sets: min-wise hashing is duplicate-insensitive and collect_set dedupes,
+    # so the raw (non-distinct) shingle rows work for both — this drops the
+    # (doc_id, shingle) distinct exchange and the second shingle pipeline the
+    # naive two-branch plan would run. The groupBy reuses the shingle window's
+    # doc_id partitioning (no extra shuffle), and the upstream regex/posexplode
+    # exchange is shared across consumers via ReuseExchange.
+    rows = _shingle_rows(d, distinct=False)
+    per_doc = (
+        rows.withColumn("h", F.md5("shingle"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shingles"), *_minhash_aggs())
+    )
     n_bands = N_MINHASH // BAND_WIDTH
-    banded = sigs.select(
+    banded = per_doc.select(
         "doc_id",
         F.posexplode(F.array(*[_band_expr(b) for b in range(n_bands)])).alias(
             "band_id", "band_key"
@@ -252,7 +262,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = _shingle_sets(d)
+    sets = per_doc.select("doc_id", "shingles")
     pairs = (
         candidates.join(
             sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),

@@ -63,3 +63,44 @@ def get_spark(
 def sf_dir(default: str = "/root/testdata/sf0.1") -> str:
     """Scale-factor directory for benchmarks (driver contract)."""
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+#: inputs below this total size take the small-input fast path
+SMALL_INPUT_BYTES = 2 * 1024**3
+
+
+def tune_for_input(spark: SparkSession, data_dir: str) -> None:
+    """Adapt session conf to the catalog's input size (runtime-settable confs
+    only; call any time, cheap enough to call per run).
+
+    Interactive engines (the reference's DuckDB host included) pay near-zero
+    planning overhead on small inputs; Spark's defaults assume cluster-scale
+    data where runtime re-planning and wide shuffles pay for themselves. On
+    small inputs they are pure overhead, so below SMALL_INPUT_BYTES:
+
+    - AQE off: per-stage runtime re-optimization cannot beat its own stage-
+      barrier latency when every stage is milliseconds (measured ~20% of
+      small-query wall time);
+    - constraint propagation off: O(plan²) driver work inferring predicates
+      that row-group pruning already covers at this size (~10%);
+    - shuffle partitions ≈ cores/4: 32 near-empty shuffle tasks cost more to
+      schedule than they parallelize (measured ~40% on shuffle-heavy queries;
+      AQE coalescing normally absorbs this, but AQE is off here).
+
+    Above the threshold every default stands (AQE, skew-join splitting, wide
+    shuffles) — the 100 TB path is the default path, the fast path is the
+    explicitly-gated exception.
+    """
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(data_dir, f))
+            for f in os.listdir(data_dir)
+            if os.path.isfile(os.path.join(data_dir, f))
+        )
+    except OSError:
+        return
+    if total < SMALL_INPUT_BYTES:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus // 4, 2)))
