@@ -44,6 +44,7 @@ _MODULES = (
     "duckdb_fastlanes_spark.pipeline.similarity",
     "duckdb_fastlanes_spark.pipeline.multimodal",
     "duckdb_fastlanes_spark.streaming.events",
+    "duckdb_fastlanes_spark.streaming.stateful",
 )
 
 _loaded = False
