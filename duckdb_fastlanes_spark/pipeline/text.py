@@ -8,6 +8,7 @@ oracle-friendly ordering.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -169,3 +170,40 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("content_fp"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fp64"),
     )
+
+
+@register(
+    "text_token_count_udf",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+           len(text)                                         AS n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_count_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.C UDF-surface row with a verifiable oracle: the same token count
+    as text_token_count, computed in a vectorized Arrow pandas_udf instead of
+    JVM built-ins. Demonstrates the Python hot path done right — one Arrow
+    batch per ~10k rows crossing the boundary, pandas .str vectorized ops —
+    while the hash-match against DuckDB pins its semantics. (Prefer the
+    JVM-side variant when expressible; this exists because the reference's
+    extension API — its own read_fls/COPY registration, src/read_fls.cpp:45 —
+    maps to Spark's UDF/DataSource surface.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def count_tokens(texts: pd.Series) -> pd.Series:
+        return texts.str.lower().str.count(r"[a-z0-9]+").astype("int32")
+
+    @pandas_udf("int")
+    def count_chars(texts: pd.Series) -> pd.Series:
+        return texts.str.len().astype("int32")
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        count_tokens("text").alias("n_tokens"),
+        count_chars("text").alias("n_chars"),
+    ).orderBy("doc_id")
