@@ -45,6 +45,7 @@ _MODULES = (
     "duckdb_fastlanes_spark.pipeline.multimodal",
     "duckdb_fastlanes_spark.streaming.events",
     "duckdb_fastlanes_spark.streaming.stateful",
+    "duckdb_fastlanes_spark.functions.skew",
 )
 
 _loaded = False
