@@ -86,6 +86,7 @@ def write_fls(
     mode: str = "overwrite",
     preserve_insertion_order: bool = False,
     order_by: Sequence[str | Column] | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> None:
     """Write a DataFrame with the reference's COPY option semantics.
 
@@ -97,6 +98,11 @@ def write_fls(
       sortWithinPartitions (reference's non-parallel copy mode,
       fls_writer.cpp:289-298). Off by default: at scale, parallel unordered
       write is the only sane mode.
+    - ``partition_by`` → hive-style directory partitioning (beyond-reference,
+      the 100 TB layout primitive: partition values become directories, and
+      scans with partition-key filters prune whole directories before any
+      file I/O — ``PartitionFilters`` in the plan, vs the reference's
+      per-row-group zone maps which still read footers).
     """
     if row_group_size % VEC_SZ != 0:
         raise ValueError(
@@ -122,4 +128,28 @@ def write_fls(
     )
     if row_groups_per_file is not None:
         out = out.option("maxRecordsPerFile", str(row_groups_per_file * row_group_size))
+    if partition_by:
+        out = out.partitionBy(*partition_by)
     out.parquet(path)
+
+
+def write_fls_bucketed(
+    df: DataFrame,
+    table_name: str,
+    *,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (beyond-reference): pre-shuffle the data into
+    ``n_buckets`` hash buckets on ``bucket_by`` at write time so later
+    equi-joins and aggregations on those keys need NO exchange — the write
+    pays the shuffle once, every downstream join reuses it. This is the
+    co-located-join primitive for 100 TB fact-fact joins where broadcast is
+    impossible. Buckets only apply through the catalog, hence saveAsTable."""
+    writer = df.write.mode(mode).format("parquet").option("compression", "zstd")
+    writer = writer.bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table_name)
