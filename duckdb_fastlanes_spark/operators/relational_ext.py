@@ -239,3 +239,37 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(seq, 3).alias("has_three"),
         F.array_join(F.reverse(seq), ",").alias("rev_csv"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "map_struct_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           map(['qty', 'disc'], [l_quantity, l_discount])['qty'][1] AS qty_from_map,
+           cardinality(map(['qty', 'disc'], [l_quantity, l_discount]))  AS map_size,
+           array_to_string(map_keys(map(['qty', 'disc'], [l_quantity, l_discount])), ',')
+               AS keys_csv,
+           struct_pack(ok := l_orderkey, ln := l_linenumber).ln AS ln_from_struct
+    FROM lineitem
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def map_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP/STRUCT construction + access — the reference *declares* MAP/STRUCT
+    types but can neither materialize nor write them (translation_utils.cpp:
+    38-41, fls_view_writer.cpp:91-92); Spark's are first-class. Scalars are
+    extracted before the compare so both engines hash plain columns."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"), F.lit("disc"), F.col("l_discount")
+    )
+    s = F.struct(F.col("l_orderkey").alias("ok"), F.col("l_linenumber").alias("ln"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(m, "qty").alias("qty_from_map"),
+        F.size(m).alias("map_size"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        s.getField("ln").alias("ln_from_struct"),
+    ).orderBy("l_orderkey", "l_linenumber")
