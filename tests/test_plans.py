@@ -9,6 +9,8 @@ aggregation, and no Python UDFs in JVM-only paths.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from duckdb_fastlanes_spark.catalog import table
@@ -88,3 +90,50 @@ def test_minhash_has_no_cartesian_product(spark):
 
     plan = explain_str(dedup_minhash_lsh(spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunctive_predicate_splits_per_side(spark):
+    """Q19's OR-of-ANDs must decompose into per-side pushed filters:
+    quantity bands reach the lineitem scan, brand/size reach the part scan —
+    at 100 TB this is the difference between scanning 2 columns' worth of
+    matching row groups and scanning everything."""
+    from duckdb_fastlanes_spark.operators.tpch_suite import tpch_q19
+
+    plan = explain_str(tpch_q19(spark, SF_DIR))
+    pushed_blocks = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_quantity" in b for b in pushed_blocks)
+    assert any("p_brand" in b and "p_size" in b for b in pushed_blocks)
+
+
+def test_q5_star_join_broadcasts_dims(spark):
+    """Q5's six-way star join must broadcast the dimension tables (region,
+    nation at minimum) and never degenerate into a cartesian product."""
+    from duckdb_fastlanes_spark.operators.tpch_suite import tpch_q5
+
+    plan = explain_str(tpch_q5(spark, SF_DIR), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multifile_scan_parallel_equivalence(spark, tmp_path):
+    """A13 at scale shape: the same query over a 16-file layout must (a) plan
+    >1 input partition — the per-file/row-group parallelism the reference
+    gets from its atomic row-group counter — and (b) produce identical
+    results to the single-file scan."""
+    from duckdb_fastlanes_spark.operators.tpch import tpch_q1
+
+    li = table(spark, SF_DIR, "lineitem")
+    multi = str(tmp_path / "lineitem_16")
+    li.repartition(16).write.parquet(multi)
+
+    multi_df = spark.read.parquet(multi)
+    assert multi_df.rdd.getNumPartitions() > 1
+
+    single = {tuple(r) for r in tpch_q1(spark, SF_DIR).collect()}
+    multi_dir = str(tmp_path)  # catalog layout: <dir>/lineitem.parquet
+    import shutil
+
+    shutil.move(multi, f"{tmp_path}/lineitem.parquet")
+    got = {tuple(r) for r in tpch_q1(spark, multi_dir).collect()}
+    assert got == single
