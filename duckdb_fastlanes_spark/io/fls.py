@@ -133,6 +133,46 @@ def write_fls(
     out.parquet(path)
 
 
+def cluster_by(df: DataFrame, cols: Sequence[str], n_partitions: int | None = None) -> DataFrame:
+    """Range-cluster rows on ``cols`` before writing: repartitionByRange +
+    sortWithinPartitions gives every output file (and every row group inside
+    it) a tight, near-disjoint min/max range on the cluster keys — the layout
+    that makes zone-map / footer-stats pruning (reference A7,
+    row_group_filter.cpp:75-199) actually skip data. Unclustered writes have
+    full-range stats on every file and prune nothing."""
+    parts = n_partitions or df.rdd.getNumPartitions()
+    return df.repartitionByRange(parts, *cols).sortWithinPartitions(*cols)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    *,
+    target_file_mb: int = 512,
+) -> int:
+    """Small-file compaction (beyond-reference, table maintenance at scale):
+    coalesce a directory of many small parquet files into ~target_file_mb
+    outputs. Streaming sinks and fine-grained ingestion produce thousands of
+    KB-files whose per-file open/footer cost dominates scans; compaction
+    restores scan efficiency. Returns the number of output partitions."""
+    import math
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        r.length
+        for r in df.select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.file_size").alias("length"),
+        )
+        .distinct()
+        .collect()
+    )
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df.repartition(n_out).write.mode("overwrite").option("compression", "zstd").parquet(out_path)
+    return n_out
+
+
 def write_fls_bucketed(
     df: DataFrame,
     table_name: str,
