@@ -136,3 +136,62 @@ def stream_event_counts(spark: SparkSession, input_dir: str, schema) -> DataFram
             "total_value",
         )
     )
+
+
+def stream_dedup(stream: DataFrame, key_cols: list[str], watermark_col: str, delay: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates keyed on ``key_cols`` with a
+    watermark so the key-set state ages out — at 100 TB/day the state store
+    holds only ``delay`` worth of fingerprints, not all history. The batch
+    twin of this operator is dedup_exact (pipeline/dedup.py)."""
+    return stream.withWatermark(watermark_col, delay).dropDuplicates(key_cols)
+
+
+@register(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_fp,
+           count(*) AS n
+    FROM (
+        SELECT DISTINCT ON (md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+               text
+        FROM documents
+    )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup drained over the documents table: a fully-drained
+    dropDuplicates stream equals batch DISTINCT on the dedup key, which makes
+    this streaming operator oracle-checkable (every fingerprint exactly once).
+    Uses an event-time column synthesized from doc_id so the watermark
+    machinery is genuinely exercised."""
+    import tempfile
+
+    d = table(spark, sf_dir, "documents").select(
+        F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))).alias("content_fp"),
+        # offset event times away from epoch 0: the initial watermark is 0,
+        # and a row landing exactly on it is treated as late and dropped
+        F.timestamp_micros((F.col("doc_id") + 86_400) * 1_000_000).alias("ts"),
+    )
+    workdir = tempfile.mkdtemp(prefix="dfs_streamdedup_")
+    staged = f"{workdir}/staged"
+    d.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    deduped = stream_dedup(stream, ["content_fp"], "ts", "1 hour")
+    name = "dfs_stream_dedup_out"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .groupBy("content_fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("content_fp")
+    )
