@@ -127,3 +127,73 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stubbed codec). Driver records the weaker rows-only check."""
     d = table(spark, sf_dir, "documents")
     return extract_features(attach_media(d)).orderBy("doc_id")
+
+
+#: schema of a resized-image row
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("resized", T.BinaryType(), False),
+    ]
+)
+
+#: schema of a sampled video frame row (one input row → many frame rows)
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_hash", T.StringType(), False),
+    ]
+)
+
+
+def resize_images(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize every image payload to (width, height) — mapInPandas, one Arrow
+    batch per partition. STUB pixels: the 'resized' payload is a deterministic
+    digest of (payload, dims) standing in for the real scaled bitmap; a real
+    deployment swaps only the inner two lines for PIL's Image.resize."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                fake_pixels = hashlib.sha256(
+                    bytes(media) + f"{width}x{height}".encode()
+                ).digest()
+                out.append((int(doc_id), width, height, fake_pixels))
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return media_df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(media_df: DataFrame, every_nth: int = 4, n_frames: int = 16) -> DataFrame:
+    """Frame-sample a 'video' payload: one input row expands to ceil(n/every_nth)
+    frame rows — the mapInPandas shape where output cardinality differs from
+    input (a pandas_udf cannot do this). STUB decode: frame i's content is a
+    deterministic digest of (payload, i); a real deployment decodes with
+    pyav/ffmpeg per sampled index without touching the surrounding plumbing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                for i in range(0, n_frames, every_nth):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.sha256(bytes(media) + i.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes})
+
+    return media_df.mapInPandas(run, FRAME_SCHEMA)
+
+
+@register("multimodal_frame_sample")  # no oracle: mapInPandas row expansion
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the documents-as-videos corpus: every 4th of 16
+    frames per payload → 4 frame rows per document. Rows-only check; the
+    pytest suite pins cardinality and determinism."""
+    d = table(spark, sf_dir, "documents")
+    return sample_frames(attach_media(d)).orderBy("doc_id", "frame_idx")

@@ -118,3 +118,32 @@ def test_ivf_recall_vs_bruteforce(spark):
     # the IVF list is a subset of the cell; every IVF hit must be real: its
     # cosine can't exceed the brute-force top-1 — weaker recall check:
     assert len(bf & ivf) >= 3
+
+
+def test_resize_images_deterministic(spark):
+    from duckdb_fastlanes_spark.pipeline.multimodal import attach_media, resize_images
+
+    d = table(spark, SF_DIR, "documents").limit(20)
+    r1 = sorted(map(tuple, resize_images(attach_media(d), 224, 224).collect()))
+    r2 = sorted(map(tuple, resize_images(attach_media(d), 224, 224).collect()))
+    assert r1 == r2
+    assert len(r1) == 20
+    assert all(w == 224 and h == 224 for (_, w, h, _) in r1)
+    # different target dims → different payloads (the stub responds to dims)
+    r3 = sorted(map(tuple, resize_images(attach_media(d), 64, 64).collect()))
+    assert [t[3] for t in r1] != [t[3] for t in r3]
+
+
+def test_frame_sample_expands_rows(spark):
+    from duckdb_fastlanes_spark.pipeline.multimodal import attach_media, sample_frames
+
+    d = table(spark, SF_DIR, "documents").limit(10)
+    frames = sample_frames(attach_media(d), every_nth=4, n_frames=16).collect()
+    assert len(frames) == 10 * 4  # 16 frames, every 4th
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 4, 8, 12] for v in per_doc.values())
+    # frame hashes differ across frame indexes of the same doc
+    h = {(r.doc_id, r.frame_idx): r.frame_hash for r in frames}
+    assert h[(0, 0)] != h[(0, 4)]
