@@ -47,6 +47,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir.rstrip("/"), name)
     if key in _CACHE:
         return _CACHE[key]
+    if name == "events":
+        # a session built outside get_spark (e.g. the driver's own) fails on
+        # the INT64 TIMESTAMP(NANOS) column with PARQUET_TYPE_ILLEGAL unless
+        # this (runtime-settable) conf is on — set it here, not just in the
+        # session factory
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
