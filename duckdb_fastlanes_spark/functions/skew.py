@@ -1,5 +1,10 @@
 """Skew-handling primitives: salted aggregation and salted broadcast-side join.
 
+Beyond-reference extension (SURVEY.md §7 step 6 scale hardening): the
+reference's intra-process analogue is its atomic row-group work-stealing
+counter (fls_reader.cpp:503-512); across a cluster, key skew needs data-level
+spreading instead.
+
 AQE's skew-join splitting (on in session defaults) handles skewed *sort-merge
 joins* automatically; these helpers cover the two cases AQE does not:
 

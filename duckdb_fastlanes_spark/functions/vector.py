@@ -1,6 +1,10 @@
 """Vector math over ArrayType columns — pure Catalyst expressions (zip_with /
 aggregate), no UDFs, so they run inside whole-stage codegen and never leave the
-JVM. Left-to-right IEEE summation keeps results bit-stable across engines."""
+JVM. Left-to-right IEEE summation keeps results bit-stable across engines.
+
+Beyond-reference extension (SURVEY.md §7 step 5): the reference declares LIST
+columns but cannot materialize them (translation_utils.cpp:36-37); these
+helpers are the embedding-column algebra the 100 TB pipeline needs."""
 
 from __future__ import annotations
 

@@ -1,5 +1,10 @@
 """Similarity search over the ``embeddings`` table (array<float> column).
 
+Beyond-reference extension (SURVEY.md §7 build plan step 5; BASELINE.json
+north star): the reference has no vector operators — its dormant JPEG column
+type (row_group_statistics.cpp:116) is the only hint of non-relational data.
+
+
 Two paths, per the build plan:
 - brute-force cosine top-k: the correctness baseline — one scan, JVM-side
   zip_with/aggregate dot product, TakeOrdered top-k. At scale this is the

@@ -147,3 +147,54 @@ def test_frame_sample_expands_rows(spark):
     # frame hashes differ across frame indexes of the same doc
     h = {(r.doc_id, r.frame_idx): r.frame_hash for r in frames}
     assert h[(0, 0)] != h[(0, 4)]
+
+
+def test_minhash_finds_planted_near_duplicates(spark):
+    """Recall check beyond the oracle: a document with one word changed must
+    surface as an LSH candidate pair with high Jaccard; unrelated docs must
+    not pair with it."""
+    from duckdb_fastlanes_spark.pipeline.dedup import (
+        JACCARD_THRESHOLD,
+        _shingle_rows,
+    )
+
+    base = table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 20)
+    # plant: copy doc 0-4 with ONE word swapped (first word -> 'zzz')
+    mutated = (
+        base.filter(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.regexp_replace("text", r"^\S+", "zzz"))
+    )
+    planted = base.unionByName(mutated)
+
+    # run the same pipeline inline over the planted frame
+    import duckdb_fastlanes_spark.pipeline.dedup as dd
+
+    rows = _shingle_rows(planted, distinct=False)
+    per_doc = (
+        rows.withColumn("h", F.md5("shingle"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shingles"), *dd._minhash_aggs())
+    )
+    n_bands = dd.N_MINHASH // dd.BAND_WIDTH
+    banded = per_doc.select(
+        "doc_id",
+        F.posexplode(F.array(*[dd._band_expr(b) for b in range(n_bands)])).alias(
+            "band_id", "band_key"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    # every planted near-dup must be a candidate of its original
+    for i in range(5):
+        assert (i, i + 2_000_000) in pairs, f"doc {i} near-dup not recalled"
