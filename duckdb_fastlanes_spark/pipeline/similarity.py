@@ -135,3 +135,36 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", F.round("_cos", 4).alias("cosine"))
     )
+
+
+@register("sim_ivf_kmeans_topk")  # no oracle: learned centroids aren't SQL-expressible
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with *learned* coarse centroids (seeded distributed k-means via
+    pyspark.ml) — the production ANN path; sim_ivf_topk's fixed-centroid
+    variant is the oracle-checkable twin. Scale shape: training samples the
+    corpus (k-means on a fraction is standard IVF practice), assignment is a
+    model-broadcast projection, search touches one cell. Rows-only check;
+    the pytest suite pins recall against brute force."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    v = _doubled(table(spark, sf_dir, "embeddings")).withColumn(
+        "fv", array_to_vector(F.col("e"))
+    )
+    model = KMeans(k=NLIST, seed=42, featuresCol="fv", predictionCol="cell").fit(v)
+    assigned = model.transform(v).select("vec_id", "e", "cell")
+
+    q = F.broadcast(
+        assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("e").alias("qe"), F.col("cell").alias("qcell")
+        )
+    )
+    cos = _cosine(F.col("e"), F.col("qe"))
+    return (
+        assigned.crossJoin(q)
+        .filter((F.col("cell") == F.col("qcell")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("_cos", 4).alias("cosine"))
+    )

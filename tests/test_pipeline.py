@@ -198,3 +198,18 @@ def test_minhash_finds_planted_near_duplicates(spark):
     # every planted near-dup must be a candidate of its original
     for i in range(5):
         assert (i, i + 2_000_000) in pairs, f"doc {i} near-dup not recalled"
+
+
+def test_kmeans_ivf_recall(spark):
+    """Learned-centroid IVF must return 10 results with decent overlap vs
+    brute force (random corpus: cells are balanced, recall is imperfect by
+    design — the top-1 neighbor should usually share the query's cell)."""
+    from duckdb_fastlanes_spark.pipeline.similarity import (
+        sim_bruteforce_topk,
+        sim_ivf_kmeans_topk,
+    )
+
+    bf = [r.vec_id for r in sim_bruteforce_topk(spark, SF_DIR).collect()]
+    km = {r.vec_id for r in sim_ivf_kmeans_topk(spark, SF_DIR).collect()}
+    assert len(km) == 10
+    assert len(set(bf) & km) >= 2
