@@ -1,0 +1,107 @@
+"""Event-analytics shapes over the ``events`` stream table: funnel and
+retention cohorts — the batch workloads an events pipeline runs next to the
+streaming operators (SURVEY.md §7 step 5; the reference has no event surface,
+§2.C Streaming row).
+
+Scale notes: both queries aggregate per-user first (shuffle on user_id — the
+same partitioning the sessionization operators use, so a shared
+repartition/bucket layout serves all of them), then reduce tiny per-user rows;
+nothing pairwise, nothing collected."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.registry import register
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END)     AS first_view,
+               min(CASE WHEN event_type = 'click' THEN ts END)    AS first_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT
+        count(*) FILTER (WHERE first_view IS NOT NULL) AS n_viewed,
+        count(*) FILTER (WHERE first_view IS NOT NULL
+                           AND first_click > first_view) AS n_clicked_after_view,
+        count(*) FILTER (WHERE first_view IS NOT NULL
+                           AND first_click > first_view
+                           AND first_purchase > first_click) AS n_purchased_after_click
+    FROM per_user
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: per-user first-touch times via
+    conditional min (one shuffle), then counting users whose stages happened
+    in order. FILTER(WHERE) is the §2.C filtered-aggregate surface."""
+    ev = table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        first("view").alias("first_view"),
+        first("click").alias("first_click"),
+        first("purchase").alias("first_purchase"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    count_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return per_user.agg(
+        count_if(viewed).alias("n_viewed"),
+        count_if(clicked).alias("n_clicked_after_view"),
+        count_if(purchased).alias("n_purchased_after_click"),
+    )
+
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS active_week
+        FROM events e
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('week', f.cohort_week, a.active_week) AS BIGINT) AS week_n,
+           count(*) AS n_active
+    FROM firsts f
+    JOIN activity a ON a.user_id = f.user_id
+    WHERE datediff('week', f.cohort_week, a.active_week) BETWEEN 0 AND 4
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-activity week, counted
+    per subsequent active week (0..4). Two narrow per-user aggregates joined
+    on user_id — the cohort matrix is |cohorts| × 5 rows regardless of input
+    size."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    # calendar-week difference, matching DuckDB's datediff('week', a, b) which
+    # counts week-boundary crossings: both operands are already week-truncated,
+    # so floor(days/7) over the truncated difference is exact
+    week_n = (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7).cast("bigint")
+    return (
+        firsts.join(activity, "user_id")
+        .select("cohort_week", week_n.alias("week_n"))
+        .filter(F.col("week_n").between(0, 4))
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_n")
+    )
