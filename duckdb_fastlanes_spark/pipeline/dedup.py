@@ -392,3 +392,97 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE shingled AS (
+        SELECT doc_id, {_ORACLE_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_ORACLE_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    sigs AS (
+        SELECT doc_id, shingles,
+               {", ".join(f"{_oracle_minhash(i)} AS mh{i}" for i in range(N_MINHASH))}
+        FROM shingled
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, shingles, {b} AS band_id, {_oracle_band(b)} AS band_key FROM sigs" for b in range(N_MINHASH // BAND_WIDTH))}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.shingles AS sh_a, b.shingles AS sh_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM candidates
+        WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+              / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    nodes(id) AS (
+        SELECT doc_a FROM pairs UNION SELECT doc_b FROM pairs
+    ),
+    edges(a, b) AS (
+        SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the verified LSH pair
+    graph via iterative min-label propagation (the GraphX/GraphFrames CC
+    algorithm on plain DataFrames). Each iteration is one join + one
+    aggregate, O(component diameter) iterations — near-dup components are
+    shallow in practice, so this converges in a handful of passes at any
+    scale. localCheckpoint truncates lineage per iteration (an iterative plan
+    would otherwise grow exponentially); convergence is a driver-side count
+    of changed labels, the only scalar that leaves the cluster. The DuckDB
+    oracle computes the same components with a recursive-CTE transitive
+    closure — tractable at oracle scale, n² at ours, which is exactly why the
+    Spark side iterates instead."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = (
+        pairs.select(F.col("doc_a").alias("id"))
+        .union(pairs.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .localCheckpoint()
+    )
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == F.col("a"), "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
+        labels = new_labels.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
