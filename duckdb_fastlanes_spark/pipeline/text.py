@@ -207,3 +207,64 @@ def text_token_count_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_tokens("text").alias("n_tokens"),
         count_chars("text").alias("n_chars"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents WHERE doc_id < 100
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln((SELECT n_docs FROM n) / df.df), 4) AS tfidf
+        FROM tf JOIN df USING (term)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: token explode → TF per (doc, term) →
+    DF per term (broadcast back — the term dictionary is tiny relative to the
+    corpus) → score → per-doc ranking window. The canonical keyword-extraction
+    shape for a training-data pipeline; every step is a partial-aggregated
+    shuffle on (doc, term) or term."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), F.lit(0))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )
