@@ -189,9 +189,15 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(120)
-    return (
+    out = (
         spark.table(name)
         .groupBy("content_fp")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("content_fp")
     )
+    # force the aggregation off the memory sink, then drop staged files
+    out = spark.createDataFrame(out.collect(), out.schema)
+    import shutil
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out

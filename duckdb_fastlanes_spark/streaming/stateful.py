@@ -182,7 +182,13 @@ def _register_query() -> None:
             .start()
         )
         q.awaitTermination(180)
-        return spark.table(name).orderBy("user_id", "session_seq")
+        out = spark.table(name).orderBy("user_id", "session_seq")
+        # memory-sink rows live in the session, not in workdir — safe to drop
+        # the staged input + checkpoint now instead of littering /tmp
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
+        return out
 
 
 _register_query()
