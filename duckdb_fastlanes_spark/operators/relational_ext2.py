@@ -1,0 +1,134 @@
+"""Inventory-completing micro-queries: right outer join, distribution window
+functions, explicit NULL ordering, boolean aggregates, bitwise scalars
+(SURVEY.md §2.C joins/windows/sort/aggregation/scalar rows — embedded DuckDB
+v1.3.2 surface, public knowledge)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.registry import register
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, l.l_orderkey, l.l_linenumber
+    FROM (SELECT * FROM lineitem WHERE l_orderkey < 500) l
+    RIGHT OUTER JOIN (SELECT * FROM part WHERE p_partkey < 200) p
+      ON l.l_partkey = p.p_partkey
+    ORDER BY p.p_partkey, l.l_orderkey, l.l_linenumber
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER JOIN — preserved side is the build side; Spark plans it as
+    a mirrored left-outer, same shuffle profile."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "right_outer")
+        .select("p_partkey", "p_brand", "l_orderkey", "l_linenumber")
+        .orderBy("p_partkey", "l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT s_suppkey,
+           round(percent_rank() OVER (ORDER BY s_acctbal, s_suppkey), 4) AS pr,
+           round(cume_dist()    OVER (ORDER BY s_acctbal, s_suppkey), 4) AS cd
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — distribution window functions. A global
+    ORDER BY window is a single-partition sort; at scale these run inside a
+    partitionBy (per-group distributions) — global form kept for the oracle."""
+    from pyspark.sql.window import Window
+
+    s = table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    ).orderBy("s_suppkey")
+
+
+@register(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+    FROM customer
+    WHERE c_custkey < 100
+    ORDER BY seg ASC NULLS FIRST, c_custkey DESC
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST multi-key sort — always spell the null position:
+    DuckDB defaults NULLS LAST on ASC, Spark NULLS FIRST (SURVEY §7 risk
+    register), so implicit defaults silently diverge."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select("c_custkey", seg.alias("seg")).orderBy(
+        F.col("seg").asc_nulls_first(), F.col("c_custkey").desc()
+    )
+
+
+@register(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000)  AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and/bool_or (= every/any) aggregates."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_linenumber & 3                 AS b_and,
+           l_linenumber | 8                 AS b_or,
+           xor(l_linenumber, 5)             AS b_xor,
+           l_linenumber << 2                AS b_shl,
+           l_linenumber >> 1                AS b_shr
+    FROM lineitem
+    WHERE l_orderkey < 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface (&, |, xor, shifts)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    ln = F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ln.bitwiseAND(F.lit(3)).alias("b_and"),
+        ln.bitwiseOR(F.lit(8)).alias("b_or"),
+        ln.bitwiseXOR(F.lit(5)).alias("b_xor"),
+        F.shiftleft(ln, 2).alias("b_shl"),
+        F.shiftright(ln, 1).alias("b_shr"),
+    ).orderBy("l_orderkey", "l_linenumber")
