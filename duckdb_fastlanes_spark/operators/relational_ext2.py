@@ -132,3 +132,103 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(ln, 2).alias("b_shl"),
         F.shiftright(ln, 1).alias("b_shr"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "dedup_fuzzy_names",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE a.c_custkey < 300 AND b.c_custkey < 300
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    ORDER BY key_a, key_b
+    """,
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching for short strings (entity resolution on
+    names), blocked by nation so the pairwise Levenshtein runs inside buckets
+    — the same blocked-join discipline as the embedding near-dup, since edit
+    distance has no cheap LSH."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(dist <= 2)
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            dist.alias("dist"),
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
+@register(
+    "scalar_date_arith2",
+    oracle="""
+    SELECT o_orderkey,
+           last_day(CAST(o_orderdate AS DATE))                       AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           CAST(datediff('month', TIMESTAMP '1995-01-01 00:00:00',
+                         o_orderdate) AS BIGINT)                     AS months_since_95,
+           dayofweek(o_orderdate) + 1                                AS dow,
+           weekofyear(o_orderdate)                                   AS woy
+    FROM orders
+    WHERE o_orderkey < 300
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_date_arith2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic: last_day, month addition, month-boundary diffs,
+    day-of-week, ISO week. Dialect traps pinned here: DuckDB datediff('month')
+    counts month-boundary crossings (Spark months_between is fractional — the
+    boundary count is computed from year/month parts instead); DuckDB
+    DATE + INTERVAL yields TIMESTAMP (cast back); DuckDB dayofweek is 0-based
+    Sunday, Spark's is 1-based."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    d = F.col("o_orderdate").cast("date")
+    months_since = (F.year(d) - 1995) * 12 + (F.month(d) - 1)
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).alias("plus_3m"),
+        months_since.cast("bigint").alias("months_since_95"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("woy"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "scalar_try_cast",
+    oracle="""
+    SELECT
+        count(*)                                            AS n_rows,
+        count(try_cast(lang AS INT))                        AS n_numeric_lang,
+        count(try_cast(substr(props, 8, 2) AS INT))         AS n_k_prefix,
+        sum(coalesce(try_cast(substr(props, 8, 2) AS INT), 0)) AS sum_k_prefix
+    FROM documents d, events e
+    WHERE d.doc_id = e.event_id
+    """,
+)
+def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST error-safe casting: malformed strings become NULL instead of
+    failing the job — at 100 TB a single bad row must never kill the query.
+    (lang is never numeric → count 0; the props slice is digits for 2-digit
+    k values only.)"""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "events")
+    j = d.join(e, d.doc_id == e.event_id)
+    k_prefix = F.try_to_number(F.substring("props", 8, 2), F.lit("99"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col("lang").try_cast("int")).alias("n_numeric_lang"),
+        F.count(k_prefix).alias("n_k_prefix"),
+        F.sum(F.coalesce(k_prefix, F.lit(0))).cast("bigint").alias("sum_k_prefix"),
+    )
