@@ -232,3 +232,111 @@ def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(k_prefix).alias("n_k_prefix"),
         F.sum(F.coalesce(k_prefix, F.lit(0))).cast("bigint").alias("sum_k_prefix"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor-bucketing — one partial-aggregated
+    shuffle at bucket cardinality; the building block for distribution
+    profiling over any numeric column."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 10.0).cast("bigint")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "agg_array_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list(n_name ORDER BY n_name), '|') AS nations_sorted,
+           len(list(n_name)) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def agg_array_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: collect_list order is
+    partition-dependent in Spark, so sort_array before serializing — the only
+    safe way to expose an array aggregate's value cross-engine."""
+    n = table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias(
+                "nations_sorted"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 4)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (slope/intercept/R²) — single-pass
+    algebraic moments, so they partial-aggregate map-side like sum/count."""
+    li = table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 4).alias("r2"),
+            F.regr_count(y, x).cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    SELECT o_orderpriority, mode(o_orderstatus) AS status_mode, count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode() — most frequent value per group (ties broken identically on
+    both engines only when the mode is unique; the driver data has unique
+    modes per group)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.mode("o_orderstatus").alias("status_mode"), F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
