@@ -1,7 +1,9 @@
-"""Inventory-completing micro-queries: right outer join, distribution window
-functions, explicit NULL ordering, boolean aggregates, bitwise scalars
-(SURVEY.md §2.C joins/windows/sort/aggregation/scalar rows — embedded DuckDB
-v1.3.2 surface, public knowledge)."""
+"""Inventory-completing micro-queries (SURVEY.md §2.C joins/windows/sort/
+aggregation/scalar rows — embedded DuckDB v1.3.2 surface, public knowledge):
+right outer join, distribution window functions, explicit NULL ordering,
+boolean aggregates, bitwise scalars, Levenshtein fuzzy matching, calendar
+arithmetic, try_cast, fixed-width histogram, deterministic array_agg,
+regression aggregates, and tie-safe mode."""
 
 from __future__ import annotations
 
@@ -9,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_fastlanes_spark.catalog import table
-from duckdb_fastlanes_spark.registry import register
+from duckdb_fastlanes_spark.registry import ROUND_SCALE, register
 
 
 @register(
@@ -295,9 +297,9 @@ def agg_array_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_regression",
     oracle="""
     SELECT l_returnflag,
-           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
-           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-           round(regr_r2(l_extendedprice, l_quantity), 4)        AS r2,
+           round(regr_slope(l_extendedprice, l_quantity), 2)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 2)        AS r2,
            CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -312,9 +314,9 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.regr_slope(y, x), 4).alias("slope"),
-            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
-            F.round(F.regr_r2(y, x), 4).alias("r2"),
+            F.round(F.regr_slope(y, x), ROUND_SCALE).alias("slope"),
+            F.round(F.regr_intercept(y, x), ROUND_SCALE).alias("intercept"),
+            F.round(F.regr_r2(y, x), ROUND_SCALE).alias("r2"),
             F.regr_count(y, x).cast("bigint").alias("n"),
         )
         .orderBy("l_returnflag")
@@ -324,19 +326,38 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_mode",
     oracle="""
-    SELECT o_orderpriority, mode(o_orderstatus) AS status_mode, count(*) AS n
-    FROM orders
-    GROUP BY o_orderpriority
+    WITH counted AS (
+        SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT o_orderpriority, o_orderstatus, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY cnt DESC, o_orderstatus DESC) AS rk
+        FROM counted
+    )
+    SELECT o_orderpriority, o_orderstatus AS status_mode, n
+    FROM ranked WHERE rk = 1
     ORDER BY o_orderpriority
     """,
 )
 def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mode() — most frequent value per group (ties broken identically on
-    both engines only when the mode is unique; the driver data has unique
-    modes per group)."""
+    """Tie-safe mode: native mode() tie-breaks engine-specifically (Spark
+    nondeterministic, DuckDB first-encountered), so the mode is computed from
+    explicit counts with max_by on (count, value) — ties resolve to the
+    lexicographically largest value on both engines, deterministically."""
     o = table(spark, sf_dir, "orders")
+    counted = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     return (
-        o.groupBy("o_orderpriority")
-        .agg(F.mode("o_orderstatus").alias("status_mode"), F.count(F.lit(1)).alias("n"))
+        counted.groupBy("o_orderpriority")
+        .agg(
+            F.max_by(
+                "o_orderstatus", F.struct(F.col("cnt"), F.col("o_orderstatus"))
+            ).alias("status_mode"),
+            F.sum("cnt").cast("bigint").alias("n"),
+        )
         .orderBy("o_orderpriority")
     )
