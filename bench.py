@@ -39,7 +39,7 @@ HEADLINE = [
 N_TIMED = 3
 
 
-def bench_query(fn, spark, sf_dir: str) -> float:
+def bench_query(fn, spark, sf_dir: str, n_timed: int = N_TIMED) -> float:
     """End-to-end warm wall time, min of N_TIMED runs. Each timed run builds
     the DataFrame fresh (plan construction + Catalyst analysis/optimization/
     physical planning + codegen-cache lookup) and collect()s the result — the
@@ -61,10 +61,11 @@ def bench_query(fn, spark, sf_dir: str) -> float:
         materialize(fn(spark, sf_dir))
         return time.perf_counter() - t0
 
-    return min(once() for _ in range(N_TIMED))
+    return min(once() for _ in range(n_timed))
 
 
 def main() -> None:
+    all_mode = "--all" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
@@ -77,14 +78,19 @@ def main() -> None:
 
     qs = registry.queries()
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        times[name] = round(bench_query(qs[name], spark, sf_dir), 3)
+    # --all: one timed run of every registered query (coverage-wide timing
+    # sweep for regression tracking); default: min-of-3 on the headline set
+    names = sorted(qs) if all_mode else HEADLINE
+    for name in names:
+        times[name] = round(
+            bench_query(qs[name], spark, sf_dir, n_timed=1 if all_mode else N_TIMED), 3
+        )
 
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "all_queries_total_wall" if all_mode else "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
                 "queries": times,
