@@ -361,3 +361,73 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "join_lateral",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+    WHERE c.c_custkey < 100
+    ORDER BY c.c_custkey, price DESC, t.o_orderkey
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (top-2 orders per customer) — Spark 4 parses
+    the same ANSI LATERAL DuckDB does; Catalyst decorrelates it to a ranked
+    window join, so there is no per-row re-execution at scale. Expressed as
+    SQL text over inline parquet refs (the §3.3 SQL-string path)."""
+    return spark.sql(f"""
+    SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+    FROM parquet.`{sf_dir}/customer.parquet` c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice FROM parquet.`{sf_dir}/orders.parquet` o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+    WHERE c.c_custkey < 100
+    ORDER BY c.c_custkey, price DESC, t.o_orderkey
+    """)
+
+
+@register(
+    "recursive_cte_months",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT CAST('1996-01-01' AS DATE)
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < CAST('1996-12-01' AS DATE)
+    )
+    SELECT m AS month_start, count(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders
+      ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
+    GROUP BY m
+    ORDER BY m
+    """,
+)
+def recursive_cte_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 feature parity with DuckDB): generate a month
+    spine by recursion, left-join per-month order counts — the calendar-spine
+    pattern that guarantees zero-count months appear. The recursion itself is
+    12 rows of driver-side work; the join is the only distributed step."""
+    return spark.sql(f"""
+    WITH RECURSIVE months(m) AS (
+        SELECT CAST('1996-01-01' AS DATE)
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < CAST('1996-12-01' AS DATE)
+    )
+    SELECT m AS month_start, count(o_orderkey) AS n_orders
+    FROM months LEFT JOIN parquet.`{sf_dir}/orders.parquet`
+      ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
+    GROUP BY m
+    ORDER BY m
+    """)
