@@ -48,6 +48,7 @@ _MODULES = (
     "duckdb_fastlanes_spark.streaming.events",
     "duckdb_fastlanes_spark.streaming.stateful",
     "duckdb_fastlanes_spark.functions.skew",
+    "duckdb_fastlanes_spark.io.cow_table",
 )
 
 _loaded = False
