@@ -431,3 +431,58 @@ def recursive_cte_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY m
     ORDER BY m
     """)
+
+
+@register(
+    "dq_integrity_checks",
+    oracle="""
+    SELECT
+        (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)      AS null_orderkeys,
+        (SELECT count(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+                               GROUP BY 1, 2 HAVING count(*) > 1))    AS dup_line_ids,
+        (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+           ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS orphan_lines,
+        (SELECT count(*) FROM orders o LEFT JOIN customer c
+           ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)    AS orphan_orders,
+        (SELECT count(*) FROM customer c LEFT JOIN nation n
+           ON c.c_nationkey = n.n_nationkey
+           WHERE n.n_nationkey IS NULL)                               AS orphan_customers
+    """,
+)
+def dq_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: NULL-key, duplicate-key, and referential-integrity
+    violation counts across the star schema — the checks a pipeline runs
+    before publishing a snapshot. Each probe is an independent aggregate;
+    the FK checks are anti-join counts (broadcast when the parent side is a
+    dimension). All-zero on the driver data; non-zero values localize the
+    broken edge."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+
+    null_orderkeys = li.filter(F.col("l_orderkey").isNull()).count()
+    dup_line_ids = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    orphan_lines = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").count()
+    orphan_orders = o.join(c, o.o_custkey == c.c_custkey, "left_anti").count()
+    orphan_customers = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_anti"
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                null_orderkeys,
+                dup_line_ids,
+                orphan_lines,
+                orphan_orders,
+                orphan_customers,
+            )
+        ],
+        "null_orderkeys long, dup_line_ids long, orphan_lines long, "
+        "orphan_orders long, orphan_customers long",
+    )
