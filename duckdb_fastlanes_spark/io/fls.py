@@ -193,3 +193,49 @@ def write_fls_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table_name)
+
+
+def zorder_by(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_partitions: int = 8,
+    bits: int = 16,
+) -> DataFrame:
+    """Multi-dimensional clustering: interleave the bits of each column's
+    normalized rank into a Z-value and range-partition + sort on it, so every
+    output file holds a compact *hyper-rectangle* of the key space — range
+    filters on ANY clustered column prune files, where 1-D ``cluster_by``
+    only helps its leading column. The normalization (min/max scaling to
+    ``bits`` bits) reads two scalars per column from a stats pass — the only
+    driver-side data.
+
+    All bit math is Catalyst expressions (shift/or/and), JVM-side; Z-values
+    are not stored, only used for the shuffle+sort."""
+    from functools import reduce
+
+    stats = df.agg(
+        *[F.min(c).alias(f"{c}_min") for c in cols],
+        *[F.max(c).alias(f"{c}_max") for c in cols],
+    ).collect()[0]
+
+    scaled = []
+    for c in cols:
+        lo, hi = float(stats[f"{c}_min"]), float(stats[f"{c}_max"])
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.lit((1 << bits) - 1),
+                ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * ((1 << bits) - 1)).cast("long"),
+            )
+        )
+
+    def interleave() -> F.Column:
+        parts = []
+        for bit in range(bits):
+            for i, s in enumerate(scaled):
+                out_pos = bit * len(scaled) + i
+                parts.append(F.shiftleft(F.shiftright(s, bit).bitwiseAND(F.lit(1)), out_pos))
+        return reduce(lambda a, b: a.bitwiseOR(b), parts)
+
+    z = df.withColumn("_z", interleave())
+    return z.repartitionByRange(n_partitions, "_z").sortWithinPartitions("_z").drop("_z")

@@ -94,3 +94,50 @@ def scan_row_range_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     return ev.filter(F.col("file_row_number").between(200, 299))
+
+
+@register(
+    "stats_catalog",
+    oracle="""
+    SELECT 'l_quantity' AS col, round(min(l_quantity), 2) AS min_v,
+           round(max(l_quantity), 2) AS max_v, count(*) AS n,
+           count(DISTINCT l_quantity) AS n_distinct
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', round(min(l_extendedprice), 2),
+           round(max(l_extendedprice), 2), count(*),
+           count(DISTINCT l_extendedprice)
+    FROM lineitem
+    UNION ALL
+    SELECT 'o_totalprice', round(min(o_totalprice), 2),
+           round(max(o_totalprice), 2), count(*),
+           count(DISTINCT o_totalprice)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def stats_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column statistics surface (reference A10, fls_reader.cpp:244-292 —
+    per-column min/max merged across row groups feeding the optimizer).
+    There it is planner-internal; here the same statistics are an observable
+    query — the ANALYZE-style profile a catalog records for CBO. One scan per
+    table computes all of its columns' stats (the UNION ALL collapses into
+    shared scans via exchange reuse)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+
+    def col_stats(df: DataFrame, colname: str) -> DataFrame:
+        return df.agg(
+            F.lit(colname).alias("col"),
+            F.round(F.min(colname), 2).alias("min_v"),
+            F.round(F.max(colname), 2).alias("max_v"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(colname).alias("n_distinct"),
+        )
+
+    return (
+        col_stats(li, "l_quantity")
+        .unionByName(col_stats(li, "l_extendedprice"))
+        .unionByName(col_stats(o, "o_totalprice"))
+        .orderBy("col")
+    )

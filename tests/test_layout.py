@@ -115,3 +115,44 @@ def test_compact_reduces_file_count(spark, tmp_path):
     files = glob.glob(f"{out}/*.parquet")
     assert len(files) == n == 1  # ~3 MB of data → one 512 MB-target file
     assert spark.read.parquet(out).count() == table(spark, SF_DIR, "orders").count()
+
+
+def test_zorder_tightens_both_dimensions(spark, tmp_path):
+    """Z-ordering on (l_orderkey, l_partkey) must give every file a compact
+    range on BOTH columns — the multi-dim locality 1-D clustering can't:
+    range-clustering by orderkey alone leaves each file spanning the full
+    partkey domain."""
+    import pyarrow.parquet as pq
+
+    from duckdb_fastlanes_spark.io.fls import cluster_by, zorder_by
+
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+
+    zout = str(tmp_path / "zordered")
+    zorder_by(li, ["l_orderkey", "l_partkey"], n_partitions=16).write.parquet(zout)
+    cout = str(tmp_path / "clustered1d")
+    cluster_by(li, ["l_orderkey"], n_partitions=16).write.parquet(cout)
+
+    def avg_fraction(path, col_idx, global_span):
+        fracs = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            fracs.append((max(maxs) - min(mins)) / global_span)
+        return sum(fracs) / len(fracs)
+
+    row = li.agg(
+        F.max("l_orderkey"), F.min("l_orderkey"), F.max("l_partkey"), F.min("l_partkey")
+    ).collect()[0]
+    ok_span = row[0] - row[1]
+    pk_span = row[2] - row[3]
+
+    # z-order: BOTH dims compact (files cover well under half the domain);
+    # 1-D clustering: partkey spans ~the whole domain in every file
+    assert avg_fraction(zout, 0, ok_span) < 0.5
+    assert avg_fraction(zout, 1, pk_span) < 0.5
+    assert avg_fraction(cout, 1, pk_span) > 0.9
