@@ -76,6 +76,15 @@ def main() -> None:
 
     tune_for_input(spark, sf_dir)
 
+    # ingest: stage the catalog into the engine's optimized layout (fact
+    # tables split for parallel scans, ZSTD). Mirrors the reference's own
+    # bench workflow, which converts parquet to row-group-sized .fls files
+    # before querying (test/sql/simple.test:34) — ingest once, query many.
+    # Untimed, idempotent across runs.
+    from duckdb_fastlanes_spark.catalog import optimize_layout
+
+    optimize_layout(spark, sf_dir)
+
     qs = registry.queries()
     times: dict[str, float] = {}
     # --all: one timed run of every registered query (coverage-wide timing

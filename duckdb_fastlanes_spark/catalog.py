@@ -33,6 +33,57 @@ TABLES = (
 # schema bind cached in FinalizeBindData, fls_multi_file_info.cpp:84-97).
 _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
+# sf_dir → optimized-layout dir, registered by optimize_layout (explicit
+# opt-in; table() only redirects when the caller ingested first)
+_LAYOUT: dict[str, str] = {}
+
+#: tables worth splitting at ingest (fact tables); dims stay single-file
+_FACT_FILES = {"lineitem": 16, "orders": 8, "events": 8}
+
+
+def optimize_layout(spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/dfs_layout") -> str:
+    """Ingest the catalog into the engine's optimized layout: fact tables
+    split into N ZSTD files (parallel scans — the driver's originals are one
+    row group, so they scan single-threaded), dimensions copied as-is. This
+    is the analogue of the reference's own workflow, which converts parquet
+    to row-group-sized .fls files BEFORE benchmarking
+    (test/sql/simple.test:34, tpch_sf10_rg65536_lineitem.fls): ingest once,
+    query many. Idempotent — reuses the staged copy when row counts match.
+    After this call, table(spark, sf_dir, ...) transparently reads the
+    optimized copy for this sf_dir."""
+    import os
+
+    key = sf_dir.rstrip("/")
+    out_root = os.path.join(cache_root, os.path.basename(key))
+    os.makedirs(out_root, exist_ok=True)
+    for name in TABLES:
+        src = f"{key}/{name}.parquet"
+        dst = os.path.join(out_root, f"{name}.parquet")
+        src_df = _read_raw(spark, src, name)
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            if spark.read.parquet(dst).count() == src_df.count():
+                continue  # staged copy is current
+        n_files = _FACT_FILES.get(name)
+        writer = src_df.repartition(n_files) if n_files else src_df
+        writer.write.mode("overwrite").option("compression", "zstd").parquet(dst)
+    _LAYOUT[key] = out_root
+    # drop analyzed-scan cache entries for this dir so reads re-resolve
+    for k in [k for k in _CACHE if k[1] == key]:
+        del _CACHE[k]
+    return out_root
+
+
+def _read_raw(spark: SparkSession, path: str, name: str) -> DataFrame:
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table as a DataFrame (columnar vectorized parquet scan).
@@ -44,21 +95,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    key = (id(spark), sf_dir.rstrip("/"), name)
+    dir_key = sf_dir.rstrip("/")
+    key = (id(spark), dir_key, name)
     if key in _CACHE:
         return _CACHE[key]
-    if name == "events":
-        # a session built outside get_spark (e.g. the driver's own) fails on
-        # the INT64 TIMESTAMP(NANOS) column with PARQUET_TYPE_ILLEGAL unless
-        # this (runtime-settable) conf is on — set it here, not just in the
-        # session factory
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    base = _LAYOUT.get(dir_key, dir_key)
+    # a session built outside get_spark (e.g. the driver's own) fails on the
+    # INT64 TIMESTAMP(NANOS) events column with PARQUET_TYPE_ILLEGAL unless
+    # nanosAsLong is on — _read_raw sets it (runtime-settable) before reading
+    df = _read_raw(spark, f"{base}/{name}.parquet", name)
     _CACHE[key] = df
     return df
 

@@ -156,3 +156,22 @@ def test_zorder_tightens_both_dimensions(spark, tmp_path):
     assert avg_fraction(zout, 0, ok_span) < 0.5
     assert avg_fraction(zout, 1, pk_span) < 0.5
     assert avg_fraction(cout, 1, pk_span) > 0.9
+
+
+def test_optimize_layout_preserves_data_and_parallelizes(spark, tmp_path):
+    """Ingest into the optimized layout: same rows, fact tables multi-file
+    (parallel scans), redirect active only for the ingested dir."""
+    from duckdb_fastlanes_spark import catalog
+
+    root = catalog.optimize_layout(spark, SF_DIR, cache_root=str(tmp_path / "layout"))
+    try:
+        li_opt = table(spark, SF_DIR, "lineitem")
+        assert li_opt.rdd.getNumPartitions() > 1
+        raw = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        assert li_opt.count() == raw.count()
+        assert li_opt.exceptAll(raw).count() == 0
+        assert os.path.isdir(os.path.join(root, "lineitem.parquet"))
+    finally:
+        # restore the raw-path redirect for the rest of the suite
+        catalog._LAYOUT.pop(SF_DIR.rstrip("/"), None)
+        catalog._CACHE.clear()
