@@ -37,8 +37,10 @@ _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 # opt-in; table() only redirects when the caller ingested first)
 _LAYOUT: dict[str, str] = {}
 
-#: tables worth splitting at ingest (fact tables); dims stay single-file
-_FACT_FILES = {"lineitem": 16, "orders": 8, "events": 8}
+#: tables worth splitting at ingest; dims stay single-file. documents and
+#: embeddings are small in rows but heavy per row (regex shingling, vector
+#: math) — splitting parallelizes that CPU, not the I/O
+_FACT_FILES = {"lineitem": 16, "orders": 8, "events": 8, "documents": 8, "embeddings": 4}
 
 
 def optimize_layout(spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/dfs_layout") -> str:
