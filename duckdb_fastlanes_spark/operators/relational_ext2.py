@@ -486,3 +486,43 @@ def dq_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "null_orderkeys long, dup_line_ids long, orphan_lines long, "
         "orphan_orders long, orphan_customers long",
     )
+
+
+@register(
+    "agg_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round((avg(l_quantity * l_quantity * l_quantity)
+                  - 3 * avg(l_quantity) * avg(l_quantity * l_quantity)
+                  + 2 * avg(l_quantity) * avg(l_quantity) * avg(l_quantity))
+                 / power(avg(l_quantity * l_quantity) - avg(l_quantity) * avg(l_quantity), 1.5),
+                 2) AS skew_g1,
+           round(avg(l_quantity * l_quantity) - avg(l_quantity) * avg(l_quantity), 2)
+               AS variance_pop
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape moments (population skewness g1, population
+    variance) computed from explicit power sums on BOTH engines: the native
+    skewness()/kurtosis() use different estimators per engine (sample G1 in
+    DuckDB, population g1 in Spark), so cross-engine parity needs the
+    formula spelled out. Power sums are single-pass algebraic — map-side
+    partial aggregation like any sum."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    m1, m2, m3 = F.avg(x), F.avg(x * x), F.avg(x * x * x)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                / F.pow(m2 - m1 * m1, F.lit(1.5)),
+                ROUND_SCALE,
+            ).alias("skew_g1"),
+            F.round(m2 - m1 * m1, ROUND_SCALE).alias("variance_pop"),
+        )
+        .orderBy("l_returnflag")
+    )
