@@ -526,3 +526,35 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0')        AS padded_key,
+           repeat('*', c_nationkey % 5)                    AS stars,
+           reverse(c_mktsegment)                           AS seg_rev,
+           translate(c_mktsegment, 'AEIOU', 'aeiou')       AS seg_lowvowel,
+           left(c_name, 8)                                 AS name_prefix,
+           right(c_name, 3)                                AS name_suffix,
+           CAST(instr(c_name, '0') AS BIGINT)              AS first_zero_pos
+    FROM customer
+    WHERE c_custkey < 200
+    ORDER BY c_custkey
+    """,
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function batch: pad/repeat/reverse/translate/left/right/
+    instr — same names and semantics on both engines."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.repeat(F.lit("*"), (F.col("c_nationkey") % 5)).alias("stars"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_lowvowel"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.substring("c_name", -3, 3).alias("name_suffix"),
+        F.instr("c_name", "0").cast("bigint").alias("first_zero_pos"),
+    ).orderBy("c_custkey")
