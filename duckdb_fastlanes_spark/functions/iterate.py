@@ -1,0 +1,78 @@
+"""Fixpoint iteration over DataFrames — the primitive under iterative
+algorithms (connected components, label/propagation, PageRank-style loops,
+transitive closure) that SQL engines express as recursive CTEs.
+
+A recursive CTE materializes the whole closure (n² for dense graphs); the
+Spark-native shape iterates a *bounded-size* state DataFrame instead
+(SURVEY.md §7 — beyond-reference; the embedded DuckDB has WITH RECURSIVE,
+public knowledge). Two things make the loop survive at scale:
+
+- ``localCheckpoint`` per iteration truncates lineage — without it the plan
+  nests one join deeper per iteration and analysis/codegen time grows
+  superlinearly until the driver stalls;
+- convergence is a single aggregated scalar per iteration (a count), the
+  only data that ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def iterate_until_fixpoint(
+    state: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    changed: Callable[[DataFrame, DataFrame], int],
+    max_iter: int = 50,
+) -> tuple[DataFrame, int]:
+    """Repeat ``state = step(state)`` until ``changed(old, new) == 0`` or
+    ``max_iter``. Returns (final state, iterations run). ``step`` must return
+    a DataFrame with the same semantics as its input; ``changed`` returns the
+    number of differing rows (0 = converged)."""
+    state = state.localCheckpoint()
+    for i in range(1, max_iter + 1):
+        new_state = step(state).localCheckpoint()
+        if changed(state, new_state) == 0:
+            return new_state, i
+        state = new_state
+    return state, max_iter
+
+
+def min_label_propagation(
+    edges: DataFrame, max_iter: int = 50
+) -> tuple[DataFrame, int]:
+    """Connected components by min-label propagation over an undirected edge
+    list (columns ``a``, ``b``): every node converges to the minimum node id
+    reachable from it. O(component diameter) iterations, each one join + one
+    aggregate. Returns ((id, label) DataFrame, iterations)."""
+    from pyspark.sql import functions as F
+
+    both = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    both = both.localCheckpoint()
+    nodes = both.select(F.col("a").alias("id")).distinct()
+    labels0 = nodes.select("id", F.col("id").alias("label"))
+
+    def step(labels: DataFrame) -> DataFrame:
+        neighbor_min = (
+            both.join(labels, both.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        return labels.join(neighbor_min, labels.id == F.col("a"), "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+
+    def changed(old: DataFrame, new: DataFrame) -> int:
+        return (
+            new.withColumnRenamed("label", "new_label")
+            .join(old, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+
+    return iterate_until_fixpoint(labels0, step, changed, max_iter)

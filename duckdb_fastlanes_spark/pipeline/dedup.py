@@ -443,46 +443,16 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm on plain DataFrames). Each iteration is one join + one
     aggregate, O(component diameter) iterations — near-dup components are
     shallow in practice, so this converges in a handful of passes at any
-    scale. localCheckpoint truncates lineage per iteration (an iterative plan
-    would otherwise grow exponentially); convergence is a driver-side count
-    of changed labels, the only scalar that leaves the cluster. The DuckDB
-    oracle computes the same components with a recursive-CTE transitive
-    closure — tractable at oracle scale, n² at ours, which is exactly why the
-    Spark side iterates instead."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    nodes = (
-        pairs.select(F.col("doc_a").alias("id"))
-        .union(pairs.select(F.col("doc_b").alias("id")))
-        .distinct()
-    )
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-        .localCheckpoint()
-    )
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    scale (functions/iterate.py has the generic loop and its lineage/
+    convergence rationale). The DuckDB oracle computes the same components
+    with a recursive-CTE transitive closure — tractable at oracle scale, n²
+    at ours, which is exactly why the Spark side iterates instead."""
+    from duckdb_fastlanes_spark.functions.iterate import min_label_propagation
 
-    for _ in range(20):
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.id)
-            .groupBy("a")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == F.col("a"), "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "new_label"
-                ),
-                "label",
-            )
-        ).localCheckpoint()
-        changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
-        labels = new_labels.select("id", F.col("new_label").alias("label"))
-        if changed == 0:
-            break
-
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    labels, _n_iter = min_label_propagation(pairs)
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")

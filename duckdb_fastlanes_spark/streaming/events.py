@@ -201,3 +201,47 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+    WITH slid AS (
+        SELECT event_type, value,
+               unnest(range(CAST(floor((epoch(ts) - 3600) / 1200) + 1 AS BIGINT),
+                            CAST(floor(epoch(ts) / 1200) + 1 AS BIGINT))) AS k
+        FROM events
+    )
+    SELECT CAST(to_timestamp(k * 1200) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM slid
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1-hour windows every 20 minutes): each
+    event lands in 3 overlapping windows. Spark's window(ts, width, slide)
+    expands events to their windows before the partial aggregate — the 3×
+    row blow-up is combined map-side, so the shuffle stays at (window, type)
+    cardinality. The oracle derives the same epoch-aligned window starts
+    arithmetically (unnest over the window-index range)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "20 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

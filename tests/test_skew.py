@@ -87,3 +87,17 @@ def test_top_key_frequencies_finds_hot_key(spark):
     hot = top_key_frequencies(_skewed(spark), ["k"], top_n=1).collect()[0]
     assert hot.k == 7
     assert hot.n == 18_000
+
+
+def test_min_label_propagation_components(spark):
+    """Known graph: {1,2,3} one component, {4,5} another, {6} isolated via
+    self-edge; labels converge to component minimums."""
+    from duckdb_fastlanes_spark.functions.iterate import min_label_propagation
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 5), (6, 6), (3, 7), (7, 8)], "a long, b long"
+    )
+    labels, n_iter = min_label_propagation(edges)
+    got = {r.id: r.label for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 8: 1, 4: 4, 5: 4, 6: 6}
+    assert 1 <= n_iter <= 10
