@@ -168,3 +168,56 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", F.round("_cos", 4).alias("cosine"))
     )
+
+
+#: batch search: all vectors with vec_id < N_QUERIES are query vectors
+N_QUERIES = 5
+
+
+@register(
+    "sim_batch_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, v.vec_id,
+               list_cosine_similarity(v.e, q.qe) AS cos
+        FROM v, q
+        WHERE v.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, vec_id, round(cos, 4) AS cosine
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, cosine DESC, vec_id
+    """,
+)
+def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch similarity search: top-{TOP_K} for {N_QUERIES} query vectors in
+    ONE pass — the serving shape (queries arrive in batches, never one scan
+    per query). The query set broadcasts against the corpus; per-query top-k
+    is a ranking window partitioned by query_id, so adding queries widens the
+    broadcast, not the number of scans."""
+    from pyspark.sql.window import Window
+
+    v = _doubled(table(spark, sf_dir, "embeddings"))
+    q = F.broadcast(
+        v.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        )
+    )
+    scored = (
+        v.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _cosine(F.col("e"), F.col("qe")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 4).alias("cosine"))
+        .orderBy("query_id", F.col("cosine").desc(), "vec_id")
+    )

@@ -60,3 +60,27 @@ def test_csv_promote_types_across_files(spark, tmp_path):
     df = promote_and_align(frames)
     assert df.schema["v"].dataType == T.DoubleType()
     assert df.count() == 6
+
+
+def test_jsonl_malformed_lines_are_quarantined(spark, tmp_path):
+    """PERMISSIVE parsing: malformed lines must neither kill the job nor
+    silently vanish — they land in _corrupt_record for quarantine (at 100 TB
+    one bad record must never fail a pipeline)."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"id": 1, "v": "ok"}\n{broken json\n{"id": 3, "v": "also ok"}\n')
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = read_jsonl(spark, str(p), schema=schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "{broken json" in bad.collect()[0]._corrupt_record
+    df.unpersist()
