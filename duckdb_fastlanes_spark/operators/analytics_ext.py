@@ -1,0 +1,137 @@
+"""Applied analytics shapes: anomaly detection, co-occurrence mining, and
+gaps-and-islands — the workloads an events/retail pipeline layers on the
+relational core (SURVEY.md §2.C surface composition; all public-knowledge
+SQL patterns re-expressed DataFrame-first)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.registry import register
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+           round((e.value - s.mu) / s.sigma, 2) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE (e.value - s.mu) / s.sigma > 3
+    ORDER BY e.event_id
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection: per-type mean/stddev (one aggregate, tiny
+    result, broadcast back) then a filter on the full stream — two passes,
+    no window sort. At 100 TB the stats side is per-partition-combinable
+    and the probe is a pure scan."""
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), ev.event_type == F.col("s_type"))
+        .filter(z > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 2).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "orders_market_basket",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same order with
+    support ≥ 3, top-50. The self-join on orderkey costs Σ basket_size² —
+    bounded because baskets are small (the blocked-pairwise discipline
+    again); the pair aggregate partial-combines map-side."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@register(
+    "window_gaps_islands",
+    oracle="""
+    WITH hours AS (
+        SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, h,
+               h - row_number() OVER (PARTITION BY user_id ORDER BY h) AS grp
+        FROM hours
+    )
+    SELECT user_id, min(h) AS island_start, max(h) AS island_end,
+           count(*) AS island_len
+    FROM numbered
+    GROUP BY user_id, grp
+    HAVING count(*) >= 3
+    ORDER BY user_id, island_start
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: runs of consecutive *active hours* per user via the
+    value-minus-row_number trick (consecutive values share the difference),
+    one aggregate per island, islands of 3+ hours kept. Single shuffle on
+    user_id; the distinct collapses to active-hour cardinality first."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    hours = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("h")
+    numbered = hours.select(
+        "user_id", "h", (F.col("h") - F.row_number().over(w)).alias("grp")
+    )
+    return (
+        numbered.groupBy("user_id", "grp")
+        .agg(
+            F.min("h").alias("island_start"),
+            F.max("h").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .filter(F.col("island_len") >= 3)
+        .select("user_id", "island_start", "island_end", "island_len")
+        .orderBy("user_id", "island_start")
+    )
