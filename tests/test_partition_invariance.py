@@ -1,0 +1,59 @@
+"""Partition invariance: representative queries must produce identical
+results on the optimize_layout multi-file catalog as on the raw single-file
+driver parquet — the A13/B17 parallelism matrix (threads=1 vs threads=2 in
+the reference, test/all_types_*.test:163) generalized to whole queries.
+Catches hidden order-dependence (unrounded double aggregates, collect_list
+without sort, nondeterministic tie-breaks) that single-partition runs mask."""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_fastlanes_spark import catalog, registry
+from tests.conftest import SF_DIR
+
+#: one query per family with meaningful shuffle/aggregate behavior
+REPRESENTATIVE = [
+    "tpch_q1",
+    "tpch_q5",
+    "tpch_q18",
+    "count_distinct",
+    "agg_rollup",
+    "agg_percentiles",
+    "window_row_number",
+    "window_moving_frame",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_tfidf_top_terms",
+    "events_funnel",
+    "agg_salted_twophase",
+]
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    """Collect results on the raw catalog, then re-collect on the multi-file
+    layout; yields both result dicts."""
+    raw: dict[str, list] = {}
+    qs = registry.queries()
+    for name in REPRESENTATIVE:
+        raw[name] = sorted(map(tuple, qs[name](spark, SF_DIR).collect()))
+
+    root = catalog.optimize_layout(
+        spark, SF_DIR, cache_root=str(tmp_path_factory.mktemp("layout"))
+    )
+    multi: dict[str, list] = {}
+    try:
+        for name in REPRESENTATIVE:
+            multi[name] = sorted(map(tuple, qs[name](spark, SF_DIR).collect()))
+    finally:
+        catalog._LAYOUT.pop(SF_DIR.rstrip("/"), None)
+        catalog._CACHE.clear()
+    assert root  # staged
+    return raw, multi
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_query_is_partition_invariant(layouts, name):
+    raw, multi = layouts
+    assert multi[name] == raw[name], f"{name} differs between layouts"
