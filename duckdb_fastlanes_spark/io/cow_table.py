@@ -165,3 +165,84 @@ def _register_query() -> None:
 
 
 _register_query()
+
+
+# ---------------------------------------------------------------------------
+# Partitioned COW: rewrite cost ∝ touched partitions, not table size
+# ---------------------------------------------------------------------------
+
+_META = "_PARTITION_BY"
+
+
+def create_table_partitioned(df: DataFrame, root: str, partition_by: str) -> None:
+    """Create a hive-partitioned COW table (single partition column). DML on
+    a partition-column predicate rewrites ONLY the touched partition
+    directories; untouched partitions are hardlinked into the new version —
+    O(touched data) I/O + O(files) metadata, the refinement that makes COW
+    viable at 100 TB (full-table rewrites per DELETE are not)."""
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, _META), "w") as fh:
+        fh.write(partition_by)
+    vdir = os.path.join(root, "v0")
+    df.write.mode("overwrite").partitionBy(partition_by).parquet(vdir)
+    tmp = os.path.join(root, _PTR + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write("v0")
+    os.replace(tmp, os.path.join(root, _PTR))
+
+
+def _hardlink_tree(src: str, dst: str) -> None:
+    for dirpath, _dirnames, filenames in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        out = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(out, exist_ok=True)
+        for f in filenames:
+            os.link(os.path.join(dirpath, f), os.path.join(out, f))
+
+
+def delete_partitions_where(
+    spark: SparkSession, root: str, values: list[str], rewrite=None
+) -> int:
+    """Partition-pruned mutation: drop (or rewrite, if ``rewrite`` is given a
+    DataFrame→DataFrame function) the partitions whose partition-column value
+    is in ``values``. Every other partition directory is hardlinked from the
+    current version — no data copied, no data read. Returns the new version."""
+    with open(os.path.join(root, _META)) as fh:
+        part_col = fh.read().strip()
+    cur_v = current_version(root)
+    cur_dir = os.path.join(root, f"v{cur_v}")
+    new_v = cur_v + 1
+    new_dir = os.path.join(root, f"v{new_v}")
+    os.makedirs(new_dir, exist_ok=True)
+
+    touched = {f"{part_col}={v}" for v in values}
+    for entry in os.listdir(cur_dir):
+        src = os.path.join(cur_dir, entry)
+        if entry in touched or not entry.startswith(f"{part_col}="):
+            continue  # dropped/rewritten partitions and non-partition files skipped
+        _hardlink_tree(src, os.path.join(new_dir, entry))
+
+    if rewrite is not None:
+        for entry in sorted(touched):
+            src = os.path.join(cur_dir, entry)
+            if not os.path.isdir(src):
+                continue
+            part_df = spark.read.parquet(src)
+            out = rewrite(part_df)
+            out.write.mode("overwrite").parquet(os.path.join(new_dir, entry))
+
+    tmp = os.path.join(root, _PTR + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"v{new_v}")
+    os.replace(tmp, os.path.join(root, _PTR))
+    return new_v
+
+
+def read_table_partitioned(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read a partitioned COW table version (hive partition discovery:
+    basePath makes the partition column a real column)."""
+    v = current_version(root) if version is None else version
+    vdir = os.path.join(root, f"v{v}")
+    return spark.read.option("basePath", vdir).parquet(vdir)

@@ -69,3 +69,49 @@ def test_delete_update_merge_and_time_travel(spark, tmp_path):
     assert current_version(root) not in dropped
     assert not os.path.exists(os.path.join(root, "v0"))
     assert read_table(spark, root).count() == after_merge.count()
+
+
+def test_partitioned_cow_prunes_rewrites(spark, tmp_path):
+    """Partition-pruned DML: dropping one status partition must hardlink the
+    others (same inode - zero data copied) and the result must equal the
+    filter; a rewrite callback must touch only its partition."""
+    from duckdb_fastlanes_spark.io.cow_table import (
+        create_table_partitioned,
+        delete_partitions_where,
+        read_table_partitioned,
+    )
+
+    root = str(tmp_path / "orders_part")
+    o = table(spark, SF_DIR, "orders")
+    create_table_partitioned(o, root, partition_by="o_orderstatus")
+
+    # DELETE the 'P' partition
+    delete_partitions_where(spark, root, ["P"])
+    got = read_table_partitioned(spark, root)
+    assert got.filter(F.col("o_orderstatus") == "P").count() == 0
+    assert got.count() == o.filter(F.col("o_orderstatus") != "P").count()
+
+    # untouched partitions are hardlinks of v0 files (same inode)
+    import glob as g
+
+    v0_files = sorted(g.glob(f"{root}/v0/o_orderstatus=F/*.parquet"))
+    v1_files = sorted(g.glob(f"{root}/v1/o_orderstatus=F/*.parquet"))
+    assert v0_files and len(v0_files) == len(v1_files)
+    assert all(
+        os.stat(a).st_ino == os.stat(b).st_ino for a, b in zip(v0_files, v1_files)
+    )
+
+    # partition-scoped UPDATE: zero out totals only in 'F'
+    delete_partitions_where(
+        spark,
+        root,
+        ["F"],
+        rewrite=lambda df: df.withColumn("o_totalprice", F.lit(0.0)),
+    )
+    got2 = read_table_partitioned(spark, root)
+    assert got2.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") != 0.0)).count() == 0
+    assert got2.filter(F.col("o_orderstatus") == "O").count() == o.filter(
+        F.col("o_orderstatus") == "O"
+    ).count()
+    # time travel intact
+    assert read_table_partitioned(spark, root, version=0).count() == o.count()
