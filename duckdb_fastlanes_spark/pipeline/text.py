@@ -268,3 +268,55 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf")
         .orderBy("doc_id", F.col("tfidf").desc(), "term")
     )
+
+
+#: feature-hashing embedding dims (power of two for cheap modulo)
+EMBED_DIMS = 64
+
+
+def embed_text(df: DataFrame, text_col: str = "text", dims: int = EMBED_DIMS) -> DataFrame:
+    """Deterministic text → array<float> embedding by feature hashing: each
+    token hashes to a dimension (md5 mod dims) with ±1 sign (md5 bit), the
+    vector is L2-normalized. This is the embed step of a training pipeline
+    with the model swapped for the classic hashing trick (Weinberger et al.,
+    public) so it runs JVM-side with zero model weights — a real encoder
+    slots in as a pandas_udf over the same (id, text) → (id, array) shape.
+    Output feeds every similarity/dedup operator that takes embeddings."""
+    toks = df.select("doc_id", F.explode(F.split(F.lower(text_col), r"\s+")).alias("tok"))
+    h = F.md5("tok")
+    dim = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % dims
+    sign = F.when(F.conv(F.substring(h, 7, 1), 16, 10).cast("int") % 2 == 0, 1.0).otherwise(-1.0)
+    weights = (
+        toks.groupBy("doc_id", dim.alias("dim"))
+        .agg(F.sum(sign).alias("w"))
+    )
+    # assemble dense vectors: collect (dim, w) per doc into a sorted sparse
+    # map, expand to dense via a dims-length sequence lookup
+    sparse = weights.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col("dim"), F.col("w"))))
+        ).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("long")), F.lit(0.0)),
+    )
+    norm = F.sqrt(
+        F.aggregate(dense, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    unit = F.transform(dense, lambda v: (v / norm).cast("float"))
+    return sparse.select("doc_id", unit.alias("embedding"))
+
+
+@register("text_embed_hashing")  # no oracle: 64-dim array assembly is impractical SQL
+def text_embed_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed embeddings for the documents table (rows-only check;
+    pytest pins determinism, dimensionality, and unit norm). Bridges the
+    text corpus into the embedding operators: dedup_embedding_cosine /
+    sim_* consume exactly this (doc_id, array<float>) shape."""
+    d = table(spark, sf_dir, "documents")
+    out = embed_text(d)
+    return out.select(
+        "doc_id", F.round(F.element_at("embedding", 1), 4).alias("e0"),
+        F.size("embedding").alias("dims"),
+    ).orderBy("doc_id")

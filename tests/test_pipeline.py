@@ -213,3 +213,19 @@ def test_kmeans_ivf_recall(spark):
     km = {r.vec_id for r in sim_ivf_kmeans_topk(spark, SF_DIR).collect()}
     assert len(km) == 10
     assert len(set(bf) & km) >= 2
+
+
+def test_embed_text_unit_norm_and_determinism(spark):
+    from duckdb_fastlanes_spark.pipeline.text import EMBED_DIMS, embed_text
+
+    d = table(spark, SF_DIR, "documents").limit(30)
+    e1 = {r.doc_id: list(r.embedding) for r in embed_text(d).collect()}
+    e2 = {r.doc_id: list(r.embedding) for r in embed_text(d).collect()}
+    assert e1 == e2  # deterministic
+    for vec in e1.values():
+        assert len(vec) == EMBED_DIMS
+        norm = sum(v * v for v in vec) ** 0.5
+        assert abs(norm - 1.0) < 1e-5  # unit-normalized
+    # different docs produce different vectors (hashing isn't degenerate)
+    vals = list(e1.values())
+    assert vals[0] != vals[1]
