@@ -320,3 +320,126 @@ def text_embed_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round(F.element_at("embedding", 1), 4).alias("e0"),
         F.size("embedding").alias("dims"),
     ).orderBy("doc_id")
+
+
+def _curate_oracle() -> str:
+    """Assemble the curation-pipeline oracle from the dedup module's shared
+    SQL fragments (same shingle/minhash/band definitions as the LSH query)."""
+    from duckdb_fastlanes_spark.pipeline import dedup as dd
+
+    minhash_cols = ", ".join(
+        f"{dd._oracle_minhash(i)} AS mh{i}" for i in range(dd.N_MINHASH)
+    )
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, shingles, {b} AS band_id, {dd._oracle_band(b)} AS band_key FROM sigs"
+        for b in range(dd.N_MINHASH // dd.BAND_WIDTH)
+    )
+    return f"""
+    WITH quality AS (
+        SELECT doc_id, text, lang FROM documents
+        WHERE length(text) BETWEEN 64 AND 4096
+          AND len(regexp_extract_all(text, '[A-Za-z]+')) >= 10
+    ),
+    exact_kept AS (
+        SELECT min(doc_id) AS doc_id
+        FROM quality
+        GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+    ),
+    shingled AS (
+        SELECT doc_id, {dd._ORACLE_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {dd._ORACLE_WORDS} AS w
+              FROM quality WHERE doc_id IN (SELECT doc_id FROM exact_kept))
+        WHERE len(w) >= 3
+    ),
+    sigs AS (
+        SELECT doc_id, shingles, {minhash_cols}
+        FROM shingled
+    ),
+    bands AS (
+        {bands_union}
+    ),
+    near_dropped AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.band_id = b.band_id
+         AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) >= {dd.JACCARD_THRESHOLD}
+    )
+    SELECT q.lang,
+           count(*) AS n_docs,
+           sum(len(regexp_extract_all(lower(q.text), '[a-z0-9]+'))) AS total_tokens
+    FROM quality q
+    WHERE q.doc_id IN (SELECT doc_id FROM exact_kept)
+      AND q.doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    GROUP BY q.lang
+    ORDER BY q.lang
+    """
+
+
+@register("pipeline_curate_corpus", oracle=_curate_oracle())
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline as ONE dataflow: quality gate →
+    exact dedup (keep min doc_id per fingerprint) → MinHash-LSH near-dup
+    removal (drop the higher doc_id of each verified pair) → per-language
+    corpus stats. Every stage is the already-verified operator composed
+    lazily — Catalyst optimizes across stage boundaries (the quality filter
+    pushes into every branch's scan), which a script of separate jobs
+    cannot."""
+    from duckdb_fastlanes_spark.pipeline import dedup as dd
+
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), F.lit(0)))
+    quality = d.filter(F.length("text").between(64, 4096) & (n_words >= 10))
+
+    exact_kept = (
+        quality.select(F.md5(dd._norm(F.col("text"))).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = quality.join(exact_kept, "doc_id", "left_semi")
+
+    rows = dd._shingle_rows(deduped, distinct=False)
+    per_doc = (
+        rows.withColumn("h", F.md5("shingle"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shingles"), *dd._minhash_aggs())
+    )
+    n_bands = dd.N_MINHASH // dd.BAND_WIDTH
+    banded = per_doc.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(F.array(*[dd._band_expr(b) for b in range(n_bands)])).alias(
+            "band_id", "band_key"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
+    jac = inter.cast("double") / (
+        F.size("a.shingles") + F.size("b.shingles") - inter
+    )
+    near_dropped = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= dd.JACCARD_THRESHOLD)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    final = deduped.join(near_dropped, "doc_id", "left_anti")
+    n_tokens = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), F.lit(0))
+    )
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tokens).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
