@@ -197,3 +197,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest suite pins cardinality and determinism."""
     d = table(spark, sf_dir, "documents")
     return sample_frames(attach_media(d)).orderBy("doc_id", "frame_idx")
+
+
+#: schema of decoded audio features
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("rms_level", T.DoubleType(), False),
+    ]
+)
+
+
+def extract_audio_features(media_df: DataFrame) -> DataFrame:
+    """Audio feature extraction over mapInPandas: payload → (sample_rate,
+    n_samples, duration, RMS level). STUB codec (no soundfile/librosa in this
+    container): features derive deterministically from the payload bytes; a
+    real decoder replaces only the inner block — the Arrow batching, schema,
+    and partition parallelism are the production shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(media)
+                h = hashlib.sha256(payload).digest()
+                sample_rate = (8000, 16000, 22050, 44100)[h[2] % 4]
+                n_samples = sample_rate * (1 + h[3] % 30)  # 1-30 s of audio
+                rms = round(sum(payload) / (len(payload) * 255.0), 6)
+                rows.append(
+                    (int(doc_id), sample_rate, n_samples, n_samples / sample_rate, rms)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return media_df.mapInPandas(run, AUDIO_SCHEMA)
+
+
+@register("multimodal_audio_features")  # no oracle: mapInPandas decode
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality decode path (rows-only check; pytest pins schema,
+    determinism, and rate/duration invariants)."""
+    d = table(spark, sf_dir, "documents")
+    return extract_audio_features(attach_media(d)).orderBy("doc_id")

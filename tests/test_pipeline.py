@@ -229,3 +229,21 @@ def test_embed_text_unit_norm_and_determinism(spark):
     # different docs produce different vectors (hashing isn't degenerate)
     vals = list(e1.values())
     assert vals[0] != vals[1]
+
+
+def test_audio_features_invariants(spark):
+    from duckdb_fastlanes_spark.pipeline.multimodal import (
+        attach_media,
+        extract_audio_features,
+    )
+
+    d = table(spark, SF_DIR, "documents").limit(40)
+    rows = extract_audio_features(attach_media(d)).collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert r.sample_rate in (8000, 16000, 22050, 44100)
+        assert abs(r.duration_s - r.n_samples / r.sample_rate) < 1e-9
+        assert 1.0 <= r.duration_s <= 30.0
+        assert 0.0 <= r.rms_level <= 1.0
+    rows2 = extract_audio_features(attach_media(d)).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
