@@ -135,3 +135,134 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "island_start", "island_end", "island_len")
         .orderBy("user_id", "island_start")
     )
+
+
+@register(
+    "events_interarrival",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               datediff('second',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        ts) AS gap_s
+        FROM events
+    )
+    SELECT user_id,
+           count(gap_s)                       AS n_gaps,
+           CAST(min(gap_s) AS BIGINT)         AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT)         AS max_gap_s,
+           round(avg(gap_s), 2)               AS avg_gap_s
+    FROM gaps
+    WHERE gap_s IS NOT NULL AND user_id < 50
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per user: lag window then aggregate —
+    the cadence profile behind rate limiting / bot detection. One shuffle
+    on user_id shared with every other per-user operator."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    gaps = ev.select("user_id", gap.alias("gap_s")).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.min("gap_s").cast("bigint").alias("min_gap_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+            F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "customers_rfm",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(o_orderdate)             AS last_order,
+               count(*)                     AS frequency,
+               round(sum(o_totalprice), 2)  AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT ntile(4) OVER (ORDER BY last_order, o_custkey)  AS r_quartile,
+           ntile(4) OVER (ORDER BY frequency, o_custkey)   AS f_quartile,
+           o_custkey, frequency, monetary
+    FROM per_cust
+    ORDER BY o_custkey
+    LIMIT 200
+    """,
+)
+def customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM scoring: per-customer recency/frequency/monetary rollup, then
+    ntile quartiles (tie-broken on custkey so both engines bucket
+    identically). The rollup shrinks to customer cardinality before any
+    window — the global ntile sorts |customers|, never |orders|."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    wr = Window.orderBy("last_order", "o_custkey")
+    wf = Window.orderBy("frequency", "o_custkey")
+    return (
+        per_cust.select(
+            F.ntile(4).over(wr).alias("r_quartile"),
+            F.ntile(4).over(wf).alias("f_quartile"),
+            "o_custkey",
+            "frequency",
+            "monetary",
+        )
+        .orderBy("o_custkey")
+        .limit(200)
+    )
+
+
+@register(
+    "supplier_pareto",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, revenue,
+           round(sum(revenue) OVER (ORDER BY revenue DESC, l_suppkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / sum(revenue) OVER (), 4) AS cum_share
+    FROM rev
+    ORDER BY revenue DESC, l_suppkey
+    """,
+)
+def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto analysis: cumulative revenue share per supplier (the 80/20
+    read-off). Running sum over the revenue-ranked rollup ÷ grand total —
+    both windows run over supplier cardinality, not lineitem. Revenue is
+    rounded before the running sum so the cumulative ratio is
+    order-identical on both engines."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    w_run = Window.orderBy(F.col("revenue").desc(), F.col("l_suppkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return rev.select(
+        "l_suppkey",
+        "revenue",
+        F.round(F.sum("revenue").over(w_run) / F.sum("revenue").over(w_all), 4).alias(
+            "cum_share"
+        ),
+    ).orderBy(F.col("revenue").desc(), "l_suppkey")
