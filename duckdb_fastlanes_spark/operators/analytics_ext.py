@@ -266,3 +266,37 @@ def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     ).orderBy(F.col("revenue").desc(), "l_suppkey")
+
+
+@register(
+    "orders_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+        SELECT extract(year FROM o_orderdate) AS yr,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT yr, revenue,
+           round(100.0 * (revenue - lag(revenue) OVER (ORDER BY yr))
+                 / lag(revenue) OVER (ORDER BY yr), 2) AS yoy_pct
+    FROM yearly
+    ORDER BY yr
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: yearly rollup (shrinks to |years|
+    rows) then lag — the standard KPI trend shape; the window runs over a
+    handful of rows no matter the input size."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "yr",
+        "revenue",
+        F.round(F.lit(100.0) * (F.col("revenue") - prev) / prev, 2).alias("yoy_pct"),
+    ).orderBy("yr")
