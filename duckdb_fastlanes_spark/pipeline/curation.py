@@ -1,0 +1,379 @@
+"""Training-corpus curation operators beyond dedup/quality: sequence packing,
+benchmark-contamination detection, PII redaction, repetition profiling,
+deterministic stratified sampling, temperature-based domain mixing, and int8
+embedding quantization.
+
+These are the remaining first-class steps of a large-scale LLM data pipeline
+(BASELINE.json extension mandate) that round 1 had not yet covered. Scale
+notes per operator:
+
+- ``pack_sequences``: packing is *per source shard* (window partitioned by
+  ``source``), so a 1000-executor run packs shards independently — no global
+  sort, no single-partition window. Chunk-by-offset ("concat then split")
+  semantics, the standard pretraining packer.
+- ``contamination_ngram``: the eval-set shingle dictionary is tiny relative to
+  the corpus → broadcast to every executor; the train side streams through a
+  map-side hash probe, never shuffling the text.
+- ``pii_redact``: pure projection (regex + md5), whole-stage codegen, no
+  shuffle.
+- ``repetition_profile``: two partial-aggregated shuffles keyed by
+  (doc_id, word) then doc_id — both combine map-side.
+- ``sample_stratified``: hash-based Bernoulli thinning is a stateless
+  projection — deterministic across retries/executors, unlike ``rand()``.
+- ``mixture_temperature``: per-domain aggregate (bounded cardinality) + two
+  scalar cross-joins; everything after the first agg is broadcast-sized.
+- ``embedding_quantize_int8``: per-row array math, no shuffle; the int8 form
+  is what a 100 TB embedding store would actually persist (4× smaller than
+  float32, plus a per-vector scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.registry import register
+
+#: context length (in tokens) for sequence packing — small so sf0.001 still
+#: produces multi-bin sources; the operator is CTX-agnostic
+PACK_CTX = 512
+
+#: modulus picking the held-out "benchmark" docs for contamination checks
+EVAL_MOD = 97
+
+#: shingle-overlap ratio above which a training doc counts as contaminated
+CONTAM_THRESHOLD = 0.05
+
+#: per-language sampling rates for deterministic stratified thinning
+#: (downsample the majority language, keep the tail)
+STRATA_RATES = {"en": 0.25, "es": 0.5, "de": 0.5, "fr": 0.5, "zh": 0.9}
+
+#: temperature for domain-mixture reweighting (w ∝ p^(1/T))
+MIX_TEMPERATURE = 2.0
+
+_TOKENS = r"[a-z0-9]+"
+
+
+def _n_tokens_col():
+    return F.size(F.regexp_extract_all(F.lower("text"), F.lit(_TOKENS), F.lit(0)))
+
+
+_ORACLE_N_TOKENS = f"len(regexp_extract_all(lower(text), '{_TOKENS}'))"
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id, {_ORACLE_N_TOKENS} AS n_tokens
+        FROM documents
+    ),
+    offs AS (
+        SELECT source, doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        FROM toks
+    )
+    SELECT source,
+           CAST(floor(start_off / {PACK_CTX}) AS BIGINT) AS bin_id,
+           count(*)      AS n_docs,
+           sum(n_tokens) AS bin_tokens,
+           min(doc_id)   AS first_doc,
+           max(doc_id)   AS last_doc
+    FROM offs
+    GROUP BY 1, 2
+    ORDER BY source, bin_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concatenate each source shard's docs
+    in doc_id order and split into PACK_CTX-token bins (a doc belongs to the
+    bin its start offset falls in). Returns per-bin occupancy so downstream
+    writers can emit one packed sequence per (source, bin_id)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("source", "doc_id", _n_tokens_col().alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = toks.withColumn("start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        offs.groupBy("source", F.floor(F.col("start_off") / PACK_CTX).alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+def _contam_oracle() -> str:
+    from duckdb_fastlanes_spark.pipeline import dedup as dd
+
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({dd._ORACLE_SHINGLES}) AS shingle
+        FROM (SELECT doc_id, {dd._ORACLE_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    eval_sh AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    train AS (
+        SELECT doc_id, shingle FROM sh WHERE doc_id % {EVAL_MOD} <> 0
+    )
+    SELECT t.doc_id,
+           count(*) AS n_shingles,
+           sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap,
+           round(CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS overlap_ratio,
+           CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) >= {CONTAM_THRESHOLD} AS contaminated
+    FROM train t LEFT JOIN eval_sh e USING (shingle)
+    GROUP BY 1
+    """
+
+
+@register("contamination_ngram", oracle=_contam_oracle())
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: hold out every EVAL_MOD-th doc as the
+    "benchmark set", build its distinct 3-gram shingle dictionary (broadcast),
+    and score every training doc by the fraction of its shingles that appear in
+    the dictionary. Same shingle definition as the dedup family (dedup.py), so
+    the two operators share candidate machinery in a real pipeline."""
+    from duckdb_fastlanes_spark.pipeline import dedup as dd
+
+    d = table(spark, sf_dir, "documents")
+    sh = dd._shingle_rows(d)  # distinct (doc_id, shingle)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_sh = sh.filter(is_eval).select("shingle").distinct().withColumn("hit", F.lit(1))
+    train = sh.filter(~is_eval)
+    hits = train.join(F.broadcast(eval_sh), "shingle", "left")
+    n_overlap = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        n_overlap.alias("n_overlap"),
+        F.round(n_overlap.cast("double") / F.count(F.lit(1)), 4).alias("overlap_ratio"),
+        (n_overlap.cast("double") / F.count(F.lit(1)) >= CONTAM_THRESHOLD).alias(
+            "contaminated"
+        ),
+    )
+
+
+@register(
+    "pii_redact",
+    oracle="""
+    SELECT c_custkey,
+           substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12)     AS pseudonym,
+           regexp_replace(c_name, '[0-9]+', '<ID>', 'g')      AS name_redacted,
+           len(regexp_extract_all(c_name, '[0-9]+'))          AS n_redactions
+    FROM customer
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII handling: replace identifier digit-runs with a placeholder and
+    derive a stable pseudonym (truncated md5 of the key) so redacted records
+    stay joinable. Pure projection — codegen'd, shuffle-free, scale-linear."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12).alias("pseudonym"),
+        F.regexp_replace("c_name", r"[0-9]+", "<ID>").alias("name_redacted"),
+        F.size(F.regexp_extract_all("c_name", F.lit(r"[0-9]+"), F.lit(0))).alias(
+            "n_redactions"
+        ),
+    )
+
+
+@register(
+    "repetition_profile",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKENS}')) AS word
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           sum(cnt)  AS n_words,
+           count(*)  AS n_distinct_words,
+           round(CAST(count(*) AS DOUBLE) / sum(cnt), 4)  AS distinct_ratio,
+           round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4)  AS top_word_ratio,
+           CAST(max(cnt) AS DOUBLE) / sum(cnt) >= 0.08    AS is_repetitive
+    FROM counts
+    GROUP BY 1
+    """,
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate detection: per-document vocabulary-diversity
+    ratio and most-frequent-word mass. Low distinct_ratio or high
+    top_word_ratio is the standard signal for generated/boilerplate text.
+    Two map-side-combining aggregations; the text never shuffles."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(_TOKENS), F.lit(0))).alias(
+            "word"
+        ),
+    )
+    counts = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    n_words, n_dist, top = F.sum("cnt"), F.count(F.lit(1)), F.max("cnt")
+    return counts.groupBy("doc_id").agg(
+        n_words.alias("n_words"),
+        n_dist.alias("n_distinct_words"),
+        F.round(n_dist.cast("double") / n_words, 4).alias("distinct_ratio"),
+        F.round(top.cast("double") / n_words, 4).alias("top_word_ratio"),
+        (top.cast("double") / n_words >= 0.08).alias("is_repetitive"),
+    )
+
+
+def _strata_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in STRATA_RATES.items()
+    )
+    return f"CASE lang {whens} ELSE 1.0 END"
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang,
+           round(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 / 4294967295.0, 6) AS u,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 / 4294967295.0 < {_strata_case_sql()} AS sampled
+    FROM documents
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for domain mixing: md5(doc_id) → a
+    uniform u ∈ [0,1), kept iff u < the stratum's rate. Hash-based (not
+    rand()) so the sample is reproducible across retries, executors, and
+    engines — a requirement for resumable 100 TB pipeline runs."""
+    d = table(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) / F.lit(4294967295.0)
+    rate = F.when(F.lit(False), F.lit(1.0))
+    for lang, r in STRATA_RATES.items():
+        rate = rate.when(F.col("lang") == lang, F.lit(r))
+    rate = rate.otherwise(F.lit(1.0))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(u, 6).alias("u"),
+        (u < rate).alias("sampled"),
+    )
+
+
+@register(
+    "mixture_temperature",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source, count(*) AS n_docs, sum({_ORACLE_N_TOKENS}) AS src_tokens
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(src_tokens) AS total_tokens FROM per_src),
+    p AS (
+        SELECT source, n_docs, src_tokens,
+               CAST(src_tokens AS DOUBLE) / (SELECT total_tokens FROM tot) AS p
+        FROM per_src
+    ),
+    z AS (SELECT sum(pow(p, 1.0 / {MIX_TEMPERATURE})) AS z FROM p)
+    SELECT source, n_docs, src_tokens,
+           round(p, 6) AS p,
+           round(pow(p, 1.0 / {MIX_TEMPERATURE}) / (SELECT z FROM z), 6) AS weight,
+           round(pow(p, 1.0 / {MIX_TEMPERATURE}) / (SELECT z FROM z) / p, 4) AS sample_factor
+    FROM p
+    ORDER BY source
+    """,
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (the multilingual-sampling trick):
+    per-source token share p_i → sampling weight ∝ p_i^(1/T), T=MIX_TEMPERATURE.
+    T>1 upsamples tail domains, downsamples the head. sample_factor is the
+    per-domain repeat/thin rate a sampler would apply. After the first
+    aggregate everything is broadcast-sized scalar math."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(_n_tokens_col()).alias("src_tokens")
+    )
+    tot = per_src.agg(F.sum("src_tokens").alias("total_tokens"))
+    p_df = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("src_tokens").cast("double") / F.col("total_tokens")
+    )
+    w_raw = F.pow("p", 1.0 / MIX_TEMPERATURE)
+    z = p_df.agg(F.sum(w_raw).alias("z"))
+    return (
+        p_df.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            F.round("p", 6).alias("p"),
+            F.round(w_raw / F.col("z"), 6).alias("weight"),
+            F.round(w_raw / F.col("z") / F.col("p"), 4).alias("sample_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    sc AS (
+        SELECT vec_id, vec,
+               list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+        FROM v
+    )
+    SELECT vec_id,
+           len(vec) AS n_dims,
+           round(scale, 6) AS scale,
+           CAST(list_max(list_transform(vec, x -> abs(floor(x / scale + 0.5)))) AS BIGINT)
+               AS q_max,
+           round(list_max(list_transform(vec,
+                 x -> abs(floor(x / scale + 0.5) * scale - x))), 6)
+               AS max_abs_err
+    FROM sc
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization: symmetric per-vector scaling
+    (scale = max|x|/127, q = round(x/scale)) with reconstruction-error audit.
+    The persisted form for a 100 TB embedding store — 4× smaller, and the
+    max_abs_err column is the quality gate a pipeline would alert on.
+    Row-local array math: no shuffle, codegen'd, scale-linear."""
+    e = table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    sc = e.select(
+        "vec_id",
+        vec.alias("vec"),
+        # NOT named "scale": the output select aliases round(...,6) to "scale",
+        # and Spark's lateral-column-alias resolution would silently rebind the
+        # lambda's reference to the rounded value (DuckDB keeps the raw one)
+        (F.array_max(F.transform(vec, F.abs)) / 127.0).alias("scale_raw"),
+    )
+    scale = F.col("scale_raw")
+    # floor(x/scale + 0.5), not round(): both engines' round() differ in the
+    # half-rule on doubles, while floor/+/÷ are exact IEEE — bit-identical
+    q = lambda x: F.floor(x / scale + 0.5)  # noqa: E731
+    return sc.select(
+        "vec_id",
+        F.size("vec").alias("n_dims"),
+        F.round(scale, 6).alias("scale"),
+        F.array_max(F.transform("vec", lambda x: F.abs(q(x)))).cast("bigint").alias(
+            "q_max"
+        ),
+        F.round(
+            F.array_max(F.transform("vec", lambda x: F.abs(q(x) * scale - x))), 6
+        ).alias("max_abs_err"),
+    )
