@@ -204,6 +204,89 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.event_id            AS view_event_id,
+           c.event_id            AS click_event_id,
+           v.user_id             AS user_id,
+           v.ts                  AS view_ts,
+           c.ts                  AS click_ts,
+           epoch_us(c.ts) - epoch_us(v.ts) AS micros_to_click
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    ORDER BY view_event_id, click_event_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: correlate each view with the same user's
+    clicks in the following hour. Both sides are watermarked and the join
+    carries the event-time range constraint, so Spark bounds the state store
+    to ~watermark+interval per side instead of buffering both streams forever
+    — the property that makes this viable on an unbounded 100 TB/day feed.
+    Drained with availableNow the result equals the batch interval join,
+    which is the oracle."""
+    import shutil
+    import tempfile
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    workdir = tempfile.mkdtemp(prefix="dfs_ss_join_")
+    for et, sub in (("view", "views"), ("click", "clicks")):
+        ev.filter(F.col("event_type") == et).write.mode("overwrite").parquet(
+            f"{workdir}/{sub}"
+        )
+    schema = spark.read.parquet(f"{workdir}/views").schema
+    views = (
+        spark.readStream.schema(schema)
+        .parquet(f"{workdir}/views")
+        .withWatermark("ts", WATERMARK)
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+            "user_id",
+        )
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(f"{workdir}/clicks")
+        .withWatermark("ts", WATERMARK)
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("c_user_id"),
+        )
+    )
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "view_event_id",
+        "click_event_id",
+        "user_id",
+        "view_ts",
+        "click_ts",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("micros_to_click"),
+    )
+    name = "dfs_ss_join_out"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name).orderBy("view_event_id", "click_event_id")
+    out = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+@register(
     "stream_sliding_counts",
     oracle="""
     WITH slid AS (
