@@ -96,17 +96,32 @@ def main() -> None:
         )
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "all_queries_total_wall" if all_mode else "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "all_queries_total_wall" if all_mode else "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if not all_mode:
+        # the deployment-realistic number: the 12 headline queries submitted
+        # concurrently (independent jobs share the 32 scheduler slots, driver
+        # planning of one overlaps execution of others — how a warehouse runs
+        # a workload batch). value stays the sequential sum for apples-to-
+        # apples with BASELINE.md's one-query-at-a-time numbers.
+        import concurrent.futures as cf
+
+        def one(name: str) -> None:
+            qs[name](spark, sf_dir).toArrow()
+
+        makespans = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            with cf.ThreadPoolExecutor(max_workers=len(HEADLINE)) as ex:
+                list(ex.map(one, HEADLINE))
+            makespans.append(time.perf_counter() - t0)
+        payload["concurrent_wall"] = round(min(makespans), 3)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
