@@ -558,3 +558,89 @@ def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("c_name", -3, 3).alias("name_suffix"),
         F.instr("c_name", "0").cast("bigint").alias("first_zero_pos"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "window_qualify",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rk
+    FROM orders
+    QUALIFY rk <= 2
+    ORDER BY o_custkey, rk
+    """,
+)
+def window_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's QUALIFY clause (top-2 orders per customer): Spark has no
+    QUALIFY keyword — the canonical rewrite is a filter over the ranking
+    window, which Catalyst plans identically (rank then filter, and the
+    rk<=2 predicate enables window top-k pushdown via
+    WindowGroupLimit)."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 2)
+        .orderBy("o_custkey", "rk")
+    )
+
+
+@register(
+    "agg_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (DuckDB-pioneered sugar, adopted by Spark
+    4's SQL dialect) — run through spark.sql on a temp view to exercise the
+    actual SQL-surface parity, not a DataFrame rewrite."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("dfs_orders_gba")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM dfs_orders_gba
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@register("agg_approx_sketch")  # no oracle: sketches are engine-specific
+def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for 100 TB interactive profiling:
+    approx_count_distinct (HyperLogLog++) and approx_percentile (t-digest
+    style quantile sketch). Both sketches are mergeable, so they partial-
+    aggregate map-side and shuffle O(sketch) bytes per group instead of
+    O(distinct values) — the whole point at scale. Engine-specific estimates
+    (Spark HLL++ vs DuckDB approx_count_distinct) differ by design, so the
+    contract is rows-only; tests/test_approx.py pins the relative-error
+    envelope against exact answers."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_p50"),
+        )
+        .orderBy("l_returnflag")
+    )
