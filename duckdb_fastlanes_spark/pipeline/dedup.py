@@ -52,22 +52,20 @@ def _shingle_rows(d: DataFrame, distinct: bool = True) -> DataFrame:
     Implementation note: building shingles with a higher-order ``transform``
     over ``element_at(words, i)`` re-evaluates the word-splitting regex for
     every array reference inside the lambda (no CSE in interpreted HOF eval) —
-    O(words²) regex work, ~100 ms/doc. Instead: posexplode the word array once
-    (Generate evaluates its input a single time) and assemble 3-grams with
-    window ``lead`` — all row-wise codegen expressions. The window shuffle on
-    doc_id doubles as the parallelism spreader for single-file inputs."""
-    from pyspark.sql.window import Window
-
-    w = d.select("doc_id", _words(_norm(F.col("text"))).alias("w"))
-    toks = w.select("doc_id", F.posexplode("w").alias("pos", "word"))
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    nxt1, nxt2 = F.lead("word", 1).over(win), F.lead("word", 2).over(win)
-    sh = toks.select(
-        "doc_id",
-        F.concat_ws(" ", F.col("word"), nxt1, nxt2).alias("shingle"),
-        nxt2.alias("_w2"),
+    O(words²) regex work, ~100 ms/doc. Instead zip the word array with its
+    two shifted slices (each slice references the array column once, so the
+    regex runs O(1) times per row) and explode the zipped 3-grams: pure
+    row-local expressions — no shuffle, no window sort, and the plan under
+    every LSH consumer stays exchange-free up to the per-doc aggregate."""
+    w = _words(_norm(F.col("text")))
+    doc = d.select("doc_id", w.alias("w")).filter(F.size("w") >= 3)
+    n = F.size("w")
+    sh = F.zip_with(
+        F.slice("w", 1, n - 2),
+        F.arrays_zip(F.slice("w", 2, n - 2), F.slice("w", 3, n - 2)),
+        lambda a, bc: F.concat_ws(" ", a, bc["0"], bc["1"]),
     )
-    out = sh.filter(F.col("_w2").isNotNull()).select("doc_id", "shingle")
+    out = doc.select("doc_id", F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 
 
