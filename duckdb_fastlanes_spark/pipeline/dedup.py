@@ -41,7 +41,10 @@ def _norm(text: Column) -> Column:
 
 
 def _words(text: Column) -> Column:
-    return F.regexp_extract_all(text, F.lit(r"[a-z0-9]+"), F.lit(0))
+    # [a-z0-9]+ run extraction is invariant to trimming and whitespace
+    # collapsing, so tokenization needs only lower() — not the full _norm()
+    # (which would add a second regex pass over every document).
+    return F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+"), F.lit(0))
 
 
 def _shingle_rows(d: DataFrame, distinct: bool = True) -> DataFrame:
@@ -57,15 +60,25 @@ def _shingle_rows(d: DataFrame, distinct: bool = True) -> DataFrame:
     regex runs O(1) times per row) and explode the zipped 3-grams: pure
     row-local expressions — no shuffle, no window sort, and the plan under
     every LSH consumer stays exchange-free up to the per-doc aggregate."""
-    w = _words(_norm(F.col("text")))
-    doc = d.select("doc_id", w.alias("w")).filter(F.size("w") >= 3)
-    n = F.size("w")
-    sh = F.zip_with(
-        F.slice("w", 1, n - 2),
-        F.arrays_zip(F.slice("w", 2, n - 2), F.slice("w", 3, n - 2)),
-        lambda a, bc: F.concat_ws(" ", a, bc["0"], bc["1"]),
+    # Built from two selectExpr fragments (one JVM parse each) instead of a
+    # deep pyspark.sql.functions tree: plan CONSTRUCTION is driver-side Py4J
+    # round-trips per Column call, which measurably dominates small-query
+    # latency (~100 ms for this subtree built functionally).
+    out = (
+        d.selectExpr(
+            "doc_id", "regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS w"
+        )
+        .where("size(w) >= 3")
+        .selectExpr(
+            "doc_id",
+            """explode(zip_with(
+                   slice(w, 1, size(w) - 2),
+                   zip_with(slice(w, 2, size(w) - 2), slice(w, 3, size(w) - 2),
+                            (x, y) -> concat(x, ' ', y)),
+                   (a, bc) -> concat(a, ' ', bc)
+               )) AS shingle""",
+        )
     )
-    out = doc.select("doc_id", F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -80,7 +93,7 @@ def _shingle_sets(d: DataFrame) -> DataFrame:
 
 
 #: DuckDB equivalents of the helpers above (1-based lists, same regexes)
-_ORACLE_WORDS = r"regexp_extract_all(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), '[a-z0-9]+')"
+_ORACLE_WORDS = r"regexp_extract_all(lower(text), '[a-z0-9]+')"
 _ORACLE_SHINGLES = (
     f"list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
     f"FOR i IN range(1, greatest(len(w) - 1, 1))])"
@@ -167,7 +180,7 @@ def _minhash_aggs() -> list[Column]:
     min() aggregates over exploded shingles so the digest is evaluated once
     per shingle, not once per seed per shingle."""
     return [
-        F.min(F.substring(F.col("h"), i * 4 + 1, 4)).alias(f"mh{i}")
+        F.expr(f"min(substring(h, {i * 4 + 1}, 4)) AS mh{i}")
         for i in range(N_MINHASH)
     ]
 
@@ -176,11 +189,11 @@ def _oracle_minhash(i: int) -> str:
     return f"list_min([substr(md5(s), {i * 4 + 1}, 4) FOR s IN shingles])"
 
 
-def _band_expr(band: int) -> Column:
-    parts: list[Column] = []
-    for j in range(band * BAND_WIDTH, (band + 1) * BAND_WIDTH):
-        parts.append(F.col(f"mh{j}"))
-    return F.md5(F.concat_ws("|", *parts))
+def _band_expr(band: int) -> str:
+    cols = ", ".join(
+        f"mh{j}" for j in range(band * BAND_WIDTH, (band + 1) * BAND_WIDTH)
+    )
+    return f"md5(concat_ws('|', {cols}))"
 
 
 def _oracle_band(band: int) -> str:
@@ -230,51 +243,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One shared per-doc aggregate feeds BOTH the signature and the verify
     # sets: min-wise hashing is duplicate-insensitive and collect_set dedupes,
     # so the raw (non-distinct) shingle rows work for both — this drops the
-    # (doc_id, shingle) distinct exchange and the second shingle pipeline the
-    # naive two-branch plan would run. The groupBy reuses the shingle window's
-    # doc_id partitioning (no extra shuffle), and the upstream regex/posexplode
-    # exchange is shared across consumers via ReuseExchange.
+    # (doc_id, shingle) distinct exchange the naive plan would run.
     rows = _shingle_rows(d, distinct=False)
     per_doc = (
-        rows.withColumn("h", F.md5("shingle"))
+        rows.selectExpr("doc_id", "shingle", "md5(shingle) AS h")
         .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("shingles"), *_minhash_aggs())
+        .agg(F.expr("collect_set(shingle) AS shingles"), *_minhash_aggs())
     )
     n_bands = N_MINHASH // BAND_WIDTH
-    banded = per_doc.select(
+    # The shingle sets ride along through the band explode + self-join (as the
+    # oracle's CTE does) rather than joining back to per_doc afterwards: a
+    # join-back makes Catalyst prune per_doc into two DIFFERENT aggregates
+    # (one keeping the collect_set, one the min-hashes), defeating
+    # ReuseExchange and running the whole regex/shingle pipeline twice. With
+    # identical projections on both join inputs, the self-join reuses one
+    # exchange and the corpus is scanned/shingled exactly once. Cost shifted:
+    # shingle arrays shuffle ×n_bands (bounded per doc) — at very large scale
+    # with huge documents, flip back to signatures-only banding + set
+    # join-back behind an explicit persist of per_doc.
+    bands_sql = ", ".join(_band_expr(b) for b in range(n_bands))
+    banded = per_doc.selectExpr(
         "doc_id",
-        F.posexplode(F.array(*[_band_expr(b) for b in range(n_bands)])).alias(
-            "band_id", "band_key"
-        ),
+        "shingles",
+        f"posexplode(array({bands_sql})) AS (band_id, band_key)",
     )
-    # Candidate pairs carry only (doc_a, doc_b) through the LSH shuffle; the
-    # (large) shingle arrays join back afterwards, once per *pair* not per band.
     a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    collisions = a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    sets = per_doc.select("doc_id", "shingles")
-    pairs = (
-        candidates.join(
-            sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
-            "doc_a",
-        ).join(
-            sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
-            "doc_b",
-        )
+    # Jaccard is verified per band collision (≤ n_bands duplicate evaluations
+    # of a cheap sorted-array intersect), the survivors deduped by a scalar
+    # DISTINCT: a HashAggregate on (long, long, double), versus the
+    # SortAggregate + extra sort that first(array) pair-dedup would force.
+    jac_sql = (
+        "cast(size(array_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+        " / (size(a.shingles) + size(b.shingles)"
+        "    - size(array_intersect(a.shingles, b.shingles)))"
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
-        pairs.filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        collisions.selectExpr(
+            "a.doc_id AS doc_a", "b.doc_id AS doc_b", f"{jac_sql} AS jac"
+        )
+        .where(f"jac >= {JACCARD_THRESHOLD}")
+        .selectExpr("doc_a", "doc_b", "round(jac, 4) AS jaccard")
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
@@ -316,7 +331,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius search = re-group on fingerprint with masked bit-bands.)"""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.explode(F.array_distinct(_words(_norm(F.col("text"))))).alias("tok")
+        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("tok")
     )
     h16 = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
     bit_ix = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")

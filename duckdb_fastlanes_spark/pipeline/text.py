@@ -411,7 +411,7 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = per_doc.select(
         "doc_id",
         "shingles",
-        F.posexplode(F.array(*[dd._band_expr(b) for b in range(n_bands)])).alias(
+        F.posexplode(F.array(*[F.expr(dd._band_expr(b)) for b in range(n_bands)])).alias(
             "band_id", "band_key"
         ),
     )

@@ -179,7 +179,7 @@ def test_minhash_finds_planted_near_duplicates(spark):
     n_bands = dd.N_MINHASH // dd.BAND_WIDTH
     banded = per_doc.select(
         "doc_id",
-        F.posexplode(F.array(*[dd._band_expr(b) for b in range(n_bands)])).alias(
+        F.posexplode(F.array(*[F.expr(dd._band_expr(b)) for b in range(n_bands)])).alias(
             "band_id", "band_key"
         ),
     )
