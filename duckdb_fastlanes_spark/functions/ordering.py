@@ -1,0 +1,29 @@
+"""Total-ordering helper for provably-small results.
+
+``df.orderBy(...)`` plans a range-partitioned sort: Spark first runs a
+separate SAMPLING JOB over the child to pick range bounds, then shuffles.
+For a query whose result is bounded (grouped aggregate over
+bounded-cardinality keys, a joined pair of such aggregates, windowed counts
+over a time range), that sampling job and exchange are pure overhead —
+measured ~40-60 ms per query on small inputs, and at any scale the result
+of these queries is orders of magnitude smaller than the input.
+
+``ordered_small`` instead coalesces to one partition and sorts within it:
+a single-partition sorted output IS totally ordered, no sampling pass, no
+range exchange. The coalesce collapses only the FINAL stage (merging
+already-reduced partial aggregates); the map-side heavy lifting upstream of
+the shuffle keeps full parallelism.
+
+Use ONLY when the result cardinality is bounded by the query's semantics
+(group keys over enums/small domains, top-k, per-window counts) — for
+unbounded results keep ``orderBy``, whose parallel range sort is the
+scale-correct plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+
+
+def ordered_small(df: DataFrame, *cols: Column | str) -> DataFrame:
+    return df.coalesce(1).sortWithinPartitions(*cols)

@@ -36,8 +36,10 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus) with grand total; NULL grouping
     slots coalesced to 'ALL' so both engines hash identically (data is NOT NULL
     so no ambiguity with real NULL keys)."""
+    from duckdb_fastlanes_spark.functions.ordering import ordered_small
+
     li = table(spark, sf_dir, "lineitem")
-    return (
+    return ordered_small(
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .select(
@@ -45,8 +47,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
             "n",
             "sum_qty",
-        )
-        .orderBy("returnflag", "linestatus")
+        ),
+        "returnflag",
+        "linestatus",
     )
 
 

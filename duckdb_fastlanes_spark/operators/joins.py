@@ -33,10 +33,12 @@ from duckdb_fastlanes_spark.registry import register
 def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join: fact ⋈ broadcast(dim) ⋈ broadcast(dim) — zero fact shuffle
     before the aggregate."""
+    from duckdb_fastlanes_spark.functions.ordering import ordered_small
+
     c = table(spark, sf_dir, "customer")
     n = F.broadcast(table(spark, sf_dir, "nation"))
     r = F.broadcast(table(spark, sf_dir, "region"))
-    return (
+    return ordered_small(
         c.join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .filter(F.col("r_name").isin("ASIA", "EUROPE"))
@@ -44,8 +46,8 @@ def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
-        )
-        .orderBy("n_name")
+        ),
+        "n_name",
     )
 
 
@@ -100,14 +102,15 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("l_orderkey") % 89).alias("k"))
         .agg(F.count(F.lit(1)).alias("cnt_l"))
     )
-    return (
-        a.join(b, on="k", how="full_outer")
-        .select(
+    from duckdb_fastlanes_spark.functions.ordering import ordered_small
+
+    return ordered_small(
+        a.join(b, on="k", how="full_outer").select(
             "k",
             F.coalesce("cnt_o", F.lit(0)).alias("cnt_o"),
             F.coalesce("cnt_l", F.lit(0)).alias("cnt_l"),
-        )
-        .orderBy("k")
+        ),
+        "k",
     )
 
 

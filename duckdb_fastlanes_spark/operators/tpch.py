@@ -41,11 +41,15 @@ Q1_CUTOFF = "1998-09-02"
     """,
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 — filter → hash agg (partial+final) → sort on 6 groups."""
+    """TPC-H Q1 — filter → hash agg (partial+final) → sort on 6 groups
+    (group-key domain is a bounded enum, so the total order comes from
+    ordered_small rather than a sampled range sort)."""
+    from duckdb_fastlanes_spark.functions.ordering import ordered_small
+
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    return ordered_small(
         li.filter(F.col("l_shipdate") <= F.lit(f"{Q1_CUTOFF} 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -57,8 +61,9 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_extendedprice"), ROUND_SCALE).alias("avg_price"),
             F.round(F.avg("l_discount"), ROUND_SCALE).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+        ),
+        "l_returnflag",
+        "l_linestatus",
     )
 
 

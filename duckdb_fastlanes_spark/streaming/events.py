@@ -54,9 +54,14 @@ def windowed_event_counts(events: DataFrame) -> DataFrame:
 )
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch runner of the tumbling-window aggregation (1-hour windows =
-    date_trunc('hour') in the oracle)."""
-    return windowed_event_counts(table(spark, sf_dir, "events")).orderBy(
-        "window_start", "event_type"
+    date_trunc('hour') in the oracle). Result cardinality is hours×types ≪
+    events, so the total order comes from ordered_small."""
+    from duckdb_fastlanes_spark.functions.ordering import ordered_small
+
+    return ordered_small(
+        windowed_event_counts(table(spark, sf_dir, "events")),
+        "window_start",
+        "event_type",
     )
 
 
