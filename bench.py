@@ -39,6 +39,12 @@ HEADLINE = [
 N_TIMED = 3
 
 
+def _timed(thunk) -> float:
+    t0 = time.perf_counter()
+    thunk()
+    return time.perf_counter() - t0
+
+
 def bench_query(fn, spark, sf_dir: str, n_timed: int = N_TIMED) -> float:
     """End-to-end warm wall time, min of N_TIMED runs. Each timed run builds
     the DataFrame fresh (plan construction + Catalyst analysis/optimization/
@@ -103,6 +109,42 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    if not all_mode:
+        # Baseline transparency: time the SAME headline queries through the
+        # DuckDB oracle SQL on the SAME parquet inputs (the BASELINE.md
+        # operative definition), so each BENCH_r{N}.json carries its own
+        # apples-to-apples denominator. Same protocol: warm once, min of 3.
+        try:
+            import duckdb
+
+            osql = registry.oracles()
+            con = duckdb.connect()
+            for t in (
+                "region nation customer supplier part orders lineitem "
+                "events documents embeddings"
+            ).split():
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                )
+            base: dict[str, float] = {}
+            for name in HEADLINE:
+                sql = osql.get(name)
+                if sql is None:
+                    continue
+                con.execute(sql).fetchall()
+                base[name] = round(
+                    min(
+                        _timed(lambda: con.execute(sql).fetchall())
+                        for _ in range(N_TIMED)
+                    ),
+                    3,
+                )
+            payload["baseline_queries"] = base
+            payload["baseline_total"] = round(sum(base.values()), 3)
+            covered = sum(times[q] for q in base)
+            payload["ratio_vs_baseline"] = round(covered / payload["baseline_total"], 2)
+        except Exception:
+            pass  # baseline block is informational; never fail the bench
     if not all_mode:
         # the deployment-realistic number: the 12 headline queries submitted
         # concurrently (independent jobs share the 32 scheduler slots, driver
