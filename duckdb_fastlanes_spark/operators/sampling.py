@@ -1,0 +1,135 @@
+"""Deterministic sampling and dataset-split operators.
+
+The reference's engine layer exposes ``USING SAMPLE`` (DuckDB v1.3.2 core,
+SURVEY.md §2.C "Sampling" — marked ➖ there because engine-native sampling is
+nondeterministic across runs/partitionings, so it cannot be oracle-hashed).
+These operators provide the production alternative used by training-data
+pipelines: CONTENT-KEYED sampling, where membership depends only on a key
+hash, never on partition layout, executor count, or visit order. That makes
+the sample (a) reproducible across engines — the DuckDB oracle computes the
+identical subset — and (b) stable under re-partitioning at any scale, which
+``df.sample``/``USING SAMPLE`` are not.
+
+Scale design: every operator here is a row-local projection/filter (hash =
+md5 of the key), so sampling and split assignment add ZERO shuffles to the
+plans they feed; stratified sampling adds the one per-stratum shuffle its
+semantics require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.registry import register
+
+#: per-cent bucket from the first 4 hex digits of md5(key) — the same
+#: md5-prefix integer decode both engines already share in dedup_simhash
+_BUCKET_SQL = "CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, 4)) AS INTEGER) % 100"
+
+
+def _bucket(key) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10).cast("int")
+        % 100
+    )
+
+
+@register(
+    "sample_bernoulli_hash",
+    oracle=f"""
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE {_BUCKET_SQL.format(key="o_orderkey")} < 10
+    ORDER BY o_orderkey
+    """,
+)
+def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% Bernoulli sample keyed on md5(o_orderkey): deterministic,
+    engine- and partitioning-independent (the ``USING SAMPLE`` analogue a
+    reproducible pipeline actually wants). Pure row-local filter — no
+    shuffle, pushes below any downstream operator."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(_bucket("o_orderkey") < 10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "sample_stratified_quota",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 40
+    ORDER BY lang, doc_id
+    """,
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota-stratified sample (vs pipeline.curation.sample_stratified's
+    per-stratum RATES): exactly min(40, |stratum|) docs per language,
+    chosen by hash order (unbiased w.r.t. any data ordering, reproducible).
+    One shuffle on the stratum key; for a skew-heavy stratum at scale the
+    per-partition pre-top-k in operators/windows (top-k pattern) bounds the
+    sort input, since only 40 hash-smallest rows per partition can win."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT lang, split, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+    FROM (
+        SELECT lang, n_chars,
+               CASE WHEN {_BUCKET_SQL.format(key="doc_id")} < 96 THEN 'train'
+                    WHEN {_BUCKET_SQL.format(key="doc_id")} < 98 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 96/2/2 train/val/test assignment keyed on md5(doc_id) —
+    the split a document lands in never changes as the corpus grows or
+    repartitions, so eval contamination cannot creep in across pipeline
+    re-runs. Assignment is a row-local CASE; the summary here is one
+    bounded-key aggregate (langs × 3 splits)."""
+    from duckdb_fastlanes_spark.functions.ordering import ordered_small
+
+    d = table(spark, sf_dir, "documents")
+    b = _bucket("doc_id")
+    split = (
+        F.when(b < 96, "train").when(b < 98, "val").otherwise("test").alias("split")
+    )
+    return ordered_small(
+        d.select("lang", "n_chars", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        ),
+        "lang",
+        "split",
+    )

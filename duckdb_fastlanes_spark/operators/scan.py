@@ -141,3 +141,45 @@ def stats_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(col_stats(o, "o_totalprice"))
         .orderBy("col")
     )
+
+
+@register(
+    "describe_table",
+    oracle="""
+    SELECT column_name, column_type
+    FROM (DESCRIBE SELECT * FROM lineitem)
+    ORDER BY column_name
+    """,
+)
+def describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema introspection — the ``DESCRIBE SELECT ...`` surface the
+    reference's own test sketches (SURVEY.md §2.B18, reference
+    test/sql/simple.test:16-17). The schema is driver-side catalog metadata
+    (Spark resolves it from the parquet footer without a job, exactly as
+    DuckDB's DESCRIBE binds without executing), emitted as a DataFrame in
+    DuckDB's type vocabulary so both engines describe the table
+    identically."""
+    _DUCK_NAMES = {
+        "bigint": "BIGINT",
+        "int": "INTEGER",
+        "smallint": "SMALLINT",
+        "tinyint": "TINYINT",
+        "double": "DOUBLE",
+        "float": "FLOAT",
+        "string": "VARCHAR",
+        "timestamp": "TIMESTAMP",
+        # parquet timestamps without isAdjustedToUTC infer as NTZ in Spark 4;
+        # DuckDB's TIMESTAMP has the same no-timezone semantics
+        "timestamp_ntz": "TIMESTAMP",
+        "date": "DATE",
+        "boolean": "BOOLEAN",
+        "binary": "BLOB",
+    }
+    fields = table(spark, sf_dir, "lineitem").schema.fields
+    rows = [
+        (f.name, _DUCK_NAMES.get(f.dataType.simpleString(), f.dataType.simpleString().upper()))
+        for f in fields
+    ]
+    return spark.createDataFrame(
+        rows, "column_name string, column_type string"
+    ).orderBy("column_name")

@@ -407,21 +407,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_cluster_cc",
-    oracle=f"""
-    WITH RECURSIVE shingled AS (
+#: recursive-CTE connected components shared by the clustering oracles;
+#: defined before first use (module-level f-strings evaluate top-down)
+_ORACLE_CC_CTES = ""  # assigned below, after helper definitions
+
+
+def _cc_ctes() -> str:
+    minhash_cols = ", ".join(
+        f"{_oracle_minhash(i)} AS mh{i}" for i in range(N_MINHASH)
+    )
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, shingles, {b} AS band_id, {_oracle_band(b)} AS band_key FROM sigs"
+        for b in range(N_MINHASH // BAND_WIDTH)
+    )
+    return f"""
+    shingled AS (
         SELECT doc_id, {_ORACLE_SHINGLES} AS shingles
         FROM (SELECT doc_id, {_ORACLE_WORDS} AS w FROM documents)
         WHERE len(w) >= 3
     ),
     sigs AS (
-        SELECT doc_id, shingles,
-               {", ".join(f"{_oracle_minhash(i)} AS mh{i}" for i in range(N_MINHASH))}
+        SELECT doc_id, shingles, {minhash_cols}
         FROM shingled
     ),
     bands AS (
-        {" UNION ALL ".join(f"SELECT doc_id, shingles, {b} AS band_id, {_oracle_band(b)} AS band_key FROM sigs" for b in range(N_MINHASH // BAND_WIDTH))}
+        {bands_union}
     ),
     candidates AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -445,9 +455,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id, id FROM nodes
         UNION
         SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-    )
-    SELECT src AS doc_id, min(dst) AS cluster_id
-    FROM reach GROUP BY src ORDER BY doc_id
+    ),
+    clusters AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    )"""
+
+
+_ORACLE_CC_CTES = _cc_ctes()
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE {_ORACLE_CC_CTES}
+    SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id
     """,
 )
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,3 +490,40 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_ORACLE_CC_CTES}
+    SELECT cluster_id,
+           first(doc_id ORDER BY n_chars DESC, doc_id ASC) AS keep_doc_id,
+           count(*) AS n_members
+    FROM clusters JOIN documents USING (doc_id)
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection for near-dup clusters: keep the HIGHEST-
+    QUALITY member (longest document, doc_id tiebreak) instead of the
+    arbitrary minimum id — the policy corpus curation actually wants, since
+    near-dup groups often pair a full document with truncated copies.
+
+    Spark side: CC labels from the iterative min-label propagation (see
+    dedup_cluster_cc), one broadcast-sized join to pull the quality signal,
+    then max_by over a struct that encodes the (quality DESC, id ASC)
+    preference order — a plain aggregate, no window sort. The oracle's
+    ``min(doc_id ORDER BY n_chars DESC, doc_id)`` is the same argmax."""
+    clusters = dedup_cluster_cc(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # preference = (n_chars DESC, doc_id ASC) → max_by on (n_chars, -doc_id)
+    return (
+        clusters.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.expr("max_by(doc_id, struct(n_chars, -doc_id)) AS keep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )
