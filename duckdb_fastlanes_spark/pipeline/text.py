@@ -443,3 +443,67 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM toks, unnest(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2
+    ),
+    uni AS (SELECT w1 AS w, count(*) AS cu FROM bigrams GROUP BY 1),
+    bi  AS (SELECT w1, w2, count(*) AS cb FROM bigrams GROUP BY 1, 2)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln(CAST(cb AS DOUBLE) / cu)), 2) AS avg_logprob
+    FROM bigrams JOIN bi USING (w1, w2) JOIN uni ON uni.w = bigrams.w1
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: each document's mean log-likelihood
+    under a bigram model estimated from the corpus itself (the KenLM-style
+    filter of production data pipelines, model-free). P(w2|w1) =
+    c(w1,w2)/c(w1·) with counts over all bigram OCCURRENCES, so probabilities
+    normalize exactly and the score is a true avg-log-prob; incoherent or
+    boilerplate-shuffled documents score far from the corpus mode.
+
+    Scale shape: bigram rows are corpus-linear; both model joins are
+    equi-joins on token keys (shuffle-partitioned, skew on stopword-headed
+    bigrams absorbed by AQE) and the per-doc aggregate is partial+final.
+    Nothing is driver-side: the "model" never materializes outside the
+    cluster. The oracle builds the identical model in SQL."""
+    d = table(spark, sf_dir, "documents")
+    bigrams = (
+        d.selectExpr(
+            "doc_id", "regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS w"
+        )
+        .where("size(w) >= 2")
+        .selectExpr(
+            "doc_id",
+            """explode(zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+                                (x, y) -> struct(x AS w1, y AS w2))) AS bg""",
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    uni = bigrams.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("cu"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    return (
+        bigrams.join(bi, ["w1", "w2"])
+        .join(uni, bigrams["w1"] == uni["w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("cb").cast("double") / F.col("cu"))), 2).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -25,8 +25,12 @@ REPRESENTATIVE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_tfidf_top_terms",
+    "text_bigram_lm_score",
     "events_funnel",
     "agg_salted_twophase",
+    "sample_bernoulli_hash",
+    "split_train_val_test",
+    "dedup_keep_best",
 ]
 
 
