@@ -507,3 +507,69 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: RAG-style chunking parameters: 80-token windows, 16-token overlap
+CHUNK_TOKENS = 80
+CHUNK_STRIDE = CHUNK_TOKENS - 16
+CHUNK_OVERLAP = 16
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_ix,
+               w[s : s + {CHUNK_TOKENS - 1}] AS c,
+               s
+        FROM d, unnest(generate_series(1, len(w), {CHUNK_STRIDE})) AS t(s)
+        WHERE len(w) >= 1
+    )
+    SELECT doc_id, chunk_ix,
+           len(c) AS n_tokens,
+           md5(array_to_string(c, ' ')) AS chunk_fp
+    FROM chunks
+    WHERE s = 1 OR len(c) > {CHUNK_OVERLAP}
+    ORDER BY doc_id, chunk_ix
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (the RAG / context-length
+    preprocessing step): {CHUNK_TOKENS}-token windows every {CHUNK_STRIDE}
+    tokens ({CHUNK_OVERLAP}-token overlap), every token covered, tail
+    windows that add no new tokens dropped. Chunk identity is
+    (doc_id, chunk_ix) plus a content fingerprint, so downstream chunk-level
+    dedup/embedding stays content-keyed. Pure row-local generate+slice —
+    zero shuffles before the output ordering; chunk count scales with token
+    count, never with document count × max length."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.selectExpr(
+            "doc_id", "regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS w"
+        )
+        .where("size(w) >= 1")
+        .selectExpr(
+            "doc_id",
+            f"posexplode(sequence(1, size(w), {CHUNK_STRIDE})) AS (chunk_ix, s)",
+            "w",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(chunk_ix AS BIGINT) AS chunk_ix",
+            "s",
+            f"slice(w, s, {CHUNK_TOKENS}) AS c",
+        )
+        .where(f"s = 1 OR size(c) > {CHUNK_OVERLAP}")
+        .selectExpr(
+            "doc_id",
+            "chunk_ix",
+            "size(c) AS n_tokens",
+            "md5(array_join(c, ' ')) AS chunk_fp",
+        )
+        .orderBy("doc_id", "chunk_ix")
+    )

@@ -5,5 +5,12 @@ from duckdb_fastlanes_spark.plans.checks import (
     pushed_filters,
     read_schema_columns,
 )
+from duckdb_fastlanes_spark.plans.progress import ProgressSnapshot, QueryProgress
 
-__all__ = ["explain_str", "pushed_filters", "read_schema_columns"]
+__all__ = [
+    "explain_str",
+    "pushed_filters",
+    "read_schema_columns",
+    "ProgressSnapshot",
+    "QueryProgress",
+]

@@ -137,3 +137,25 @@ def test_multifile_scan_parallel_equivalence(spark, tmp_path):
     shutil.move(multi, f"{tmp_path}/lineitem.parquet")
     got = {tuple(r) for r in tpch_q1(spark, multi_dir).collect()}
     assert got == single
+
+
+def test_query_progress_reports_task_completion(spark):
+    """A14 parity: progress (completed/total tasks) is observable while a
+    query runs and reaches a sane terminal state."""
+    from duckdb_fastlanes_spark.catalog import table
+    from duckdb_fastlanes_spark.plans.progress import QueryProgress
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR_MULTI
+
+    li = table(spark, SF_DIR_MULTI, "lineitem")
+    # enough partitions that the poller observes in-flight stages
+    work = li.repartition(64).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    with QueryProgress(spark, interval_s=0.01) as qp:
+        work.collect()
+    assert qp.snapshots, "poller never sampled"
+    assert qp.saw_work, "no active stage observed during execution"
+    assert 0.0 < qp.max_percent <= 100.0
+    # percent is monotone-ish per stage set; terminal snapshot sane
+    assert qp.snapshots[-1].completed_tasks <= qp.snapshots[-1].total_tasks or qp.snapshots[-1].total_tasks == 0
