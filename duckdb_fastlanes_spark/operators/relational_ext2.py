@@ -632,15 +632,26 @@ def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(distinct values) — the whole point at scale. Engine-specific estimates
     (Spark HLL++ vs DuckDB approx_count_distinct) differ by design, so the
     contract is rows-only; tests/test_approx.py pins the relative-error
-    envelope against exact answers."""
+    envelope against exact answers.
+
+    The exact reference values aggregate SEPARATELY and join back on the
+    group key: mixing countDistinct with sketch aggregates in one agg makes
+    Spark's one-distinct rewrite key the partial aggregate by
+    (group, distinct value), i.e. one quantile-sketch buffer PER DISTINCT
+    KEY (~150k sketches at sf0.1 — measured 23 s combined vs 0.8 s split)."""
     li = table(spark, sf_dir, "lineitem")
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_p50"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_p50"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.countDistinct("l_orderkey").alias("exact_orders"),
-            F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_p50"),
+        approx.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag", "approx_orders", "exact_orders", "approx_p50", "exact_p50"
         )
         .orderBy("l_returnflag")
     )
