@@ -105,3 +105,66 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "week_n")
     )
+
+
+@register(
+    "events_gapfill_locf",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hourly),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    )
+    SELECT s.hour,
+           coalesce(h.n_events, 0) AS n_events,
+           last_value(h.total_value IGNORE NULLS)
+               OVER (ORDER BY s.hour ROWS UNBOUNDED PRECEDING) AS locf_value
+    FROM spine s LEFT JOIN hourly h USING (hour)
+    ORDER BY s.hour
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a complete hourly spine over the observed range
+    (generate+explode — no calendar table needed), left-joined with the
+    hourly rollup, missing hours carried forward (LOCF) via
+    last_value IGNORE NULLS — the hypertable/timescale rollup idiom for
+    dashboards that cannot show holes.
+
+    Scale shape: the rollup is a bounded-key aggregate; the spine is hours,
+    not events, so the join's build side broadcasts; the single global LOCF
+    window is over spine rows (bounded) — at multi-year × multi-key scale,
+    partition the window by key and the same plan holds per key."""
+    from duckdb_fastlanes_spark.functions.ordering import ordered_small
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    spine = (
+        hourly.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .selectExpr("explode(sequence(lo, hi, INTERVAL 1 HOUR)) AS hour")
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    joined = (
+        spine.join(hourly, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )
+    return ordered_small(joined, "hour")
