@@ -36,12 +36,18 @@ def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_fastlanes_spark.functions.ordering import ordered_small
 
     c = table(spark, sf_dir, "customer")
-    n = F.broadcast(table(spark, sf_dir, "nation"))
-    r = F.broadcast(table(spark, sf_dir, "region"))
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    # Pre-join the dims and filter BEFORE broadcasting: one broadcast build
+    # (of only the surviving nations) instead of two, and the region filter
+    # never touches an executor — strictly less data shipped at any scale.
+    dim = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .where("r_name IN ('ASIA', 'EUROPE')")
+        .select("n_nationkey", "n_name")
+    )
     return ordered_small(
-        c.join(n, c.c_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
-        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        c.join(dim, c.c_nationkey == dim.n_nationkey)
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

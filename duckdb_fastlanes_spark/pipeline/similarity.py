@@ -42,9 +42,9 @@ def _cosine(x: Column, y: Column) -> Column:
 
 
 def _doubled(df: DataFrame) -> DataFrame:
-    return df.select(
-        "vec_id", "label", F.transform("embedding", lambda v: v.cast("double")).alias("e")
-    )
+    # selectExpr: one JVM parse instead of a deep Py4J Column tree (the
+    # construction cost dominates sub-second queries; see bench notes).
+    return df.selectExpr("vec_id", "label", "CAST(embedding AS array<double>) AS e")
 
 
 @register(
@@ -64,17 +64,19 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Query vector joins in as a broadcast single-row frame (no collect); top-k
     is TakeOrderedAndProject — no global sort."""
     v = _doubled(table(spark, sf_dir, "embeddings"))
-    q = F.broadcast(
-        v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
-    )
-    cos = _cosine(F.col("e"), F.col("qe"))
+    q = F.broadcast(v.where(f"vec_id = {QUERY_VEC_ID}").selectExpr("e AS qe"))
     return (
-        v.filter(F.col("vec_id") != QUERY_VEC_ID)
+        v.where(f"vec_id <> {QUERY_VEC_ID}")
         .crossJoin(q)
-        .select("vec_id", cos.alias("_cos"))
+        .selectExpr(
+            "vec_id",
+            "aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+            " / (sqrt(aggregate(e, 0D, (acc, x) -> acc + x * x))"
+            " * sqrt(aggregate(qe, 0D, (acc, x) -> acc + x * x))) AS _cos",
+        )
         .orderBy(F.col("_cos").desc(), F.col("vec_id"))
         .limit(TOP_K)
-        .select("vec_id", F.round("_cos", 4).alias("cosine"))
+        .selectExpr("vec_id", "round(_cos, 4) AS cosine")
     )
 
 
