@@ -133,3 +133,60 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "split",
     )
+
+
+def _leakage_safe_oracle() -> str:
+    from duckdb_fastlanes_spark.pipeline.dedup import _ORACLE_CC_CTES
+
+    ckey = "coalesce(c.cluster_id, d.doc_id)"
+    return f"""
+    WITH RECURSIVE {_ORACLE_CC_CTES}
+    SELECT d.doc_id, {ckey} AS cluster_key,
+           CASE WHEN {_BUCKET_SQL.format(key=ckey)} < 96 THEN 'train'
+                WHEN {_BUCKET_SQL.format(key=ckey)} < 98 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register(
+    "split_leakage_safe",
+    oracle=_leakage_safe_oracle(),
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the 96/2/2 hash split is keyed on
+    the NEAR-DUP CLUSTER id (min doc_id of the connected component over the
+    verified MinHash-LSH pair graph; singletons key on their own doc_id), so
+    a document and its near-duplicates always land in the SAME split — the
+    property a naive per-doc split violates, silently leaking train text
+    into eval. This is the standard contamination control for LLM corpora.
+
+    Scale shape: clustering is the iterative CC already used by
+    dedup_cluster_cc (O(component diameter) join+agg rounds); the cluster
+    labels (only docs that HAVE a near-dup, a small fraction of the corpus)
+    broadcast-join back onto the full corpus, and split assignment itself is
+    a row-local md5 CASE — no extra shuffle at any corpus size."""
+    from duckdb_fastlanes_spark.functions.iterate import min_label_propagation
+    from duckdb_fastlanes_spark.functions.ordering import ordered_small
+    from duckdb_fastlanes_spark.pipeline.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    labels, _ = min_label_propagation(pairs)
+    d = table(spark, sf_dir, "documents")
+    joined = d.join(
+        F.broadcast(labels.withColumnRenamed("id", "doc_id")), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_key")
+    )
+    b = _bucket("cluster_key")
+    return ordered_small(
+        joined.select(
+            "doc_id",
+            "cluster_key",
+            F.when(b < 96, "train").when(b < 98, "val").otherwise("test").alias("split"),
+        ),
+        "doc_id",
+    )

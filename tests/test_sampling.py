@@ -92,3 +92,24 @@ def test_keep_best_is_longest_member(spark):
     for cid, members in by_cluster.items():
         want = sorted(members, key=lambda d: (-chars[d], d))[0]
         assert best[cid] == want
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """The defining invariant: every verified near-dup pair lands in ONE
+    split — the naive per-doc split (split_train_val_test) cannot promise
+    this; the cluster-keyed one must."""
+    from duckdb_fastlanes_spark.operators.sampling import split_leakage_safe
+    from duckdb_fastlanes_spark.pipeline.dedup import dedup_minhash_lsh
+
+    splits = split_leakage_safe(spark, SF_DIR).select("doc_id", "split")
+    pairs = dedup_minhash_lsh(spark, SF_DIR).select("doc_a", "doc_b")
+    crossing = (
+        pairs.join(splits.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("split", "split_a")
+        .join(splits.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .filter(F.col("split_a") != F.col("split"))
+    )
+    assert crossing.count() == 0
+    # and the split still covers every document exactly once
+    n_docs = table(spark, SF_DIR, "documents").count()
+    assert splits.count() == n_docs
