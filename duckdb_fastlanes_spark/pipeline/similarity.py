@@ -223,3 +223,105 @@ def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", F.round("cos", 4).alias("cosine"))
         .orderBy("query_id", F.col("cosine").desc(), "vec_id")
     )
+
+
+@register(
+    "sim_ivf_recall",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < {NLIST}),
+    assigned AS (
+        SELECT v.vec_id, v.e,
+               (SELECT c.cent_id FROM cents c
+                ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cent_id
+                LIMIT 1) AS cell
+        FROM v
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, cell AS qcell
+          FROM assigned WHERE vec_id < {N_QUERIES}),
+    bf AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY list_cosine_similarity(e, qe) DESC, vec_id) AS rk
+        FROM assigned, q WHERE vec_id <> query_id
+    ),
+    ivf AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY list_cosine_similarity(e, qe) DESC, vec_id) AS rk
+        FROM assigned, q WHERE cell = qcell AND vec_id <> query_id
+    )
+    SELECT b.query_id,
+           count(i.vec_id) AS n_hits,
+           round(count(i.vec_id) / {TOP_K}.0, 4) AS recall
+    FROM (SELECT * FROM bf WHERE rk <= {TOP_K}) b
+    LEFT JOIN (SELECT * FROM ivf WHERE rk <= {TOP_K}) i
+      ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """,
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN self-evaluation: recall@{TOP_K} of the fixed-centroid IVF path
+    against exact brute-force ground truth, per query vector — the metric
+    that decides whether an ANN index is usable before pointing it at the
+    full corpus. One shared cell-assignment pass feeds BOTH rankings, so the
+    comparison is one corpus scan + two bounded window ranks.
+
+    Scale shape: ground truth is only computed for the evaluation query
+    sample (N={N_QUERIES} here; thousands in practice), never all-pairs; the
+    query set broadcasts; everything downstream of the two rank windows is
+    per-query bounded (k rows each)."""
+    from duckdb_fastlanes_spark.functions.ordering import ordered_small
+    from pyspark.sql.window import Window
+
+    v = _doubled(table(spark, sf_dir, "embeddings"))
+    cents = F.broadcast(
+        v.filter(F.col("vec_id") < NLIST).select(
+            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+        )
+    )
+    scored = v.crossJoin(cents).select(
+        "vec_id", "e", "cent_id", _cosine(F.col("e"), F.col("ce")).alias("cscore")
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.expr("max_by(cent_id, struct(cscore, -cent_id))").alias("cell"),
+        F.first("e").alias("e"),
+    )
+    q = F.broadcast(
+        assigned.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("cell").alias("qcell"),
+        )
+    )
+    cand = assigned.crossJoin(q).filter(F.col("vec_id") != F.col("query_id"))
+    cos = _cosine(F.col("e"), F.col("qe")).alias("cos")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    bf = (
+        cand.select("query_id", "vec_id", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    ivf = (
+        cand.filter(F.col("cell") == F.col("qcell"))
+        .select("query_id", "vec_id", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("ivf_vec_id"))
+    )
+    return ordered_small(
+        bf.join(
+            ivf,
+            (bf.query_id == ivf.query_id) & (bf.vec_id == ivf.ivf_vec_id),
+            "left",
+        )
+        .select(bf.query_id, "ivf_vec_id")
+        .groupBy("query_id")
+        .agg(
+            F.count("ivf_vec_id").alias("n_hits"),
+            F.round(F.count("ivf_vec_id") / TOP_K, 4).alias("recall"),
+        ),
+        "query_id",
+    )
