@@ -1,0 +1,115 @@
+"""Graph analytics over the order graph — beyond-reference extension.
+
+The reference engine has no graph operators (SURVEY.md §2; its embedded
+DuckDB can only express them as recursive/unrolled CTEs). The Spark-native
+shape is the GraphX/GraphFrames pattern on plain DataFrames: an edge list,
+a bounded per-node state frame, and a fixed number of join+aggregate rounds
+(functions/iterate.py holds the open-ended variant used by connected
+components).
+
+PageRank here runs on the undirected bipartite customer–supplier graph
+implied by orders⋈lineitem: an edge (c, s) means customer c bought from
+supplier s. Node ids are prefixed ('c'/'s') to keep the two key spaces
+disjoint.
+
+Scale shape: the edge list is the only large dataset and it is REUSED by
+every iteration from one localCheckpoint (lineage stays flat); each round is
+edges ⋈ ranks (shuffle on node id — co-partitioned after round 1) followed
+by a groupBy(dst) sum. State is one row per node. This is exactly the plan
+GraphFrames/Pregel produce, with #iterations fixed so the DuckDB oracle can
+unroll the same three steps as CTEs and hash-match the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.registry import register
+
+DAMPING = 0.85
+N_ITER = 3
+RANK_SCALE = 8  # rank magnitudes are ~1e-4; 8 decimals keeps ~4 sig figs
+
+_ORACLE_EDGES = """
+    pairs AS (
+        SELECT DISTINCT 'c' || o_custkey AS c_node, 's' || l_suppkey AS s_node
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges(src, dst) AS (
+        SELECT c_node, s_node FROM pairs
+        UNION ALL
+        SELECT s_node, c_node FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT count(*) AS n_nodes FROM nodes)
+"""
+
+
+def _oracle_iter(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT e.dst AS node,
+               (1 - {DAMPING}) / (SELECT n_nodes FROM n)
+               + {DAMPING} * sum(r.rank / deg.d) AS rank
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+    )"""
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_ORACLE_EDGES},
+    r0 AS (SELECT node, 1.0 / (SELECT n_nodes FROM n) AS rank FROM nodes),
+    {_oracle_iter("r0", "r1")},
+    {_oracle_iter("r1", "r2")},
+    {_oracle_iter("r2", "r3")}
+    SELECT node, round(rank, {RANK_SCALE}) AS rank
+    FROM r3
+    ORDER BY node
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({N_ITER} fixed iterations, d={DAMPING}) on the undirected
+    customer–supplier purchase graph. Every node has degree ≥ 1 by
+    construction (edges come in both directions), so there is no dangling-
+    node mass to redistribute and the unrolled-CTE oracle is exact."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .selectExpr("'c' || o_custkey AS c_node", "'s' || l_suppkey AS s_node")
+        .distinct()
+    )
+    edges = (
+        pairs.selectExpr("c_node AS src", "s_node AS dst")
+        .unionAll(pairs.selectExpr("s_node AS src", "c_node AS dst"))
+        .localCheckpoint()  # reused by deg + every iteration: flat lineage
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    with_deg = edges.join(deg, "src")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()  # one scalar to the driver; state stays distributed
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(N_ITER):
+        ranks = (
+            with_deg.join(ranks, with_deg.src == ranks.node)
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit((1 - DAMPING) / n_nodes)
+                    + F.lit(DAMPING) * F.sum(F.col("rank") / F.col("d"))
+                ).alias("rank")
+            )
+            .select(F.col("dst").alias("node"), "rank")
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", RANK_SCALE).alias("rank")).orderBy(
+        "node"
+    )
