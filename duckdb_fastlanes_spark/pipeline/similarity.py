@@ -313,7 +313,7 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ordered_small(
         bf.join(
-            ivf,
+            F.broadcast(ivf),  # ≤ N_QUERIES × TOP_K rows — never shuffle for this
             (bf.query_id == ivf.query_id) & (bf.vec_id == ivf.ivf_vec_id),
             "left",
         )
