@@ -168,3 +168,67 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ordered_small(joined, "hour")
+
+
+@register(
+    "events_max_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT event_type,
+               epoch_us(ts) AS start_us,
+               epoch_us(ts) + greatest(CAST(floor(value) AS BIGINT), 1) * 60000000 AS end_us
+        FROM events
+    ),
+    points AS (
+        SELECT event_type, start_us AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT event_type, end_us AS t, -1 AS delta FROM iv
+    ),
+    running AS (
+        SELECT event_type,
+               sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta) AS live
+        FROM points
+    )
+    SELECT event_type, max(live) AS max_concurrent,
+           CAST(count(*) / 2 AS BIGINT) AS n_intervals
+    FROM running
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-concurrency sweep line: each event opens an interval of
+    floor(value) minutes (≥1); +1/-1 boundary points, a running sum ordered
+    by (time, delta) — ends sort before starts at the same instant, so
+    touching intervals don't overcount — and the per-type maximum is the
+    concurrency watermark (peak simultaneous sessions / GPU occupancy /
+    room usage — the interval-algebra op dashboards ask for).
+
+    Determinism: the window uses the default RANGE frame, so tied boundary
+    points are peers and every row sees the same running value regardless
+    of partition order. Scale shape: one projection, one union, one window
+    shuffle on (event_type), one bounded-key aggregate — linear at any
+    scale; for a single globally-hot event_type, pre-aggregate points per
+    (t, delta) first (sum of deltas), which this data does not need."""
+    from duckdb_fastlanes_spark.functions.ordering import ordered_small
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    iv = ev.selectExpr(
+        "event_type",
+        "unix_micros(ts) AS start_us",
+        "unix_micros(ts) + greatest(CAST(floor(value) AS BIGINT), 1) * 60000000 AS end_us",
+    )
+    points = iv.selectExpr("event_type", "start_us AS t", "1 AS delta").unionAll(
+        iv.selectExpr("event_type", "end_us AS t", "-1 AS delta")
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "delta")
+    return ordered_small(
+        points.select("event_type", F.sum("delta").over(w).alias("live"))
+        .groupBy("event_type")
+        .agg(
+            F.max("live").alias("max_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        ),
+        "event_type",
+    )
