@@ -527,3 +527,76 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+#: asymmetric-overlap gate: |A∩B| / min(|A|,|B|) — catches a document that
+#: CONTAINS another (quotation, boilerplate wrapping, excerpt) even when
+#: symmetric Jaccard stays low because the containing doc is much larger
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH shingled AS (
+        SELECT doc_id, {_ORACLE_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_ORACLE_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    exploded AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ),
+    pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled)
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4) AS containment,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM pair_inter p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup: |A∩B| / min(|A|,|B|) ≥ {CONTAINMENT_THRESHOLD}
+    over 3-gram shingle sets. The asymmetric companion to
+    dedup_ngram_jaccard: an excerpt or boilerplate-wrapped copy scores ~1.0
+    containment while its Jaccard can be arbitrarily small, so a
+    Jaccard-only pipeline ships the duplicate text anyway. Reported with
+    Jaccard side by side — the gap between the two columns IS the excerpt
+    signal. Same shingle-bucket join as the Jaccard path (cost ∝ Σ bucket²,
+    never n²)."""
+    d = table(spark, sf_dir, "documents")
+    exploded = _shingle_rows(d)
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pair_inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cont = F.col("n_inter").cast("double") / F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    )
+    return (
+        pair_inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 4).alias("containment"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
