@@ -31,6 +31,9 @@ REPRESENTATIVE = [
     "sample_bernoulli_hash",
     "split_train_val_test",
     "dedup_keep_best",
+    "graph_pagerank",  # iterated double sums: the classic order-dependence trap
+    "events_max_concurrency",  # RANGE-frame running sum must be peer-invariant
+    "split_leakage_safe",  # cluster ids must not depend on partition layout
 ]
 
 
