@@ -113,3 +113,75 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", RANK_SCALE).alias("rank")).orderBy(
         "node"
     )
+
+
+_TRI_ORACLE_PAIRS = """
+    pairs AS (
+        SELECT DISTINCT a.l_partkey AS s1, b.l_partkey AS s2
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+    )
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_TRI_ORACLE_PAIRS},
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT s1 AS node FROM pairs UNION ALL SELECT s2 AS node FROM pairs)
+        GROUP BY node
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM pairs e1
+        JOIN pairs e2 ON e2.s1 = e1.s2
+        JOIN pairs e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+    )
+    SELECT (SELECT count(*) FROM pairs) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle + wedge census of the part co-purchase graph (parts that
+    appear in the same order are adjacent). Edges are oriented low-id → high-id
+    so each triangle {a<b<c} is counted exactly once as (a,b)+(b,c)+(a,c) —
+    the standard compact-forward algorithm expressed as two equi-joins.
+
+    Scale shape: the wedge join e1⋈e2 shuffles on the middle vertex, so its
+    cost is Σ deg(v)²; TPC-H part keys are near-uniform so id-orientation is
+    safe here. On a power-law graph at 100 TB the same plan holds after
+    re-orienting edges from the lower-degree endpoint to the higher-degree
+    one (degree ordering) — the triangle total is orientation-invariant, so
+    the oracle stays identical. The edge list is localCheckpoint-ed once and
+    reused by the degree census and all three legs of the triangle join.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    deg = (
+        pairs.select(F.col("s1").alias("node"))
+        .unionAll(pairs.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(F.expr("CAST(sum(d * (d - 1)) DIV 2 AS BIGINT)").alias("n_wedges"))
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
+        .join(
+            e3,
+            (F.col("e3.s1") == F.col("e1.s1")) & (F.col("e3.s2") == F.col("e2.s2")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return n_edges.crossJoin(wedges).crossJoin(tri)
