@@ -377,3 +377,96 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.transform("vec", lambda x: F.abs(q(x) * scale - x))), 6
         ).alias("max_abs_err"),
     )
+
+
+_SPLIT_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100"
+)
+
+
+@register(
+    "dq_split_divergence",
+    oracle=f"""
+    WITH toks AS (
+        SELECT CASE WHEN {_SPLIT_BUCKET_SQL} < 50 THEN 'a' ELSE 'b' END AS split,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    per_term AS (
+        SELECT term,
+               sum(CASE WHEN split = 'a' THEN 1 ELSE 0 END) AS cnt_a,
+               sum(CASE WHEN split = 'b' THEN 1 ELSE 0 END) AS cnt_b
+        FROM toks GROUP BY term
+    ),
+    tot AS (
+        SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+               CAST(sum(cnt_b) AS BIGINT) AS tot_b,
+               count(*) AS v
+        FROM per_term
+    ),
+    probs AS (
+        SELECT (cnt_a + 1.0) / (tot_a + v) AS p,
+               (cnt_b + 1.0) / (tot_b + v) AS q
+        FROM per_term, tot
+    )
+    SELECT round(sum(p * ln(p / q)), 6) AS kl_ab,
+           round(0.5 * sum(abs(p - q)), 6) AS tvd,
+           (SELECT v FROM tot) AS vocab_size,
+           (SELECT tot_a FROM tot) AS n_tokens_a,
+           (SELECT tot_b FROM tot) AS n_tokens_b
+    FROM probs
+    """,
+)
+def dq_split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two hash-splits of the corpus: unigram
+    KL(A‖B) with add-one smoothing over the joint vocabulary, plus total
+    variation distance. The gate a training pipeline runs before trusting a
+    train/eval split — a drifted split (KL or TVD spiking) means the eval set
+    no longer represents the training distribution.
+
+    Scale shape: one token-explode feeding ONE (term)-keyed aggregate with
+    both splits as conditional sums (no per-split scans, no outer join over
+    the vocab); totals are a second aggregate over the already-tiny term
+    table, broadcast back as scalars. Everything after the first shuffle is
+    vocab-sized. Floating sums are over ~vocab doubles → rounded to 6 dp on
+    both engines (order-invariant at double precision for sums this size).
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "int"
+        )
+        % 100
+    )
+    toks = d.select(
+        F.when(bucket < 50, "a").otherwise("b").alias("split"),
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), F.lit(0))
+        ).alias("term"),
+    )
+    per_term = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("split") == "a", 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("split") == "b", 1).otherwise(0)).alias("cnt_b"),
+    )
+    tot = per_term.agg(
+        F.sum("cnt_a").alias("tot_a"),
+        F.sum("cnt_b").alias("tot_b"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    probs = per_term.crossJoin(F.broadcast(tot)).select(
+        ((F.col("cnt_a") + 1.0) / (F.col("tot_a") + F.col("v"))).alias("p"),
+        ((F.col("cnt_b") + 1.0) / (F.col("tot_b") + F.col("v"))).alias("q"),
+    )
+    div = probs.agg(
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl_ab"),
+        F.round(0.5 * F.sum(F.abs(F.col("p") - F.col("q"))), 6).alias("tvd"),
+    )
+    return div.crossJoin(
+        F.broadcast(
+            tot.select(
+                F.col("v").alias("vocab_size"),
+                F.col("tot_a").alias("n_tokens_a"),
+                F.col("tot_b").alias("n_tokens_b"),
+            )
+        )
+    )

@@ -34,6 +34,7 @@ REPRESENTATIVE = [
     "graph_pagerank",  # iterated double sums: the classic order-dependence trap
     "events_max_concurrency",  # RANGE-frame running sum must be peer-invariant
     "split_leakage_safe",  # cluster ids must not depend on partition layout
+    "dq_split_divergence",  # KL/TVD float sums over the vocab must round stably
 ]
 
 
