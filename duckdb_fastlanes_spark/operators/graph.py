@@ -185,3 +185,154 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return n_edges.crossJoin(wedges).crossJoin(tri)
+
+
+AA_SCALE = 6  # Adamic-Adar sums ~10 terms of 1/ln(deg) — 6 dp is order-stable
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH {_TRI_ORACLE_PAIRS},
+    edges(src, dst) AS (
+        SELECT s1, s2 FROM pairs UNION ALL SELECT s2, s1 FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+    cand AS (
+        SELECT a.src AS s1, b.src AS s2,
+               count(*) AS common_neighbors,
+               sum(1.0 / ln(dv.d)) AS adamic_adar
+        FROM edges a
+        JOIN edges b ON b.dst = a.dst AND a.src < b.src
+        JOIN deg dv ON dv.node = a.dst
+        GROUP BY a.src, b.src
+    )
+    SELECT c.s1, c.s2, c.common_neighbors,
+           round(c.adamic_adar, {AA_SCALE}) AS adamic_adar,
+           round(c.common_neighbors * 1.0 /
+                 (d1.d + d2.d - c.common_neighbors), {AA_SCALE}) AS jaccard
+    FROM cand c
+    JOIN deg d1 ON d1.node = c.s1
+    JOIN deg d2 ON d2.node = c.s2
+    LEFT JOIN pairs p ON p.s1 = c.s1 AND p.s2 = c.s2
+    WHERE p.s1 IS NULL
+    ORDER BY c.common_neighbors DESC, c.s1, c.s2
+    LIMIT 25
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: for every NON-adjacent
+    pair sharing ≥1 neighbor, score by common-neighbor count, Adamic-Adar
+    (Σ 1/ln deg(v) over shared neighbors v — down-weights promiscuous hubs),
+    and Jaccard of neighborhoods; top 25 candidates. The "what should we
+    bundle next" query — beyond-reference (no graph ops in the engine).
+
+    Scale shape: one wedge join (shuffle on the shared neighbor, Σ deg(v)²
+    — same cost class the triangle census already pays), then broadcast-able
+    degree lookups and an anti-join against the edge list to drop existing
+    edges. Top-k is a TakeOrderedAndProject, no global sort materialization.
+    Ordering ties broken by (s1, s2) so the LIMIT is deterministic; float
+    scores are output-only (rounded), never the sole sort key.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2"))
+        .distinct()
+        .localCheckpoint()  # reused: wedge join (2×), degree, anti-join
+    )
+    edges = pairs.selectExpr("s1 AS src", "s2 AS dst").unionAll(
+        pairs.selectExpr("s2 AS src", "s1 AS dst")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ea, eb = edges.alias("ea"), edges.alias("eb")
+    cand = (
+        ea.join(
+            eb,
+            (F.col("eb.dst") == F.col("ea.dst")) & (F.col("ea.src") < F.col("eb.src")),
+        )
+        .join(
+            F.broadcast(deg.selectExpr("src AS v", "d AS dv")),
+            F.col("ea.dst") == F.col("v"),
+        )
+        .groupBy(F.col("ea.src").alias("s1"), F.col("eb.src").alias("s2"))
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(1.0 / F.log("dv")).alias("aa_raw"),
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(deg.selectExpr("src AS s1", "d AS d1")), "s1")
+        .join(F.broadcast(deg.selectExpr("src AS s2", "d AS d2")), "s2")
+        .join(pairs, ["s1", "s2"], "left_anti")
+        .select(
+            "s1",
+            "s2",
+            "common_neighbors",
+            F.round("aa_raw", AA_SCALE).alias("adamic_adar"),
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("d1") + F.col("d2") - F.col("common_neighbors")),
+                AA_SCALE,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("common_neighbors"), "s1", "s2").limit(25)
+
+
+@register(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH {_TRI_ORACLE_PAIRS},
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT s1 AS node FROM pairs UNION ALL SELECT s2 AS node FROM pairs)
+        GROUP BY node
+    )
+    SELECT d AS degree, count(*) AS n_nodes,
+           round(count(*) * 1.0 / (SELECT count(*) FROM deg), 6) AS frac_nodes
+    FROM deg
+    GROUP BY d
+    ORDER BY d
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph — the first thing to
+    check before choosing a join strategy on graph data (a heavy tail means
+    the wedge join needs degree-orientation / salting; see
+    graph_triangle_count docstring).
+
+    Scale shape: two key-local aggregations (node → degree, degree →
+    histogram); the node-count denominator rides along as a window-free
+    scalar via a tiny cross join. Nothing here is more than histogram-sized
+    after the first shuffle.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("s1").alias("node"))
+        .unionAll(pairs.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()  # reused: histogram + node-count scalar
+    )
+    n_nodes_tot = deg.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        deg.groupBy(F.col("d").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(F.broadcast(n_nodes_tot))
+        .select(
+            "degree",
+            "n_nodes",
+            F.round(F.col("n_nodes") / F.col("tot"), 6).alias("frac_nodes"),
+        )
+        .orderBy("degree")
+    )
