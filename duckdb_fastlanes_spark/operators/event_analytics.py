@@ -232,3 +232,174 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "event_type",
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS prev,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next
+        FROM events
+    ),
+    trans AS (
+        SELECT prev, next, count(*) AS cnt
+        FROM seq WHERE next IS NOT NULL GROUP BY prev, next
+    )
+    SELECT prev, next, cnt,
+           round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY prev), 6) AS p
+    FROM trans
+    ORDER BY prev, next
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current event type). The behavioral-model primitive
+    behind next-action prediction and anomalous-session scoring.
+
+    Scale shape: ONE shuffle on user_id for the sequence window (lead), then
+    the transition count collapses to a #types² matrix — the second window
+    (row-normalization) runs over that tiny aggregate, not the events. Ties
+    in ts are broken by event_id so the sequence, and hence the matrix, is
+    partition-layout-invariant.
+    """
+    from duckdb_fastlanes_spark.functions.ordering import ordered_small
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next"),
+    )
+    trans = (
+        seq.where(F.col("next").isNotNull())
+        .groupBy("prev", "next")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    row_tot = Window.partitionBy("prev")
+    return ordered_small(
+        trans.select(
+            "prev",
+            "next",
+            "cnt",
+            F.round(F.col("cnt") / F.sum("cnt").over(row_tot), 6).alias("p"),
+        ),
+        "prev",
+        "next",
+    )
+
+
+EWMA_ALPHA = 0.3
+
+
+@register(
+    "events_ewma_smoothing",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(list_reduce(
+               list(value ORDER BY ts, event_id),
+               (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc), 6) AS ewma
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event values —
+    a RECURSIVE per-key computation (ewma_t = αx_t + (1-α)ewma_{t-1}) that
+    plain window frames cannot express without overflow-prone pow() tricks.
+    Spark-first shape: sort-free groupBy collect + higher-order-function fold
+    (F.aggregate), all JVM-side — no Python UDF, no iterative driver loop.
+
+    Scale shape: one shuffle on user_id; each group folds its own (bounded)
+    value list. The fold order is pinned by array_sort over (ts, event_id)
+    structs, so the result is bit-identical across partition layouts — both
+    engines run the same left-to-right IEEE double chain (oracle uses
+    DuckDB's list_reduce with list(... ORDER BY) — same fold, same order).
+    """
+    ev = table(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    vals = F.transform(arr, lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: F.lit(EWMA_ALPHA) * x + F.lit(1 - EWMA_ALPHA) * acc,
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(ewma, 6).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, ts,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN struct_pack(t := ts, c := event_type) END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        FROM events
+    )
+    SELECT coalesce(touch.c, '(direct)') AS touch_channel,
+           count(*) AS n_purchases,
+           round(avg(epoch_us(ts - touch.t) / 60000000.0), 4) AS avg_minutes_to_purchase
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most recent
+    PRECEDING non-purchase event of the same user (its "channel"), with the
+    mean touch→purchase latency. Purchases with no prior touch fall into
+    '(direct)'.
+
+    Scale shape: one shuffle on user_id for the sequence window; the
+    IGNORE-NULLS last_value over an unbounded-preceding frame is a running
+    carry (no per-row rescan), and the final aggregate is #channels-sized.
+    Ties in ts are broken by event_id so the carried touch is deterministic
+    under any partition layout.
+    """
+    from duckdb_fastlanes_spark.functions.ordering import ordered_small
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.col("ts").alias("t"), F.col("event_type").alias("c")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    seq = ev.select("event_type", "ts", touch.alias("touch"))
+    return ordered_small(
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch.c"), F.lit("(direct)")).alias("touch_channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.avg(
+                    (F.unix_micros("ts") - F.unix_micros("touch.t")) / F.lit(60000000.0)
+                ),
+                4,
+            ).alias("avg_minutes_to_purchase"),
+        ),
+        "touch_channel",
+    )
