@@ -190,3 +190,52 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
+
+
+#: uniform in (0,1) from the first 8 hex digits of md5(key): (v + 0.5) / 2^32
+_UNIF_SQL = (
+    "(CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " + 0.5) / 4294967296.0"
+)
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           round(ln({_UNIF_SQL.format(key="doc_id")}) / n_chars, 9) AS key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each row draws key = ln(u)/w with u a DETERMINISTIC hash-uniform and
+    w = n_chars; the global top-k by key IS an exact weighted sample —
+    longer documents proportionally more likely. The length-balanced
+    subcorpus draw a training pipeline uses instead of naive Bernoulli.
+
+    Scale shape: embarrassingly parallel scoring (row-local md5, no rand(),
+    reproducible across retries/speculative tasks — rand() is NOT stable
+    under task replay, hash-uniforms are), then TakeOrderedAndProject top-k:
+    per-partition heaps, no global sort, no extra shuffle. ln(u)/w is the
+    log-domain form of u^(1/w) — same ordering, no underflow at large w.
+    """
+    d = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        + 0.5
+    ) / F.lit(4294967296.0)
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.round(F.log(u) / F.col("n_chars"), 9).alias("key"),
+        )
+        .orderBy(F.desc("key"), "doc_id")
+        .limit(100)
+    )

@@ -325,3 +325,56 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "query_id",
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH flat AS (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    per_dim AS (
+        SELECT dim, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+        FROM flat GROUP BY dim
+    )
+    SELECT dim,
+           round(s / n, 6) AS mean,
+           round(ss / n - (s / n) * (s / n), 6) AS variance
+    FROM per_dim
+    ORDER BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean and population variance of the embedding matrix —
+    the diagnostic before whitening / quantization: dead dimensions
+    (variance ≈ 0) waste index bits, dominant ones distort unnormalized
+    distance. posexplode gives (dim, value); everything after the first
+    shuffle is #dims-sized.
+
+    Scale shape: sum/sum-of-squares sufficient statistics (single pass,
+    map-side partial aggregation) rather than a two-pass mean-then-variance;
+    variance = E[x²] − E[x]² over float32 inputs upcast to double. At 100 TB
+    the explode is the only large stage and it is embarrassingly parallel —
+    64 running sums per partition, one #dims-row shuffle.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        F.posexplode("embedding").alias("dim0", "xf")
+    ).select((F.col("dim0") + 1).alias("dim"), F.col("xf").cast("double").alias("x"))
+    per_dim = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    return (
+        per_dim.select(
+            "dim",
+            F.round(F.col("s") / F.col("n"), 6).alias("mean"),
+            F.round(
+                F.col("ss") / F.col("n") - (F.col("s") / F.col("n")) ** 2, 6
+            ).alias("variance"),
+        )
+        .orderBy("dim")
+    )

@@ -579,3 +579,56 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_ix")
     )
+
+
+@register(
+    "text_bpe_pair_stats",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT substr(w, CAST(unnest(range(1, length(w))) AS INTEGER), 2) AS pair
+        FROM words
+    )
+    SELECT pair, count(*) AS cnt
+    FROM pairs
+    GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 30
+    """,
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-character-pair frequencies over the corpus — the statistic a
+    byte-pair-encoding tokenizer trainer computes on every merge step (this
+    is step 0: which pair to merge first). Top-30 pairs by count.
+
+    Scale shape: tokenize → per-word pair expansion entirely via JVM
+    higher-order functions (sequence + transform + explode; no Python, no
+    shuffle until the #pairs-sized count), then one aggregation over a key
+    space bounded by alphabet² and a TakeOrderedAndProject top-k. A real BPE
+    trainer iterates merge→recount; each round is this same plan over the
+    re-paired corpus, so the one-round cost bounds the per-merge cost.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), F.lit(0))
+        ).alias("w")
+    )
+    pairs = words.select(
+        F.explode(
+            # sequence(1, 0) DESCENDS in Spark — guard 1-char words explicitly
+            F.expr(
+                "CASE WHEN length(w) < 2 THEN array()"
+                " ELSE transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) END"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(30)
+    )
