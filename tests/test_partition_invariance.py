@@ -35,6 +35,8 @@ REPRESENTATIVE = [
     "events_max_concurrency",  # RANGE-frame running sum must be peer-invariant
     "split_leakage_safe",  # cluster ids must not depend on partition layout
     "dq_split_divergence",  # KL/TVD float sums over the vocab must round stably
+    "events_ewma_smoothing",  # HOF fold: order pinned by array_sort, not layout
+    "graph_link_prediction",  # top-k with float scores: ties must break on ids
 ]
 
 
