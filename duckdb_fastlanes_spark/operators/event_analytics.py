@@ -403,3 +403,113 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "touch_channel",
     )
+
+
+@register(
+    "events_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + CAST(floor(value * 10) AS BIGINT) * 1000000 AS e
+        FROM events
+    )
+    SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+           round((least(a.e, b.e) - greatest(a.s, b.s)) / 1000000.0, 2)
+               AS overlap_s
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.s <= b.e AND b.s <= a.e
+     AND least(a.e, b.e) - greatest(a.s, b.s) > 0
+    ORDER BY a.user_id, event_a, event_b
+    """,
+)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval self-join (each event spans ``floor(value*10)``
+    seconds), the classic range-join problem. The oracle is the naive
+    O(n²/users) theta join; the Spark plan is the *scalable* form: explode
+    each interval into the hour buckets it spans, equi-join on
+    (user, bucket) — so the shuffle key is dense and the comparison set is
+    only same-bucket pairs (Σ bucket², never n²) — then dedupe pair hits
+    across buckets and verify the exact overlap predicate. Same rows, a
+    plan that survives 1000× more events."""
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + (F.floor(F.col("value") * 10).cast("long") * F.lit(1_000_000))
+        ).alias("e"),
+    )
+    bucketed = iv.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.floor(F.col("s") / 3.6e9), F.floor(F.col("e") / 3.6e9))),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            F.col("a.s").alias("as_"),
+            F.col("a.e").alias("ae"),
+            F.col("b.s").alias("bs"),
+            F.col("b.e").alias("be"),
+        )
+        .distinct()
+    )
+    overlap = F.least("ae", "be") - F.greatest("as_", "bs")
+    return (
+        pairs.filter(
+            (F.col("as_") <= F.col("be")) & (F.col("bs") <= F.col("ae")) & (overlap > 0)
+        )
+        .select(
+            "user_id",
+            "event_a",
+            "event_b",
+            F.round(overlap / 1_000_000.0, 2).alias("overlap_s"),
+        )
+        .orderBy("user_id", "event_a", "event_b")
+    )
+
+
+@register(
+    "events_seasonal_profile",
+    oracle="""
+    SELECT dayofweek(ts) AS dow, hour(ts) AS hod,
+           count(*) AS n_events,
+           round(avg(value), 2) AS avg_value,
+           round(count(*) / (sum(count(*)) OVER ()), 4) AS share
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY dow, hod
+    """,
+)
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonal load profile: one partial+final aggregate over
+    (dow, hour) — 168 output cells regardless of input size — then a
+    window-total share over the tiny aggregate (the window runs on 168 rows,
+    not the stream). Spark's dayofweek is 1=Sunday; DuckDB's is 0=Sunday —
+    normalized here."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 2).alias("avg_value"))
+    total = Window.partitionBy()
+    return cells.select(
+        "dow",
+        "hod",
+        "n_events",
+        "avg_value",
+        F.round(F.col("n_events") / F.sum("n_events").over(total), 4).alias("share"),
+    ).orderBy("dow", "hod")

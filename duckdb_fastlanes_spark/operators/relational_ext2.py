@@ -655,3 +655,38 @@ def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "distinct_on_latest",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey, o_orderdate, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """,
+)
+def distinct_on_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB `SELECT DISTINCT ON (k) ... ORDER BY k, v DESC` parity — each
+    customer's latest order (orderkey breaks date ties, so the pick is
+    total-order deterministic). Spark form: row_number over the per-key
+    window, keep rank 1 — one shuffle on the key, and Catalyst plans a
+    WindowGroupLimit (per-partition top-1 pre-filter before the shuffle)
+    rather than a full per-key sort-materialize."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -44,6 +44,7 @@ _MODULES = (
     "duckdb_fastlanes_spark.operators.scalars",
     "duckdb_fastlanes_spark.operators.roundtrip",
     "duckdb_fastlanes_spark.operators.graph",
+    "duckdb_fastlanes_spark.operators.advisor",
     "duckdb_fastlanes_spark.pipeline.text",
     "duckdb_fastlanes_spark.pipeline.curation",
     "duckdb_fastlanes_spark.pipeline.dedup",
