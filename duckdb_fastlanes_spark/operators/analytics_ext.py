@@ -300,3 +300,50 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.lit(100.0) * (F.col("revenue") - prev) / prev, 2).alias("yoy_pct"),
     ).orderBy("yr")
+
+
+@register(
+    "part_skyline",
+    oracle="""
+    SELECT p_partkey, p_size, round(p_retailprice, 2) AS price
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    ORDER BY p_partkey
+    """,
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query: parts not dominated on (cheaper price,
+    larger size). The oracle is the textbook NOT EXISTS quadratic; the Spark
+    plan exploits that the skyline is *distributive*: collapse to distinct
+    (size, price) pairs first (tiny), one running-max window ordered by
+    (price asc, size desc) keeps a pair iff no earlier pair reaches its
+    size, then join winners back to partkeys. At 100 TB the distinct-pair
+    reduction happens map-side; a per-partition local skyline before the
+    global pass bounds the windowed set further."""
+    from pyspark.sql.window import Window
+
+    p = table(spark, sf_dir, "part")
+    pairs = p.select("p_size", "p_retailprice").distinct()
+    w = (
+        Window.orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        pairs.withColumn("prev_max", F.max("p_size").over(w))
+        .filter(F.col("prev_max").isNull() | (F.col("prev_max") < F.col("p_size")))
+        .select(
+            F.col("p_size").alias("s_size"), F.col("p_retailprice").alias("s_price")
+        )
+    )
+    return (
+        p.join(
+            F.broadcast(sky),
+            (p.p_size == F.col("s_size")) & (p.p_retailprice == F.col("s_price")),
+        )
+        .select("p_partkey", "p_size", F.round("p_retailprice", 2).alias("price"))
+        .orderBy("p_partkey")
+    )

@@ -513,3 +513,61 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_value",
         F.round(F.col("n_events") / F.sum("n_events").over(total), 4).alias("share"),
     ).orderBy("dow", "hod")
+
+
+@register(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           round(m.med, 2) AS med,
+           round(d.mad, 2) AS mad,
+           sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * d.mad
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY e.event_type, m.med, d.mad
+    ORDER BY e.event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate: median absolute deviation per event type with the
+    1.4826 normal-consistency constant (the robust twin of
+    events_anomaly_zscore — immune to the very outliers it hunts). Three
+    passes over the stream, but each reduces to a per-type scalar that
+    broadcasts back; no window, no global sort. Exact medians keep the
+    oracle hashable; at 100 TB swap in percentile_approx and drop a pass."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("median(value)").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("median(abs(value - med))").alias("mad"))
+    )
+    dev = F.abs(F.col("value") - F.col("med"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(dev > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.round("med", 2).alias("med"),
+            F.round("mad", 2).alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

@@ -632,3 +632,112 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "pair")
         .limit(30)
     )
+
+
+@register(
+    "vocab_oov_rate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM toks GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 500
+    ),
+    per_doc AS (
+        SELECT t.doc_id, t.lang,
+               avg(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END) AS oov
+        FROM toks t LEFT JOIN vocab v USING (tok)
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang, count(*) AS n_docs, round(avg(oov), 4) AS avg_oov_rate
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-500 token vocab
+    *in-engine* (count desc, token asc — a deterministic total order), then
+    measure each document's out-of-vocabulary rate against it, rolled up per
+    language. The vocab is tiny → broadcast to the token stream; the token
+    explode never leaves its partition until the per-doc aggregate (one
+    shuffle on doc_id). This is the OOV gate a BPE/tokenizer-training
+    pipeline runs before committing a vocab."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(500)
+        .select(F.col("tok").alias("v_tok"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), toks.tok == F.col("v_tok"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.avg(
+                F.when(F.col("v_tok").isNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+            ).alias("oov")
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("oov"), 4).alias("avg_oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_sentence_stats",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source,
+               len(regexp_extract_all(text, '[^.!?]*[A-Za-z][^.!?]*'))
+                   AS n_sentences,
+               len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words
+        FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           round(avg(n_sentences), 2) AS avg_sentences,
+           round(CAST(sum(n_words) AS DOUBLE) / sum(n_sentences), 2)
+               AS words_per_sentence
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation profile per source: sentences = maximal
+    terminator-free runs containing a letter (pure regex count — no explode,
+    no UDF, stays in whole-stage codegen), then one partial+final aggregate.
+    The words-per-sentence ratio uses corpus totals (sum/sum), not an avg of
+    ratios, so short docs don't dominate."""
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[^.!?]*[A-Za-z][^.!?]*"), F.lit(0))
+        ).alias("n_sentences"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), F.lit(0))).alias(
+            "n_words"
+        ),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_sentences"), 2).alias("avg_sentences"),
+            F.round(
+                F.sum("n_words").cast("double") / F.sum("n_sentences"), 2
+            ).alias("words_per_sentence"),
+        )
+        .orderBy("source")
+    )
