@@ -571,3 +571,52 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           round(sum(value * dur_us) / sum(dur_us), 2) AS twap,
+           round(sum(dur_us) / 3600000000.0, 2) AS observed_hours
+    FROM seq WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    HAVING count(*) >= 5
+    ORDER BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each reading holds until the user's next
+    event, so it is weighted by its holding duration — the correct average
+    for irregularly-sampled series (plain avg over-weights bursts). One
+    window partitioned by user_id (the shared events partitioning key), then
+    one aggregate; ties on ts break on event_id so lead() is total-order
+    deterministic on both engines."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 2).alias(
+                "twap"
+            ),
+            F.round(F.sum("dur_us") / 3600000000.0, 2).alias("observed_hours"),
+            F.count(F.lit(1)).alias("n_holds"),
+        )
+        .filter(F.col("n_holds") >= 5)
+        .drop("n_holds")
+        .orderBy("user_id")
+    )

@@ -741,3 +741,187 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ),
+    ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+        FROM counts ORDER BY cnt DESC, tok LIMIT 1000
+    )
+    SELECT round(regr_slope(ln(cnt), ln(rnk)), 3) AS zipf_slope,
+           round(regr_intercept(ln(cnt), ln(rnk)), 3) AS zipf_intercept,
+           round(regr_r2(ln(cnt), ln(rnk)), 3) AS r2,
+           count(*) AS n_ranks
+    FROM ranked
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus: token frequencies ranked (count desc,
+    token asc — total order), log-log linear regression over the top 1000
+    ranks via the built-in regr_* aggregates. A natural-language corpus
+    lands near slope −1; synthetic or boilerplate-heavy data drifts — a
+    one-number corpus-health probe. The token aggregate partial-combines;
+    the window only ever sees the 1000 survivors."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), F.lit(0))
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(1000)
+    )
+    ranked = counts.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "tok"))
+    )
+    lc, lr = F.log(F.col("cnt")), F.log(F.col("rnk"))
+    return ranked.agg(
+        F.round(F.expr("regr_slope(ln(cnt), ln(rnk))"), 3).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(ln(cnt), ln(rnk))"), 3).alias("zipf_intercept"),
+        F.round(F.expr("regr_r2(ln(cnt), ln(rnk))"), 3).alias("r2"),
+        F.count(F.lit(1)).alias("n_ranks"),
+    )
+
+
+@register(
+    "text_nb_source_classifier",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INTEGER) % 100 AS bucket,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    train AS (SELECT * FROM toks WHERE bucket < 80),
+    test  AS (SELECT * FROM toks WHERE bucket >= 80),
+    class_tot AS (
+        SELECT source, count(*) AS tot FROM train GROUP BY source
+    ),
+    vocab_n AS (SELECT count(DISTINCT tok) AS v FROM train),
+    model AS (
+        SELECT t.source, t.tok,
+               CAST(floor(1000000.0 * ln((count(*) + 1.0) / (ct.tot + vn.v)))
+                    AS BIGINT) AS l_tok
+        FROM train t, class_tot ct, vocab_n vn
+        WHERE ct.source = t.source
+        GROUP BY t.source, t.tok, ct.tot, vn.v
+    ),
+    defaults AS (
+        SELECT ct.source,
+               CAST(floor(1000000.0 * ln(1.0 / (ct.tot + vn.v))) AS BIGINT)
+                   AS l_unseen
+        FROM class_tot ct, vocab_n vn
+    ),
+    scored AS (
+        SELECT te.doc_id, te.source AS actual, d.source AS candidate,
+               sum(coalesce(m.l_tok, d.l_unseen)) AS score
+        FROM test te
+        CROSS JOIN defaults d
+        LEFT JOIN model m ON m.source = d.source AND m.tok = te.tok
+        GROUP BY te.doc_id, te.source, d.source
+    ),
+    predicted AS (
+        SELECT doc_id, actual, candidate AS predicted,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, candidate) AS rn
+        FROM scored
+    )
+    SELECT actual, predicted, count(*) AS n
+    FROM predicted WHERE rn = 1
+    GROUP BY actual, predicted
+    ORDER BY actual, predicted
+    """,
+)
+def text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained *in-engine*: 80/20 hash split (same
+    md5-bucket idiom as the sampling family — partition-invariant), Laplace-
+    smoothed per-source token log-likelihoods, argmax over sources, confusion
+    matrix out. Log terms are floored to integer micro-nats BEFORE summing,
+    so scores are exact integers — order-independent, hash-stable across
+    engines (float sums would race in the last ulp).
+
+    Scale shape: the model is |vocab|×|sources| — broadcast if small,
+    shuffle-join on tok otherwise (it's here); the per-(doc,source) score is
+    one partial+final aggregate. Priors are intentionally uniform (class
+    counts are near-equal after the hash split; dropping the prior term
+    keeps the score a pure token sum)."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = d.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int")
+            % 100
+        ).alias("bucket"),
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    train = toks.filter(F.col("bucket") < 80)
+    test = toks.filter(F.col("bucket") >= 80)
+    class_tot = train.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
+    vocab_n = train.agg(F.countDistinct("tok").alias("v"))
+    model = (
+        train.groupBy(F.col("source").alias("m_source"), F.col("tok").alias("m_tok"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(class_tot), F.col("m_source") == F.col("source"))
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "m_source",
+            "m_tok",
+            F.floor(
+                1000000.0 * F.log((F.col("cnt") + 1.0) / (F.col("tot") + F.col("v")))
+            )
+            .cast("bigint")
+            .alias("l_tok"),
+        )
+    )
+    defaults = (
+        class_tot.crossJoin(F.broadcast(vocab_n))
+        .select(
+            F.col("source").alias("d_source"),
+            F.floor(1000000.0 * F.log(1.0 / (F.col("tot") + F.col("v"))))
+            .cast("bigint")
+            .alias("l_unseen"),
+        )
+    )
+    scored = (
+        test.crossJoin(F.broadcast(defaults))
+        .join(
+            model,
+            (F.col("m_source") == F.col("d_source")) & (F.col("m_tok") == F.col("tok")),
+            "left",
+        )
+        .groupBy(
+            F.col("doc_id"),
+            F.col("source").alias("actual"),
+            F.col("d_source").alias("candidate"),
+        )
+        .agg(F.sum(F.coalesce(F.col("l_tok"), F.col("l_unseen"))).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "candidate")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("actual", F.col("candidate").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual", "predicted")
+    )
