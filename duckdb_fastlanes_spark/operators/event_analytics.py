@@ -486,7 +486,7 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT dayofweek(ts) AS dow, hour(ts) AS hod,
            count(*) AS n_events,
-           round(avg(value), 2) AS avg_value,
+           CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents,
            round(count(*) / (sum(count(*)) OVER ()), 4) AS share
     FROM events
     GROUP BY 1, 2
@@ -504,13 +504,16 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     cells = ev.groupBy(
         (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hod")
-    ).agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 2).alias("avg_value"))
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value") * 100).cast("bigint").alias("total_value_cents"),
+    )
     total = Window.partitionBy()
     return cells.select(
         "dow",
         "hod",
         "n_events",
-        "avg_value",
+        "total_value_cents",
         F.round(F.col("n_events") / F.sum("n_events").over(total), 4).alias("share"),
     ).orderBy("dow", "hod")
 
