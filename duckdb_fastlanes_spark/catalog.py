@@ -72,6 +72,10 @@ def optimize_layout(spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/df
     # drop analyzed-scan cache entries for this dir so reads re-resolve
     for k in [k for k in _CACHE if k[1] == key]:
         del _CACHE[k]
+    # force view re-registration over the staged copies
+    for sid, d in list(_VIEWS_CURRENT.items()):
+        if d == key:
+            del _VIEWS_CURRENT[sid]
     return out_root
 
 
@@ -111,6 +115,34 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every catalog table as a temp view for spark.sql queries."""
+    """Register every catalog table present in ``sf_dir`` as a temp view for
+    spark.sql queries (partial catalogs — e.g. test fixtures with a single
+    table — register only what exists)."""
+    import os
+
+    base = _LAYOUT.get(sf_dir.rstrip("/"), sf_dir.rstrip("/"))
     for name in TABLES:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
+        if os.path.exists(os.path.join(base, f"{name}.parquet")):
+            table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+#: session id → sf_dir its temp views currently point at (views are
+#: session-global, so switching directories must re-register)
+_VIEWS_CURRENT: dict[int, str] = {}
+
+
+def sql_q(spark: SparkSession, sf_dir: str, sql: str) -> "DataFrame":
+    """Run a Spark-dialect SQL body over the catalog views.
+
+    Construction-cost twin of DuckDB's ``execute(sql)``: ONE JVM parse of the
+    whole query instead of a Py4J round-trip per Column/relational call
+    (measured 0.05-0.09 s of pure driver-side build per mid-size DataFrame
+    composition — pure overhead against an interactive baseline). Views are
+    registered once per session and re-registered when the scale-factor dir
+    changes; ``optimize_layout`` invalidates them so re-registration picks
+    up the staged copies."""
+    dir_key = sf_dir.rstrip("/")
+    if _VIEWS_CURRENT.get(id(spark)) != dir_key:
+        register_views(spark, sf_dir)
+        _VIEWS_CURRENT[id(spark)] = dir_key
+    return spark.sql(sql)

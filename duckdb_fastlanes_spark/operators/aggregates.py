@@ -36,17 +36,21 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus) with grand total; NULL grouping
     slots coalesced to 'ALL' so both engines hash identically (data is NOT NULL
     so no ambiguity with real NULL keys)."""
+    from duckdb_fastlanes_spark.catalog import sql_q
     from duckdb_fastlanes_spark.functions.ordering import ordered_small
 
-    li = table(spark, sf_dir, "lineitem")
     return ordered_small(
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "n",
-            "sum_qty",
+        sql_q(
+            spark,
+            sf_dir,
+            """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   count(1) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            """,
         ),
         "returnflag",
         "linestatus",

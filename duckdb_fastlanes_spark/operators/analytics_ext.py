@@ -347,3 +347,140 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_size", F.round("p_retailprice", 2).alias("price"))
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "chi2_priority_status",
+    oracle="""
+    WITH obs AS (
+        SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    rowt AS (SELECT p, sum(o) AS rt FROM obs GROUP BY p),
+    colt AS (SELECT s, sum(o) AS ct FROM obs GROUP BY s),
+    tot AS (SELECT sum(o) AS n FROM obs)
+    SELECT round(sum((obs.o - rowt.rt * colt.ct / tot.n) ** 2
+                     / (rowt.rt * colt.ct / tot.n)), 3) AS chi2,
+           (count(DISTINCT obs.p) - 1) * (count(DISTINCT obs.s) - 1) AS dof,
+           CAST(max(tot.n) AS BIGINT) AS n
+    FROM obs, rowt, colt, tot
+    WHERE obs.p = rowt.p AND obs.s = colt.s
+    """,
+)
+def chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between order priority and status — the
+    categorical-drift gate a data-quality suite runs between snapshots. One
+    aggregate to the contingency table (|P|×|S| cells), margins re-aggregated
+    from those cells (never from the raw table), everything after the first
+    aggregate is O(cells)."""
+    o = table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rowt = obs.groupBy("p").agg(F.sum("o").alias("rt"))
+    colt = obs.groupBy("s").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    return (
+        obs.join(F.broadcast(rowt), "p")
+        .join(F.broadcast(colt), "s")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum((F.col("o") - e) ** 2 / e), 3).alias("chi2"),
+            (
+                (F.countDistinct("p") - 1) * (F.countDistinct("s") - 1)
+            ).alias("dof"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+@register(
+    "events_rolling_distinct_users",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM activity)
+    SELECT d.day,
+           count(DISTINCT a.user_id) AS active_7d,
+           count(DISTINCT CASE WHEN a.day = d.day THEN a.user_id END) AS active_1d
+    FROM days d
+    JOIN activity a ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    ORDER BY d.day
+    """,
+)
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users (the DAU/WAU board metric). Distinct
+    windowed counts don't compose, so the oracle's range join is re-expressed
+    scalably: collapse to distinct (user, day) first, then EXPLODE each
+    activity day into the ≤7 rolling windows it feeds and equi-aggregate on
+    window day — shuffle keys are dense days, never a theta join, and the
+    fan-out is bounded ×7 of the already-collapsed activity set."""
+    ev = table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    max_day = activity.agg(F.max("day").alias("mx"))
+    fanned = (
+        activity.crossJoin(F.broadcast(max_day))
+        .select(
+            "user_id",
+            "day",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.least(F.date_add(F.col("day"), 6), F.col("mx"))
+                )
+            ).alias("wday"),
+        )
+    )
+    return (
+        fanned.groupBy(F.col("wday").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("active_7d"),
+            F.countDistinct(
+                F.when(F.col("day") == F.col("wday"), F.col("user_id"))
+            ).alias("active_1d"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "entropy_by_group",
+    oracle="""
+    WITH c AS (
+        SELECT p_brand, p_type, count(*) AS cnt
+        FROM part GROUP BY 1, 2
+    ),
+    t AS (SELECT p_brand, sum(cnt) AS n FROM c GROUP BY p_brand)
+    SELECT c.p_brand,
+           CAST(max(t.n) AS BIGINT) AS n_parts,
+           count(*) AS n_types,
+           round(sum(-(cnt / t.n) * ln(cnt / t.n)), 4) AS type_entropy
+    FROM c JOIN t ON c.p_brand = t.p_brand
+    GROUP BY c.p_brand
+    ORDER BY c.p_brand
+    """,
+)
+def entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the type distribution within each brand — the
+    concentration/diversity probe (0 = single-type brand, ln(k) = uniform
+    over k types). Two cheap aggregates over the (brand, type) cells; the
+    raw table is scanned once."""
+    p = table(spark, sf_dir, "part")
+    c = p.groupBy("p_brand", "p_type").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy(F.col("p_brand").alias("t_brand")).agg(F.sum("cnt").alias("n"))
+    frac = F.col("cnt") / F.col("n")
+    return (
+        c.join(F.broadcast(t), c.p_brand == F.col("t_brand"))
+        .groupBy("p_brand")
+        .agg(
+            F.max("n").cast("bigint").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.sum(-frac * F.log(frac)), 4).alias("type_entropy"),
+        )
+        .orderBy("p_brand")
+    )

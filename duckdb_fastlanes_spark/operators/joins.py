@@ -31,27 +31,30 @@ from duckdb_fastlanes_spark.registry import register
     """,
 )
 def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: fact ⋈ broadcast(dim) ⋈ broadcast(dim) — zero fact shuffle
-    before the aggregate."""
+    """Star join: fact ⋈ broadcast(dim) — zero fact shuffle before the
+    aggregate. The dims are pre-joined and filtered BEFORE broadcasting: one
+    broadcast build (of only the surviving nations) instead of two, and the
+    region filter never touches an executor — strictly less data shipped at
+    any scale. Single-parse SQL body with an explicit BROADCAST hint."""
+    from duckdb_fastlanes_spark.catalog import sql_q
     from duckdb_fastlanes_spark.functions.ordering import ordered_small
 
-    c = table(spark, sf_dir, "customer")
-    n = table(spark, sf_dir, "nation")
-    r = table(spark, sf_dir, "region")
-    # Pre-join the dims and filter BEFORE broadcasting: one broadcast build
-    # (of only the surviving nations) instead of two, and the region filter
-    # never touches an executor — strictly less data shipped at any scale.
-    dim = F.broadcast(
-        n.join(r, n.n_regionkey == r.r_regionkey)
-        .where("r_name IN ('ASIA', 'EUROPE')")
-        .select("n_nationkey", "n_name")
-    )
     return ordered_small(
-        c.join(dim, c.c_nationkey == dim.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        sql_q(
+            spark,
+            sf_dir,
+            """
+            SELECT /*+ BROADCAST(d) */ d.n_name,
+                   count(1) AS n_customers,
+                   round(sum(c.c_acctbal), 2) AS total_bal
+            FROM customer c
+            JOIN (
+                SELECT n.n_nationkey, n.n_name
+                FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name IN ('ASIA', 'EUROPE')
+            ) d ON c.c_nationkey = d.n_nationkey
+            GROUP BY d.n_name
+            """,
         ),
         "n_name",
     )
@@ -95,26 +98,26 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER JOIN USING (reference all_types_single_threaded.test:31) with
-    unmatched rows on both sides; sort-merge join under the hood."""
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    a = (
-        o.filter(F.col("o_totalprice") > 300000)
-        .groupBy((F.col("o_orderkey") % 97).alias("k"))
-        .agg(F.count(F.lit(1)).alias("cnt_o"))
-    )
-    b = (
-        li.filter(F.col("l_quantity") > 49)
-        .groupBy((F.col("l_orderkey") % 89).alias("k"))
-        .agg(F.count(F.lit(1)).alias("cnt_l"))
-    )
+    unmatched rows on both sides; sort-merge join under the hood (full outer
+    cannot broadcast-hash). Single-parse SQL body."""
+    from duckdb_fastlanes_spark.catalog import sql_q
     from duckdb_fastlanes_spark.functions.ordering import ordered_small
 
     return ordered_small(
-        a.join(b, on="k", how="full_outer").select(
-            "k",
-            F.coalesce("cnt_o", F.lit(0)).alias("cnt_o"),
-            F.coalesce("cnt_l", F.lit(0)).alias("cnt_l"),
+        sql_q(
+            spark,
+            sf_dir,
+            """
+            SELECT k,
+                   coalesce(a.cnt_o, 0) AS cnt_o,
+                   coalesce(b.cnt_l, 0) AS cnt_l
+            FROM (SELECT o_orderkey % 97 AS k, count(1) AS cnt_o
+                  FROM orders WHERE o_totalprice > 300000 GROUP BY o_orderkey % 97) a
+            FULL OUTER JOIN
+                 (SELECT l_orderkey % 89 AS k, count(1) AS cnt_l
+                  FROM lineitem WHERE l_quantity > 49 GROUP BY l_orderkey % 89) b
+            USING (k)
+            """,
         ),
         "k",
     )

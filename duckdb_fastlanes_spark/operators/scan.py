@@ -43,16 +43,19 @@ def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective conjunctive range filter — pushed to parquet (row-group stats
-    skipping = the reference's zone-map pruning)."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.filter(
-        (F.col("l_shipdate") > F.lit("2000-06-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") <= F.lit("2000-09-01 00:00:00").cast("timestamp"))
-        & (F.col("l_quantity") >= 45)
-    ).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round("l_extendedprice", 2).alias("price"),
+    skipping = the reference's zone-map pruning). Single-parse SQL body."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        FROM lineitem
+        WHERE l_shipdate > TIMESTAMP '2000-06-01 00:00:00'
+          AND l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+          AND l_quantity >= 45
+        """,
     )
 
 

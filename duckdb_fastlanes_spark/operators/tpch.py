@@ -43,28 +43,32 @@ Q1_CUTOFF = "1998-09-02"
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 — filter → hash agg (partial+final) → sort on 6 groups
     (group-key domain is a bounded enum, so the total order comes from
-    ordered_small rather than a sampled range sort)."""
+    ordered_small rather than a sampled range sort). The body is one SQL
+    string (single JVM parse — the construction-cost analogue of DuckDB's
+    execute(sql); a Py4J Column-tree build of the same plan costs ~0.05 s
+    of driver time per run)."""
+    from duckdb_fastlanes_spark.catalog import sql_q
     from duckdb_fastlanes_spark.functions.ordering import ordered_small
 
-    li = table(spark, sf_dir, "lineitem")
-    # F.expr SQL fragments: one JVM parse per aggregate instead of a deep
-    # Py4J Column tree — construction drops ~0.06 s, and the parsed plan
-    # also executes slightly faster (measured 0.34 -> 0.23 s at sf0.1).
     r = ROUND_SCALE
     return ordered_small(
-        li.where(f"l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.expr(f"round(sum(l_quantity), {r}) AS sum_qty"),
-            F.expr(f"round(sum(l_extendedprice), {r}) AS sum_base_price"),
-            F.expr(f"round(sum(l_extendedprice * (1 - l_discount)), {r}) AS sum_disc_price"),
-            F.expr(
-                f"round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {r}) AS sum_charge"
-            ),
-            F.expr(f"round(avg(l_quantity), {r}) AS avg_qty"),
-            F.expr(f"round(avg(l_extendedprice), {r}) AS avg_price"),
-            F.expr(f"round(avg(l_discount), {r}) AS avg_disc"),
-            F.expr("count(1) AS count_order"),
+        sql_q(
+            spark,
+            sf_dir,
+            f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), {r})      AS sum_qty,
+                   round(sum(l_extendedprice), {r}) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), {r}) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {r}) AS sum_charge,
+                   round(avg(l_quantity), {r})      AS avg_qty,
+                   round(avg(l_extendedprice), {r}) AS avg_price,
+                   round(avg(l_discount), {r})      AS avg_disc,
+                   count(1)                         AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            """,
         ),
         "l_returnflag",
         "l_linestatus",
@@ -82,12 +86,20 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """count(distinct) — expand+two-phase agg in Spark; exact, shuffle on key."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.countDistinct("l_orderkey").alias("distinct_orders"),
-        F.countDistinct("l_partkey").alias("distinct_parts"),
-        F.count(F.lit(1)).alias("n_rows"),
+    """count(distinct) — expand+two-phase agg in Spark; exact, shuffle on key.
+    Single-parse SQL body (measured 0.27 → 0.20 s at sf0.1 vs the Column-tree
+    build of the identical plan)."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT count(DISTINCT l_orderkey) AS distinct_orders,
+               count(DISTINCT l_partkey)  AS distinct_parts,
+               count(1)                   AS n_rows
+        FROM lineitem
+        """,
     )
 
 
@@ -101,10 +113,17 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k: orderBy().limit(k) → TakeOrderedAndProject, no global sort shuffle."""
-    o = table(spark, sf_dir, "orders")
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(25)
-        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    """Top-k: ORDER BY ... LIMIT k → TakeOrderedAndProject, no global sort
+    shuffle. Single-parse SQL body."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 25
+        """,
     )

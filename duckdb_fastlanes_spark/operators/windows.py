@@ -30,10 +30,19 @@ from duckdb_fastlanes_spark.registry import register
 )
 def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROW_NUMBER per customer in order date order (orderkey tiebreak →
-    deterministic)."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
+    deterministic). Single-parse SQL body."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey, o_custkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+        """,
+    )
 
 
 @register(

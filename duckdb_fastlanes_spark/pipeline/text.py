@@ -85,25 +85,26 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: punctuation ratio, stopword ratio, mean word length,
-    and a composite keep/drop gate — the standard pretraining-corpus filters."""
-    d = table(spark, sf_dir, "documents")
-    text = F.col("text")
-    n_words = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), F.lit(0)))
-    stop_re = r"\b(" + "|".join(STOPWORDS) + r")\b"
-    n_stop = F.size(F.regexp_extract_all(F.lower(text), F.lit(stop_re), F.lit(0)))
-    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[\p{Punct}]"), F.lit(0)))
-    return d.select(
-        "doc_id",
-        F.round(n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)), 4).alias(
-            "punct_ratio"
-        ),
-        F.round(n_stop.cast("double") / F.greatest(n_words, F.lit(1)), 4).alias("stopword_ratio"),
-        F.round(F.length(text).cast("double") / F.greatest(n_words, F.lit(1)), 4).alias(
-            "chars_per_word"
-        ),
-        (
-            F.length(text).between(64, 4096) & (n_words >= 10)
-        ).alias("passes_quality"),
+    and a composite keep/drop gate — the standard pretraining-corpus filters.
+    Single-parse Spark-dialect SQL body (\\p{Punct} is the Java-regex twin
+    of the oracle's POSIX [[:punct:]])."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    stop_re = r"\\b(" + "|".join(STOPWORDS) + r")\\b"
+    nw = "size(regexp_extract_all(text, '[A-Za-z]+', 0))"
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        SELECT doc_id,
+               round(CAST(size(regexp_extract_all(text, '[\\\\p{{Punct}}]', 0)) AS DOUBLE)
+                     / greatest(length(text), 1), 4) AS punct_ratio,
+               round(CAST(size(regexp_extract_all(lower(text), '{stop_re}', 0)) AS DOUBLE)
+                     / greatest({nw}, 1), 4) AS stopword_ratio,
+               round(CAST(length(text) AS DOUBLE) / greatest({nw}, 1), 4) AS chars_per_word,
+               (length(text) BETWEEN 64 AND 4096) AND ({nw} >= 10) AS passes_quality
+        FROM documents
+        """,
     )
 
 

@@ -83,9 +83,10 @@ def tune_for_input(spark: SparkSession, data_dir: str) -> None:
       small-query wall time);
     - constraint propagation off: O(plan²) driver work inferring predicates
       that row-group pruning already covers at this size (~10%);
-    - shuffle partitions ≈ cores/4: 32 near-empty shuffle tasks cost more to
+    - shuffle partitions ≈ cores/8: 32 near-empty shuffle tasks cost more to
       schedule than they parallelize (measured ~40% on shuffle-heavy queries;
-      AQE coalescing normally absorbs this, but AQE is off here).
+      AQE coalescing normally absorbs this, but AQE is off here; a 4-vs-8-vs-2
+      sweep at sf0.1 put 4 ahead on 8 of 9 headline shapes).
 
     Above the threshold every default stands (AQE, skew-join splitting, wide
     shuffles) — the 100 TB path is the default path, the fast path is the
@@ -103,4 +104,4 @@ def tune_for_input(spark: SparkSession, data_dir: str) -> None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus // 4, 2)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus // 8, 2)))
