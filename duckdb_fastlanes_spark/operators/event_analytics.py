@@ -623,3 +623,73 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_holds")
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_cusum_drift",
+    oracle="""
+    WITH mu AS (
+        SELECT event_type,
+               CAST(round(avg(value) * 100000) AS BIGINT) AS mu_scaled
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.ts, e.event_id,
+               CAST(round(e.value * 100) AS BIGINT) * 1000 - m.mu_scaled AS d
+        FROM events e JOIN mu m USING (event_type)
+    ),
+    cusum AS (
+        SELECT event_type, ts,
+               sum(d) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS c
+        FROM dev
+    )
+    SELECT event_type,
+           round(max(c) / 100000.0, 2) AS max_cusum,
+           min(CASE WHEN c = max_c THEN ts END) AS ts_at_max
+    FROM (SELECT *, max(c) OVER (PARTITION BY event_type) AS max_c FROM cusum)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per event type: running sum of deviations from
+    the per-type mean; the maximum excursion and when it peaked flag level
+    shifts plain thresholds miss. All arithmetic is EXACT INTEGER in
+    scaled units (cents×1000 vs a 10⁻⁵-scaled mean), so the running sum is
+    associativity-proof — identical on both engines no matter how window
+    partials combine. One shuffle on event_type; everything else is
+    window + aggregate within the partition."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    mu = ev.groupBy("event_type").agg(
+        F.round(F.avg("value") * 100000).cast("bigint").alias("mu_scaled")
+    )
+    dev = ev.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            F.round(F.col("value") * 100).cast("bigint") * 1000 - F.col("mu_scaled")
+        ).alias("d"),
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = dev.select(
+        "event_type", "ts", F.sum("d").over(wrun).alias("c")
+    ).withColumn("max_c", F.max("c").over(Window.partitionBy("event_type")))
+    return (
+        cusum.groupBy("event_type")
+        .agg(
+            F.round(F.max("c") / 100000.0, 2).alias("max_cusum"),
+            F.min(F.when(F.col("c") == F.col("max_c"), F.col("ts"))).alias(
+                "ts_at_max"
+            ),
+        )
+        .orderBy("event_type")
+    )

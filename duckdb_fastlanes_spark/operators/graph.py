@@ -336,3 +336,68 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+@register(
+    "graph_bfs_distance",
+    oracle=f"""
+    WITH {_ORACLE_EDGES},
+    d0(node, dist) AS (SELECT 'c1', 0),
+    d1 AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT * FROM d0
+            UNION ALL
+            SELECT e.dst, p.dist + 1 FROM edges e JOIN d0 p ON p.node = e.src
+        ) GROUP BY node
+    ),
+    d2 AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT * FROM d1
+            UNION ALL
+            SELECT e.dst, p.dist + 1 FROM edges e JOIN d1 p ON p.node = e.src
+        ) GROUP BY node
+    ),
+    d3 AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT * FROM d2
+            UNION ALL
+            SELECT e.dst, p.dist + 1 FROM edges e JOIN d2 p ON p.node = e.src
+        ) GROUP BY node
+    )
+    SELECT dist, count(*) AS n_nodes
+    FROM d3 GROUP BY dist ORDER BY dist
+    """,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS (3 hops) from customer c1 over the purchase graph —
+    the traversal primitive under "blast radius" / reachability questions.
+    Same Pregel shape as PageRank: per-round frontier ⋈ edges, then a
+    min-dist aggregate; the frontier frame is one row per reached node, and
+    the edge list shuffles on src once per round (co-partitioned after
+    round 1). Output is the distance histogram (bounded rows)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .selectExpr("'c' || o_custkey AS c_node", "'s' || l_suppkey AS s_node")
+        .distinct()
+    )
+    edges = (
+        pairs.selectExpr("c_node AS src", "s_node AS dst")
+        .unionAll(pairs.selectExpr("s_node AS src", "c_node AS dst"))
+        .localCheckpoint()  # reused by all three rounds: flat lineage
+    )
+    dist = spark.createDataFrame([("c1", 0)], "node string, dist int")
+    for _ in range(3):
+        step = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(step).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+    return (
+        dist.groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("dist")
+    )

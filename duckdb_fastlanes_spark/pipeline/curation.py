@@ -470,3 +470,42 @@ def dq_split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "curriculum_buckets",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               ntile(4) OVER (ORDER BY n_chars, doc_id) AS bucket
+        FROM documents
+    )
+    SELECT bucket, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM scored GROUP BY bucket ORDER BY bucket
+    """,
+)
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: quartile buckets over a difficulty proxy
+    (document length), ntile over the (n_chars, doc_id) total order — the
+    stage gates a curriculum-training data loader reads in sequence. The
+    global ntile needs one ordered pass; at 100 TB swap in percentile-bound
+    bucketing (approx quantiles → broadcast range table), which this query's
+    output contract (bucket, count, min, max) already matches."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(4).over(Window.orderBy("n_chars", "doc_id")).alias("bucket"),
+    )
+    return (
+        scored.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )

@@ -378,3 +378,70 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, label AS q_label, e AS qe FROM v WHERE vec_id < 5),
+    scored AS (
+        SELECT q.q_id, v.vec_id, v.label,
+               list_cosine_similarity(v.e, q.qe) AS cos,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY list_cosine_similarity(v.e, q.qe) DESC,
+                                           v.vec_id) AS rn
+        FROM v JOIN q ON v.label <> q.q_label
+    )
+    SELECT q_id, vec_id AS neg_id, label AS neg_label, round(cos, 4) AS cosine
+    FROM scored WHERE rn <= 3
+    ORDER BY q_id, rn
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query vector
+    (vec_id < 5), the 3 most-similar embeddings carrying a DIFFERENT label —
+    the negatives that actually teach the model. Queries broadcast to the
+    corpus (the corpus never shuffles); per-query top-3 is a bounded
+    per-partition heap via the row_number window on the query key."""
+    from pyspark.sql.window import Window
+
+    from duckdb_fastlanes_spark.functions.vector import as_double_array, cosine_similarity
+
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("e")
+    )
+    q = F.broadcast(
+        v.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("e").alias("qe"),
+        )
+    )
+    scored = (
+        v.join(q, v.label != F.col("q_label"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            cosine_similarity(F.col("e"), F.col("qe")).alias("cos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+            ),
+        )
+    )
+    return (
+        scored.filter(F.col("rn") <= 3)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round("cos", 4).alias("cosine"),
+        )
+        .orderBy("q_id", "rn")
+    )
