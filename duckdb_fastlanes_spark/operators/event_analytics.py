@@ -693,3 +693,60 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_seasonal_naive_mae",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
+        FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT a.event_type, a.hour, a.total_cents,
+               b.total_cents AS forecast_cents
+        FROM hourly a JOIN hourly b
+          ON b.event_type = a.event_type
+         AND b.hour = a.hour - INTERVAL 168 HOUR
+    )
+    SELECT event_type,
+           count(*) AS n_forecasts,
+           round(avg(abs(total_cents - forecast_cents)) / 100.0, 2) AS mae,
+           round(CAST(sum(abs(total_cents - forecast_cents)) AS DOUBLE)
+                 / sum(abs(total_cents)), 4) AS wape
+    FROM joined GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's per-type total
+    with the value 168 hours (one week) earlier, report MAE and WAPE — the
+    baseline every real forecasting model must beat, and a drift alarm when
+    WAPE jumps. Hourly totals are exact integer cents (associativity-proof);
+    the self-join is a dense equi-join on (type, hour) over the tiny hourly
+    rollup, never the raw stream."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.round(F.sum("value") * 100).cast("bigint").alias("total_cents"))
+    fcst = hourly.select(
+        F.col("event_type").alias("f_type"),
+        (F.col("hour") + F.expr("INTERVAL 168 HOURS")).alias("f_hour"),
+        F.col("total_cents").alias("forecast_cents"),
+    )
+    joined = hourly.join(
+        fcst,
+        (F.col("event_type") == F.col("f_type")) & (F.col("hour") == F.col("f_hour")),
+    )
+    err = F.abs(F.col("total_cents") - F.col("forecast_cents"))
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_forecasts"),
+            F.round(F.avg(err) / 100.0, 2).alias("mae"),
+            F.round(
+                F.sum(err).cast("double") / F.sum(F.abs(F.col("total_cents"))), 4
+            ).alias("wape"),
+        )
+        .orderBy("event_type")
+    )

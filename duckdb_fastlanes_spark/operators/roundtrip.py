@@ -65,3 +65,42 @@ def roundtrip_file_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = read_fls(spark, out)
     n = rt.count()
     return spark.createDataFrame([(-(-n // 16384), n)], "min_files BIGINT, n_rows BIGINT")
+
+
+@register(
+    "roundtrip_text_sources",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(0 AS BIGINT) AS csv_mismatches,
+           CAST(0 AS BIGINT) AS jsonl_mismatches
+    FROM orders
+    """,
+)
+def roundtrip_text_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSONL source fidelity: write orders to both text formats via
+    io.text_sources, read back with explicit schemas (text formats carry no
+    types — schema-on-read is the contract, matching read_fls's schema-full
+    stance), and compare exactly. Timestamps survive via ISO-8601; doubles
+    via round-trippable formatting. The declared row is
+    (n_rows, 0, 0) — the oracle states it in closed form."""
+    from duckdb_fastlanes_spark.io.text_sources import (
+        read_csv,
+        read_jsonl,
+        write_csv,
+        write_jsonl,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    base = os.path.join(tempfile.gettempdir(), "dfs_roundtrip_text")
+    csv_path, jsonl_path = base + "_csv", base + "_jsonl"
+    write_csv(o, csv_path)
+    write_jsonl(o, jsonl_path)
+    schema = o.schema
+    from_csv = read_csv(spark, csv_path, schema=schema)
+    from_jsonl = read_jsonl(spark, jsonl_path, schema=schema)
+    csv_mism = o.exceptAll(from_csv).union(from_csv.exceptAll(o)).count()
+    jsonl_mism = o.exceptAll(from_jsonl).union(from_jsonl.exceptAll(o)).count()
+    return spark.createDataFrame(
+        [(o.count(), csv_mism, jsonl_mism)],
+        "n_rows BIGINT, csv_mismatches BIGINT, jsonl_mismatches BIGINT",
+    )
