@@ -600,3 +600,97 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "minhash_calibration",
+    oracle=f"""
+    WITH shingled AS (
+        SELECT doc_id, {_ORACLE_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_ORACLE_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    sigs AS (
+        SELECT doc_id, shingles,
+               {", ".join(f"{_oracle_minhash(i)} AS mh{i}" for i in range(N_MINHASH))}
+        FROM shingled
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, shingles, {b} AS band_id, {_oracle_band(b)} AS band_key, {', '.join(f'mh{j}' for j in range(N_MINHASH))} FROM sigs" for b in range(N_MINHASH // BAND_WIDTH))}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.shingles AS sh_a, b.shingles AS sh_b,
+               {", ".join(f"a.mh{i} AS amh{i}, b.mh{i} AS bmh{i}" for i in range(N_MINHASH))}
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT ({" + ".join(f"CASE WHEN amh{i} = bmh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))}) / {N_MINHASH}.0 AS est,
+               CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                 / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS exact
+        FROM candidates
+    )
+    SELECT round(est, 3) AS est_jaccard,
+           count(*) AS n_pairs,
+           round(avg(exact), 4) AS avg_exact,
+           round(avg(abs(est - exact)), 4) AS mae
+    FROM scored GROUP BY round(est, 3) ORDER BY est_jaccard
+    """,
+)
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch self-calibration: over the LSH candidate pairs, compare the
+    MinHash ESTIMATE of Jaccard (matching signature fraction, E[est] =
+    exact J) against the exact shingle-set Jaccard, grouped by estimate
+    level — the audit that tells you whether {N_MINHASH} hashes are enough
+    before trusting the sketch at 100 TB (where exact verification of every
+    pair is unaffordable and only calibrated estimates ship). Same plan
+    skeleton as dedup_minhash_lsh (shared-aggregate signatures, band
+    equi-join, Σ bucket² candidates); the calibration aggregate collapses
+    to ≤ {N_MINHASH + 1} estimate levels."""
+    d = table(spark, sf_dir, "documents")
+    rows = _shingle_rows(d, distinct=False)
+    per_doc = (
+        rows.selectExpr("doc_id", "shingle", "md5(shingle) AS h")
+        .groupBy("doc_id")
+        .agg(F.expr("collect_set(shingle) AS shingles"), *_minhash_aggs())
+    )
+    n_bands = N_MINHASH // BAND_WIDTH
+    bands_sql = ", ".join(_band_expr(b) for b in range(n_bands))
+    banded = per_doc.selectExpr(
+        "doc_id",
+        "shingles",
+        *[f"mh{i}" for i in range(N_MINHASH)],
+        f"posexplode(array({bands_sql})) AS (band_id, band_key)",
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pair_cols = [F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.shingles").alias("sh_a"), F.col("b.shingles").alias("sh_b")]
+    pair_cols += [F.col(f"a.mh{i}").alias(f"amh{i}") for i in range(N_MINHASH)]
+    pair_cols += [F.col(f"b.mh{i}").alias(f"bmh{i}") for i in range(N_MINHASH)]
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(*pair_cols)
+        .distinct()
+    )
+    est = sum(
+        F.when(F.col(f"amh{i}") == F.col(f"bmh{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    ) / float(N_MINHASH)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        candidates.select(est.alias("est"), exact.alias("exact"))
+        .groupBy(F.round("est", 3).alias("est_jaccard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("exact"), 4).alias("avg_exact"),
+            F.round(F.avg(F.abs(F.col("est") - F.col("exact"))), 4).alias("mae"),
+        )
+        .orderBy("est_jaccard")
+    )
