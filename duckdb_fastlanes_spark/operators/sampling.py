@@ -239,3 +239,43 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("key"), "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "sample_oversample_minority",
+    oracle="""
+    WITH weighted AS (
+        SELECT event_type,
+               CASE event_type WHEN 'error' THEN 5 WHEN 'signup' THEN 3
+                    ELSE 1 END AS w
+        FROM events
+    ),
+    expanded AS (
+        SELECT event_type FROM weighted, LATERAL unnest(range(0, w))
+    )
+    SELECT event_type, count(*) AS n_after
+    FROM expanded GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sample_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing by integer replication: minority
+    classes (error ×5, signup ×3) are repeated via explode(sequence(...)) —
+    no randomness, so every re-run and every engine produces the identical
+    resampled corpus (the reproducibility a training pipeline needs;
+    fractional weights decompose into floor(w) replicas + one hash-Bernoulli
+    row, the sampling family's idiom). Row-local fan-out: no shuffle until
+    the audit count."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        F.when(F.col("event_type") == "error", 5)
+        .when(F.col("event_type") == "signup", 3)
+        .otherwise(1)
+    )
+    expanded = ev.select(
+        "event_type", F.explode(F.sequence(F.lit(1), w)).alias("_r")
+    )
+    return (
+        expanded.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+        .orderBy("event_type")
+    )

@@ -263,3 +263,45 @@ def summarize_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_SUMMARIZE_COLS)}, {stack_args}) AS "
         "(column_name, n, n_distinct, min_v, max_v, avg_v, std_v, q25, q50, q75)"
     ).orderBy("column_name")
+
+
+@register(
+    "scan_hive_partition_prune",
+    oracle="""
+    SELECT event_type, count(*) AS n, CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
+    FROM events
+    WHERE event_type IN ('error', 'signup')
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scan_hive_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning: events written partitioned by event_type
+    (io.fls partition_by — the directory-level analogue of the reference's
+    zone-map row-group skipping, row_group_filter.cpp:75-199), then read with
+    a partition-key filter. Catalyst prunes non-matching DIRECTORIES at plan
+    time — the scan never lists, opens, or reads the other partitions'
+    files, which at 100 TB is the difference between touching 2/5 of the
+    table and all of it. The aggregate result hash-checks against the
+    unpartitioned oracle."""
+    import os
+    import tempfile
+
+    from duckdb_fastlanes_spark.io.fls import read_fls, write_fls
+
+    ev = table(spark, sf_dir, "events")
+    # Cache key includes the source dir: each scale factor gets its own layout.
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(tempfile.gettempdir(), f"dfs_hive_events_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_fls(ev, out, partition_by=["event_type"])
+    part = read_fls(spark, out)
+    return (
+        part.filter(F.col("event_type").isin("error", "signup"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value") * 100).cast("bigint").alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
