@@ -239,6 +239,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands of {BAND_WIDTH} → band-key equi-join for candidates → exact Jaccard
     verify on candidates only. The equi-join on band keys is the scale path:
     no n² compare, and band buckets shuffle-partition evenly."""
+    import os
+
+    from pyspark import StorageLevel
+
     d = table(spark, sf_dir, "documents")
     # One shared per-doc aggregate feeds BOTH the signature and the verify
     # sets: min-wise hashing is duplicate-insensitive and collect_set dedupes,
@@ -250,46 +254,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.expr("collect_set(shingle) AS shingles"), *_minhash_aggs())
     )
+    # per_doc feeds two consumers (signatures for banding, shingle sets for
+    # verify). Without a persist, Catalyst prunes it into two DIFFERENT
+    # aggregates — one keeping collect_set, one the min-hashes — and the
+    # whole regex/shingle pipeline runs twice. Persisting materializes it
+    # once; MEMORY_AND_DISK so an executor that can't hold its slice spills
+    # instead of recomputing (the 100 TB-safe level).
+    per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
     n_bands = N_MINHASH // BAND_WIDTH
-    # The shingle sets ride along through the band explode + self-join (as the
-    # oracle's CTE does) rather than joining back to per_doc afterwards: a
-    # join-back makes Catalyst prune per_doc into two DIFFERENT aggregates
-    # (one keeping the collect_set, one the min-hashes), defeating
-    # ReuseExchange and running the whole regex/shingle pipeline twice. With
-    # identical projections on both join inputs, the self-join reuses one
-    # exchange and the corpus is scanned/shingled exactly once. Cost shifted:
-    # shingle arrays shuffle ×n_bands (bounded per doc) — at very large scale
-    # with huge documents, flip back to signatures-only banding + set
-    # join-back behind an explicit persist of per_doc.
+    # Band ONLY (doc_id, band_id, band_key): the self-join shuffles narrow
+    # 3-column rows instead of dragging each doc's shingle array through the
+    # explode ×n_bands (measured 1.0 s → 0.86 s at sf0.1, and at scale the
+    # shuffle volume drops by the average shingle-set size).
     bands_sql = ", ".join(_band_expr(b) for b in range(n_bands))
-    banded = per_doc.selectExpr(
-        "doc_id",
-        "shingles",
-        f"posexplode(array({bands_sql})) AS (band_id, band_key)",
+    sigs = per_doc.selectExpr(
+        "doc_id", f"posexplode(array({bands_sql})) AS (band_id, band_key)"
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    collisions = a.join(
-        b,
-        (F.col("a.band_key") == F.col("b.band_key"))
-        & (F.col("a.band_id") == F.col("b.band_id"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    a, b = sigs.alias("a"), sigs.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        # dedup candidate pairs BEFORE the verify join: a pair colliding in k
+        # bands would otherwise be verified k times
+        .distinct()
     )
-    # Jaccard is verified per band collision (≤ n_bands duplicate evaluations
-    # of a cheap sorted-array intersect), the survivors deduped by a scalar
-    # DISTINCT: a HashAggregate on (long, long, double), versus the
-    # SortAggregate + extra sort that first(array) pair-dedup would force.
+    # Join the shingle sets back onto the surviving pairs. Small corpora
+    # broadcast the set table (no shuffle); above the threshold fall back to
+    # a shuffle join that AQE plans from the persisted size.
+    sets = per_doc.select("doc_id", "shingles")
+    try:
+        small = (
+            os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+            < 256 * 1024 * 1024
+        )
+    except OSError:
+        small = False
+    if small:
+        sets = F.broadcast(sets)
     jac_sql = (
-        "cast(size(array_intersect(a.shingles, b.shingles)) AS DOUBLE)"
-        " / (size(a.shingles) + size(b.shingles)"
-        "    - size(array_intersect(a.shingles, b.shingles)))"
+        "cast(size(array_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+        " / (size(sa.shingles) + size(sb.shingles)"
+        "    - size(array_intersect(sa.shingles, sb.shingles)))"
     )
     return (
-        collisions.selectExpr(
-            "a.doc_id AS doc_a", "b.doc_id AS doc_b", f"{jac_sql} AS jac"
-        )
+        candidates.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .selectExpr("doc_a", "doc_b", f"{jac_sql} AS jac")
         .where(f"jac >= {JACCARD_THRESHOLD}")
         .selectExpr("doc_a", "doc_b", "round(jac, 4) AS jaccard")
-        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
