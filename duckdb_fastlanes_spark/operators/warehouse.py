@@ -1,0 +1,280 @@
+"""Warehouse-maintenance operators: SCD2 dimension builds, CDC snapshot
+diffs, equal-frequency binning, runtime-prefiltered joins, and feature
+scaling.
+
+These complete the "capabilities a user of the reference's embedded engine
+has" list (SURVEY.md §2.C — embedded DuckDB v1.3.2 surface, public
+knowledge): each is a standard DuckDB/warehouse recipe (windowed SCD2,
+full-outer diff, ntile binning) re-expressed Spark-first, plus the
+runtime-filter join pattern Spark itself applies at scale
+(spark.sql.optimizer.runtime.bloomFilter.enabled).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.registry import register
+
+
+@register(
+    "dim_scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events WHERE user_id < 100
+    ),
+    changes AS (
+        SELECT user_id, event_type AS state, ts AS eff_from
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, state, eff_from,
+           lead(eff_from) OVER (PARTITION BY user_id ORDER BY eff_from)
+               AS eff_to,
+           lead(eff_from) OVER (PARTITION BY user_id ORDER BY eff_from) IS NULL
+               AS is_current
+    FROM changes
+    ORDER BY user_id, eff_from
+    """,
+)
+def dim_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse each user's event
+    stream into versioned state rows with [eff_from, eff_to) validity ranges
+    and an is_current flag — the standard dimension-table maintenance
+    pattern. Two windows over the same (user_id, time) partitioning: change
+    detection via lag, range closing via lead — one shuffle on user_id,
+    both windows reuse it. Scale shape: partitions by user (no global
+    window), so 100 TB of events with bounded per-user history streams
+    through without skew; eff_from ties are broken by event_id in the
+    change-detection window."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w_ev))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("eff_from"),
+        )
+    )
+    w_chg = Window.partitionBy("user_id").orderBy("eff_from")
+    return (
+        changes.withColumn("eff_to", F.lead("eff_from").over(w_chg))
+        .withColumn("is_current", F.col("eff_to").isNull())
+        .orderBy("user_id", "eff_from")
+    )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    snap_b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 89 <> 0
+    )
+    SELECT change_type, count(*) AS n,
+           min(k) AS min_key, max(k) AS max_key
+    FROM (
+        SELECT CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                    WHEN b.o_orderkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               coalesce(a.o_orderkey, b.o_orderkey) AS k
+        FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+        WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+           OR a.o_totalprice <> b.o_totalprice
+    )
+    GROUP BY change_type ORDER BY change_type
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture by snapshot diff: full-outer join two table
+    versions on the business key and classify every row as insert / delete /
+    update (unchanged rows drop out) — how a pipeline without a transaction
+    log derives a changelog from periodic snapshots. The two snapshots here
+    are derived deterministically from orders (drop key%97 rows vs drop
+    key%89 and bump price on key%13) so both engines diff identical inputs.
+    Scale shape: one co-partitioned shuffle on the key; AQE handles the
+    near-equal snapshot sizes; the classification is row-local."""
+    o = table(spark, sf_dir, "orders")
+    snap_a = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price_a")
+    )
+    snap_b = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 10
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_b"),
+    )
+    diff = snap_a.join(snap_b, "o_orderkey", "full_outer").filter(
+        F.col("price_a").isNull()
+        | F.col("price_b").isNull()
+        | (F.col("price_a") != F.col("price_b"))
+    )
+    classified = diff.select(
+        F.when(F.col("price_a").isNull(), "insert")
+        .when(F.col("price_b").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.col("o_orderkey").alias("k"),
+    )
+    return (
+        classified.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("change_type")
+    )
+
+
+@register(
+    "binning_equal_frequency",
+    oracle="""
+    SELECT bucket, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+    FROM (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def binning_equal_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization: ntile(10) over the price order gives
+    ten buckets of (near-)equal row count with their value ranges — the
+    feature-prep binning a training pipeline applies to heavy-tailed
+    numerics (where equal-WIDTH bins put 99% of rows in bin 1; compare
+    agg_histogram). Ties broken by key so both engines assign identically.
+    Scale note: a global ntile funnels through one window partition; at
+    100 TB the same output comes from approx_percentile boundaries + a
+    row-local range assignment (agg_percentiles has the boundary half) —
+    this operator keeps the exact-semantics variant the oracle can check."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n,
+           CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: before shuffling the fact side, probe rows are
+    prefiltered by an approximate membership set built from the dimension's
+    join keys (hash buckets, i.e. a 1-hash bloom filter), then the exact
+    semi-join removes the false positives — so the result equals the plain
+    join and the oracle checks that equality. This is the pattern behind
+    Spark's own runtime bloom filters
+    (spark.sql.optimizer.runtime.bloomFilter.enabled): at 100 TB the
+    broadcast bitmap drops most fact rows BEFORE the shuffle that the join
+    would otherwise pay for. Both membership structures broadcast; no added
+    shuffle."""
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    keys = cust.select("c_custkey")
+    buckets = keys.select(
+        F.pmod(F.xxhash64("c_custkey"), F.lit(8192)).alias("bkt")
+    ).distinct()
+    o = table(spark, sf_dir, "orders").withColumn(
+        "bkt", F.pmod(F.xxhash64("o_custkey"), F.lit(8192))
+    )
+    prefiltered = o.join(F.broadcast(buckets), "bkt", "left_semi")
+    exact = prefiltered.join(
+        F.broadcast(keys),
+        prefiltered.o_custkey == keys.c_custkey,
+        "left_semi",
+    )
+    return (
+        exact.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "feature_scale_stats",
+    oracle="""
+    WITH g AS (
+        SELECT avg(l_quantity) AS mq, stddev_samp(l_quantity) AS sq,
+               min(l_extendedprice) AS lop, max(l_extendedprice) AS hip
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           round((avg(l_quantity) - any_value(g.mq)) / any_value(g.sq), 2)
+               AS qty_z,
+           round((avg(l_extendedprice) - any_value(g.lop))
+                 / (any_value(g.hip) - any_value(g.lop)), 2) AS price_minmax
+    FROM lineitem CROSS JOIN g
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def feature_scale_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature scaling audit: per-group z-score of quantity (vs global
+    mean/std) and min-max-scaled price — the normalization a feature
+    pipeline applies before training, verified groupwise so rounding stays
+    off knife-edges. Spark shape: the 1-row global-stats aggregate
+    broadcast-joins onto the per-group aggregate — two map-side-combined
+    aggs, no global window, scale-indifferent."""
+    li = table(spark, sf_dir, "lineitem")
+    g = li.agg(
+        F.avg("l_quantity").alias("mq"),
+        F.stddev_samp("l_quantity").alias("sq"),
+        F.min("l_extendedprice").alias("lop"),
+        F.max("l_extendedprice").alias("hip"),
+    )
+    per = li.groupBy("l_returnflag").agg(
+        F.avg("l_quantity").alias("aq"), F.avg("l_extendedprice").alias("ap")
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "l_returnflag",
+            F.round((F.col("aq") - F.col("mq")) / F.col("sq"), 2).alias(
+                "qty_z"
+            ),
+            F.round(
+                (F.col("ap") - F.col("lop")) / (F.col("hip") - F.col("lop")), 2
+            ).alias("price_minmax"),
+        )
+        .orderBy("l_returnflag")
+    )

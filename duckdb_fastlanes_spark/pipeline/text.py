@@ -926,3 +926,50 @@ def text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("actual", "predicted")
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS term
+        FROM documents
+    ),
+    postings AS (
+        SELECT term, count(*) AS df, list_sort(list(doc_id))[1:20] AS posting_head
+        FROM toks GROUP BY term
+    )
+    SELECT term, df, posting_head
+    FROM postings
+    ORDER BY df DESC, term
+    LIMIT 50
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> document-frequency + sorted posting
+    list (head capped at 20 ids so the checked result stays bounded; a real
+    index keeps the full list). The core retrieval structure for search /
+    contamination lookup over a corpus. Spark shape: explode per-doc
+    DISTINCT terms (row-local), one shuffle on term with map-side combine;
+    posting lists stay bounded per term by the slice. Top-50 by df with a
+    term tiebreak keeps the checked head deterministic."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+"), F.lit(0))
+            )
+        ).alias("term"),
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
+                "posting_head"
+            ),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(50)
+    )

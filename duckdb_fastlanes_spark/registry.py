@@ -46,6 +46,7 @@ _MODULES = (
     "duckdb_fastlanes_spark.operators.graph",
     "duckdb_fastlanes_spark.operators.advisor",
     "duckdb_fastlanes_spark.operators.types_bridge",
+    "duckdb_fastlanes_spark.operators.warehouse",
     "duckdb_fastlanes_spark.pipeline.text",
     "duckdb_fastlanes_spark.pipeline.curation",
     "duckdb_fastlanes_spark.pipeline.dedup",
