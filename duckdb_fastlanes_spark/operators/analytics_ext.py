@@ -484,3 +484,122 @@ def entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle="""
+    WITH s AS (
+        SELECT o_totalprice AS v, o_orderkey % 2 AS grp FROM orders
+    ),
+    n AS (
+        SELECT sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n0,
+               sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1
+        FROM s
+    ),
+    ecdf AS (
+        SELECT v,
+               sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                   OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c0,
+               sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                   OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1
+        FROM s
+    )
+    SELECT CAST(max(n.n0) AS BIGINT) AS n0, CAST(max(n.n1) AS BIGINT) AS n1,
+           round(max(abs(CAST(c0 AS DOUBLE) / n.n0
+                         - CAST(c1 AS DOUBLE) / n.n1)), 4) AS ks_stat
+    FROM ecdf, n
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov two-sample statistic between even- and odd-keyed
+    order prices: max |ECDF0(v) - ECDF1(v)| — the distribution-drift test a
+    pipeline runs between data snapshots or train/eval splits (compare
+    dq_split_divergence's KL/TVD on token histograms; KS works on raw
+    numerics with no binning). Running counts per group over one global
+    value order give both ECDFs in a single window pass. Ties: evaluating
+    at ROWS-cumulative counts is exact at each value's last duplicate, and
+    the max over rows equals the max over distinct values. Scale note: the
+    global-order window is the exact-semantics variant; at 100 TB the same
+    decision comes from a quantile-sketch ECDF on approx_percentile
+    boundaries."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderkey") % 2).alias("grp"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    is0 = F.when(F.col("grp") == 0, 1).otherwise(0)
+    is1 = F.when(F.col("grp") == 1, 1).otherwise(0)
+    ecdf = o.select(
+        F.sum(is0).over(w).alias("c0"), F.sum(is1).over(w).alias("c1")
+    )
+    n = o.agg(F.sum(is0).alias("n0"), F.sum(is1).alias("n1"))
+    return ecdf.crossJoin(F.broadcast(n)).agg(
+        F.max("n0").cast("bigint").alias("n0"),
+        F.max("n1").cast("bigint").alias("n1"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("c0").cast("double") / F.col("n0")
+                    - F.col("c1").cast("double") / F.col("n1")
+                )
+            ),
+            4,
+        ).alias("ks_stat"),
+    )
+
+
+@register(
+    "stats_welch_ttest",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               count(*) AS n, avg(value) AS m, var_samp(value) AS v
+        FROM events
+        WHERE event_type IN ('click', 'view')
+        GROUP BY event_type
+    )
+    SELECT a.n AS n_click, b.n AS n_view,
+           round(a.m - b.m, 4) AS mean_diff,
+           round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 3) AS t_stat,
+           round(((a.v / a.n + b.v / b.n) ** 2)
+                 / ((a.v / a.n) ** 2 / (a.n - 1)
+                    + (b.v / b.n) ** 2 / (b.n - 1)), 1) AS welch_df
+    FROM g a, g b
+    WHERE a.event_type = 'click' AND b.event_type = 'view'
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing event values between the
+    click and view cohorts — the A/B-test readout computed fully in-engine
+    from one grouped aggregate (n, mean, var per arm) and a 1-row × 1-row
+    join; nothing leaves the executors until the final scalar row. Welch df
+    via Welch–Satterthwaite. Scale-indifferent: the only shuffle is the
+    2-group aggregate."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = g.filter(F.col("event_type") == "click").alias("a")
+    b = g.filter(F.col("event_type") == "view").alias("b")
+    se2 = F.col("a.v") / F.col("a.n") + F.col("b.v") / F.col("b.n")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_click"),
+        F.col("b.n").alias("n_view"),
+        F.round(F.col("a.m") - F.col("b.m"), 4).alias("mean_diff"),
+        F.round((F.col("a.m") - F.col("b.m")) / F.sqrt(se2), 3).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("a.v") / F.col("a.n"), 2) / (F.col("a.n") - 1)
+                + F.pow(F.col("b.v") / F.col("b.n"), 2) / (F.col("b.n") - 1)
+            ),
+            1,
+        ).alias("welch_df"),
+    )

@@ -690,3 +690,37 @@ def distinct_on_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "array_lambda_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           list_sum(list_transform(range(1, l_linenumber + 1), x -> x * x))
+               AS sum_squares,
+           len(list_filter(range(1, l_linenumber + 1), x -> x % 2 = 0))
+               AS n_even,
+           len(list_filter(range(1, l_linenumber + 1), x -> x > 3)) > 0
+               AS has_gt3
+    FROM lineitem WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def array_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas — transform, filter, exists — the LIST
+    manipulation surface (complements array_funcs' aggregate/contains;
+    reference declares LIST but cannot materialize it,
+    translation_utils.cpp:36-37). All JVM-side codegen'd expressions: no
+    UDF, no Python in the hot path. DuckDB's range(a, b) is end-exclusive
+    like Spark's sequence(a, b - 1); both sides build [1..l_linenumber]."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    seq = F.sequence(F.lit(1), F.col("l_linenumber"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.aggregate(
+            F.transform(seq, lambda x: x * x), F.lit(0), lambda a, x: a + x
+        ).alias("sum_squares"),
+        F.size(F.filter(seq, lambda x: x % 2 == 0)).alias("n_even"),
+        F.exists(seq, lambda x: x > 3).alias("has_gt3"),
+    ).orderBy("l_orderkey", "l_linenumber")

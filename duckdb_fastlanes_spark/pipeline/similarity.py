@@ -445,3 +445,87 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rn")
     )
+
+
+#: kNN-eval parameters: test slice, candidate pool bound, neighbors
+KNN_K = 5
+KNN_POOL = 500
+KNN_TEST_MOD = 20
+
+
+@register(
+    "sim_knn_label_eval",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id < {KNN_POOL}
+    ),
+    test AS (SELECT * FROM v WHERE vec_id % {KNN_TEST_MOD} = 0),
+    train AS (SELECT * FROM v WHERE vec_id % {KNN_TEST_MOD} <> 0),
+    neigh AS (
+        SELECT t.vec_id, t.label AS actual, tr.label AS nb_label,
+               row_number() OVER (
+                   PARTITION BY t.vec_id
+                   ORDER BY list_cosine_similarity(t.e, tr.e) DESC, tr.vec_id
+               ) AS rk
+        FROM test t CROSS JOIN train tr
+    ),
+    votes AS (
+        SELECT vec_id, actual, nb_label, count(*) AS n_votes
+        FROM neigh WHERE rk <= {KNN_K}
+        GROUP BY vec_id, actual, nb_label
+    ),
+    pred AS (
+        SELECT vec_id, actual, nb_label AS predicted,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY n_votes DESC, nb_label
+               ) AS pr
+        FROM votes
+    )
+    SELECT actual, predicted, count(*) AS n
+    FROM pred WHERE pr = 1
+    GROUP BY actual, predicted
+    ORDER BY actual, predicted
+    """,
+)
+def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label evaluation: every {KNN_TEST_MOD}th vector is held out and
+    classified by majority vote of its {KNN_K} nearest (cosine) neighbors in
+    the rest of the pool; the confusion matrix (actual × predicted counts)
+    is the checked result — the standard embedding-quality probe (does
+    nearest-neighbor structure respect labels?). Spark shape: the bounded
+    test slice broadcasts against the train pool, per-test ranking is a
+    window partitioned by test id (no global sort), majority vote is a
+    grouped count + one more per-test window. Ties in both rankings carry
+    deterministic id/label tiebreaks so both engines pick identical
+    neighbors and votes. Scale path: replace the broadcast cross join with
+    the IVF cell restriction (sim_ivf_topk) — vote logic unchanged."""
+    v = _doubled(table(spark, sf_dir, "embeddings")).where(f"vec_id < {KNN_POOL}")
+    test = v.where(f"vec_id % {KNN_TEST_MOD} = 0").selectExpr(
+        "vec_id AS t_id", "label AS actual", "e AS te"
+    )
+    train = v.where(f"vec_id % {KNN_TEST_MOD} <> 0").selectExpr(
+        "vec_id AS tr_id", "label AS nb_label", "e AS tre"
+    )
+    from pyspark.sql.window import Window
+
+    scored = F.broadcast(test).crossJoin(train).select(
+        "t_id", "actual", "nb_label", "tr_id",
+        _cosine(F.col("te"), F.col("tre")).alias("cos"),
+    )
+    w_rank = Window.partitionBy("t_id").orderBy(F.desc("cos"), "tr_id")
+    votes = (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= KNN_K)
+        .groupBy("t_id", "actual", "nb_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w_vote = Window.partitionBy("t_id").orderBy(F.desc("n_votes"), "nb_label")
+    return (
+        votes.withColumn("pr", F.row_number().over(w_vote))
+        .filter(F.col("pr") == 1)
+        .groupBy("actual", F.col("nb_label").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual", "predicted")
+    )
