@@ -104,3 +104,54 @@ def roundtrip_text_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(o.count(), csv_mism, jsonl_mism)],
         "n_rows BIGINT, csv_mismatches BIGINT, jsonl_mismatches BIGINT",
     )
+
+
+@register(
+    "roundtrip_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT coalesce(o_orderpriority, '<missing>') AS priority,
+           count(*) AS n,
+           CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_cents
+    FROM unioned
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def roundtrip_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations (reference A2 union_by_name,
+    fls_multi_file_info.cpp:75-81): generation 1 files carry
+    (o_orderkey, o_totalprice), generation 2 adds o_orderpriority; reading
+    both with union_by_name aligns by column name and fills the missing
+    column with NULL. The aggregate proves NULL-fill and value fidelity in
+    one pass. Fresh temp dirs per call — nothing cached across scale
+    factors."""
+    o = table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="dfs_schema_evo_")
+    gen1, gen2 = os.path.join(root, "gen1"), os.path.join(root, "gen2")
+    write_fls(
+        o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice"),
+        gen1,
+    )
+    write_fls(
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ),
+        gen2,
+    )
+    evolved = read_fls(spark, [gen1, gen2], union_by_name=True)
+    return (
+        evolved.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<missing>")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("priority")
+    )

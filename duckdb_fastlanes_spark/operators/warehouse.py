@@ -278,3 +278,55 @@ def feature_scale_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "binning_by_quantile_boundaries",
+    oracle="""
+    WITH b AS (
+        SELECT quantile_cont(o_totalprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS bnds
+        FROM orders
+    )
+    SELECT 1 + len(list_filter(b.bnds, x -> o_totalprice > x)) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders CROSS JOIN b
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def binning_by_quantile_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shaped variant of binning_equal_frequency: compute the nine
+    decile boundaries once (one aggregate), broadcast the 9-element array,
+    and assign each row a bucket with a row-local filter-count — no global
+    window, no sort of the fact table. Exact `percentile` keeps the result
+    oracle-checkable; swapping in approx_percentile changes nothing
+    downstream (the documented approximation at extreme scale). Boundary
+    arithmetic is safe to hash: interpolated boundaries land strictly
+    between data values except when they ARE a data value, and both engines
+    then produce it exactly."""
+    o = table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.expr(
+            "percentile(o_totalprice,"
+            " array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))"
+        ).alias("bnds")
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .select(
+            "o_totalprice",
+            (
+                1 + F.size(F.filter("bnds", lambda x: F.col("o_totalprice") > x))
+            ).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -333,3 +333,88 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "stream_upsert_latest",
+    oracle="""
+    SELECT user_id, event_type AS last_type, ts AS last_ts,
+           round(value, 2) AS last_value
+    FROM (
+        SELECT user_id, event_type, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id < 100
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-apply: micro-batches upsert into a keyed snapshot via
+    foreachBatch, keeping the (ts, event_id)-latest row per user — the
+    "materialize a changelog into a serving table" pattern
+    (Delta/Iceberg MERGE INTO on a cluster; here the package's
+    copy-on-write versioned table). The staged files are hash-split, so
+    batches arrive out of TIME order and the merge must be max-by-version,
+    not last-writer-wins — which is exactly what makes the final snapshot
+    equal the batch argmax the oracle computes. maxFilesPerTrigger=1 forces
+    a genuinely multi-batch run (4 upsert commits, not one)."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from duckdb_fastlanes_spark.io import cow_table as cow
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 100).select(
+        "user_id", "event_type", "ts", F.round("value", 2).alias("value"),
+        "event_id",
+    )
+    workdir = tempfile.mkdtemp(prefix="dfs_stream_upsert_")
+    staged = f"{workdir}/staged"
+    ev.repartition(4).write.parquet(staged)
+    snapshot_root = f"{workdir}/snapshot"
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        if not os.path.exists(snapshot_root):
+            cow.create_table(latest_per_key(batch), snapshot_root)
+            return
+        cur = cow.read_table(batch.sparkSession, snapshot_root)
+        merged = latest_per_key(cur.unionByName(batch))
+        cow._commit(snapshot_root, merged, cow.current_version(snapshot_root) + 1)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        cow.read_table(spark, snapshot_root)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
