@@ -178,3 +178,95 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_type").over(w).alias("first_event"),
         F.last("event_type").over(w).alias("last_event"),
     ).distinct()
+
+
+@register(
+    "window_nth_ignore_nulls",
+    oracle="""
+    SELECT o_orderkey, n_lines, second_price, first_nonzero_disc
+    FROM (
+        SELECT l_orderkey AS o_orderkey,
+               count(*) OVER w AS n_lines,
+               round(nth_value(l_extendedprice, 2) OVER w, 2) AS second_price,
+               first_value(nullif(l_discount, 0.0) IGNORE NULLS) OVER w
+                   AS first_nonzero_disc,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber) AS rn
+        FROM lineitem
+        WHERE l_orderkey < 1000
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    WHERE rn = 1
+    ORDER BY o_orderkey
+    """,
+)
+def window_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value and IGNORE NULLS navigation: per order, the second line's
+    price (NULL for 1-line orders) and the first non-zero discount in line
+    order (NULL-skipping first_value) — the window-function corners beyond
+    first/last/lag (window_first_last, window_lag_lead). Full-partition
+    frames are spelled explicitly so both engines agree; one row per order
+    via rn=1 on the same partitioning (no second shuffle)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rn = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        li.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.count(F.lit(1)).over(w).alias("n_lines"),
+            F.round(F.nth_value("l_extendedprice", 2).over(w), 2).alias(
+                "second_price"
+            ),
+            F.first(
+                F.nullif(F.col("l_discount"), F.lit(0.0)), ignorenulls=True
+            )
+            .over(w)
+            .alias("first_nonzero_disc"),
+            F.row_number().over(w_rn).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "window_ratio_to_report",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderstatus, o_orderpriority,
+               sum(o_totalprice) AS revenue
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(round(revenue * 100) AS BIGINT) AS revenue_cents,
+           round(revenue / sum(revenue) OVER (PARTITION BY o_orderstatus), 4)
+               AS share_of_status
+    FROM g
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (status, priority) cell's share of its status
+    group — a window aggregate OVER an aggregate, the standard percent-of-
+    total report. The window runs on the already-reduced group table
+    (|statuses × priorities| rows), so the expensive pass is the map-side-
+    combined aggregate; the share window is nearly free at any scale."""
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    w = Window.partitionBy("o_orderstatus")
+    return g.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("revenue") * 100).cast("bigint").alias("revenue_cents"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 4).alias(
+            "share_of_status"
+        ),
+    ).orderBy("o_orderstatus", "o_orderpriority")

@@ -241,3 +241,38 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism, and rate/duration invariants)."""
     d = table(spark, sf_dir, "documents")
     return extract_audio_features(attach_media(d)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_payload_dedup",
+    oracle="""
+    WITH groups AS (
+        SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keep_id
+        FROM documents GROUP BY 1
+    )
+    SELECT count(*) AS distinct_payloads,
+           CAST(sum(n) AS BIGINT) AS total_rows,
+           count(*) FILTER (WHERE n > 1) AS dup_groups,
+           CAST(max(n) AS BIGINT) AS max_copies
+    FROM groups
+    """,
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on the BINARY media payload itself: group directly
+    on the opaque bytes column (BinaryType grouping — no hex/string detour
+    in the engine), emit the dedup profile. This is how a media pipeline
+    drops byte-identical assets before any decode spend. The oracle states
+    the same profile via the md5 fingerprint the payload was derived from
+    (attach_media: payload = unhex(md5(text))), so byte-level and
+    fingerprint-level grouping must agree exactly."""
+    d = table(spark, sf_dir, "documents")
+    media = attach_media(d)
+    groups = media.groupBy("media").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_id")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("distinct_payloads"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.count_if(F.col("n") > 1).alias("dup_groups"),
+        F.max("n").cast("bigint").alias("max_copies"),
+    )

@@ -529,3 +529,108 @@ def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("actual", "predicted")
     )
+
+
+#: MMR rerank parameters
+MMR_CAND = 12
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle=f"""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (
+        SELECT v.vec_id, v.e,
+               list_cosine_similarity(v.e, q.qe) AS rel
+        FROM v, q WHERE v.vec_id <> {QUERY_VEC_ID}
+        ORDER BY rel DESC, v.vec_id LIMIT {MMR_CAND}
+    ),
+    sims AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               list_cosine_similarity(a.e, b.e) AS s
+        FROM cand a, cand b WHERE a.vec_id <> b.vec_id
+    ),
+    sel(step, ids, pick, score) AS (
+        (SELECT 1, [c.vec_id], c.vec_id, round({MMR_LAMBDA} * c.rel, 9)
+         FROM cand c ORDER BY round({MMR_LAMBDA} * c.rel, 9) DESC, c.vec_id
+         LIMIT 1)
+        UNION ALL
+        SELECT sel.step + 1, list_append(sel.ids, nxt.vec_id),
+               nxt.vec_id, nxt.score
+        FROM sel, LATERAL (
+            SELECT c.vec_id,
+                   round({MMR_LAMBDA} * c.rel
+                         - {1 - MMR_LAMBDA:.1f}
+                           * (SELECT max(s) FROM sims
+                              WHERE ia = c.vec_id
+                                AND list_contains(sel.ids, ib)), 9) AS score
+            FROM cand c
+            WHERE NOT list_contains(sel.ids, c.vec_id)
+            ORDER BY score DESC, c.vec_id LIMIT 1
+        ) nxt
+        WHERE sel.step < {MMR_K}
+    )
+    SELECT step, pick AS vec_id, round(score, 4) AS mmr_score
+    FROM sel ORDER BY step
+    """,
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank: from the cosine top-{MMR_CAND}
+    candidates, greedily pick {MMR_K} maximizing λ·relevance − (1−λ)·max
+    similarity to the already-picked — the diversity-aware selection a
+    retrieval/training pipeline uses so near-duplicate hits don't crowd the
+    result. Distribution shape: candidate retrieval and the candidate×
+    candidate similarity block are computed in-engine (broadcast query
+    vector, TakeOrdered top-k); only the k'-bounded block (≤ {MMR_CAND}² +
+    {MMR_CAND} rows, INDEPENDENT of corpus size — the same contract as
+    collecting k-means centroids) comes to the driver for the inherently
+    sequential greedy loop. Scores are quantized to 9 decimals before each
+    argmax so both engines' last-ulp arithmetic picks identical items; the
+    oracle runs the same greedy as a recursive CTE with a LATERAL argmax."""
+    v = _doubled(table(spark, sf_dir, "embeddings"))
+    q = F.broadcast(v.where(f"vec_id = {QUERY_VEC_ID}").selectExpr("e AS qe"))
+    cand = (
+        v.where(f"vec_id <> {QUERY_VEC_ID}")
+        .crossJoin(q)
+        .select("vec_id", "e", _cosine(F.col("e"), F.col("qe")).alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_CAND)
+    )
+    a = cand.selectExpr("vec_id AS ia", "e AS ea", "rel")
+    b = cand.selectExpr("vec_id AS ib", "e AS eb")
+    sims_rows = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select("ia", "ib", _cosine(F.col("ea"), F.col("eb")).alias("s"))
+        .collect()
+    )
+    rel = {r["ia"]: None for r in sims_rows}
+    sim = {}
+    for r in sims_rows:
+        sim[(r["ia"], r["ib"])] = r["s"]
+    for r in cand.select("vec_id", "rel").collect():
+        rel[r["vec_id"]] = r["rel"]
+
+    picked: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    for step in range(1, MMR_K + 1):
+        best = None
+        for c in sorted(rel):
+            if c in chosen:
+                continue
+            penalty = max((sim[(c, s)] for s in chosen), default=0.0)
+            score = round(
+                MMR_LAMBDA * rel[c]
+                - ((1 - MMR_LAMBDA) * penalty if chosen else 0.0),
+                9,
+            )
+            if best is None or score > best[1]:
+                best = (c, score)
+        chosen.append(best[0])
+        picked.append((step, best[0], round(best[1], 4)))
+    return spark.createDataFrame(
+        picked, "step INT, vec_id BIGINT, mmr_score DOUBLE"
+    ).orderBy("step")
