@@ -750,3 +750,133 @@ def events_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_m4_downsample",
+    oracle="""
+    WITH ranked AS (
+        SELECT date_trunc('hour', ts) AS bucket, value, ts, event_id,
+               row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_first,
+               row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM events
+    )
+    SELECT bucket,
+           count(*) AS n,
+           round(min(value), 2) AS v_min,
+           round(max(value), 2) AS v_max,
+           round(min(CASE WHEN rn_first = 1 THEN value END), 2) AS v_first,
+           round(min(CASE WHEN rn_last = 1 THEN value END), 2) AS v_last
+    FROM ranked
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling: per hourly pixel-bucket keep min, max,
+    first, and last value — the error-free line-chart reduction (Jugel et
+    al., VLDB'14): those four points per bucket reproduce the exact pixel
+    rendering of the full series at any data volume. One shuffle on the
+    bucket: the rank windows and the aggregate share the date_trunc
+    partitioning; first/last carry (ts, event_id) tiebreaks so both
+    engines pick identical endpoints."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc("hour", "ts")
+    )
+    w_f = Window.partitionBy("bucket").orderBy("ts", "event_id")
+    w_l = Window.partitionBy("bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = ev.select(
+        "bucket",
+        "value",
+        F.row_number().over(w_f).alias("rn_first"),
+        F.row_number().over(w_l).alias("rn_last"),
+    )
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("v_min"),
+            F.round(F.max("value"), 2).alias("v_max"),
+            F.round(
+                F.min(F.when(F.col("rn_first") == 1, F.col("value"))), 2
+            ).alias("v_first"),
+            F.round(
+                F.min(F.when(F.col("rn_last") == 1, F.col("value"))), 2
+            ).alias("v_last"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "events_funnel_windowed",
+    oracle="""
+    WITH fv AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fc AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN fv ON e.user_id = fv.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts > fv.t_view
+          AND e.ts <= fv.t_view + INTERVAL 1 HOUR
+        GROUP BY e.user_id
+    ),
+    fp AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN fc ON e.user_id = fc.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > fc.t_click
+          AND e.ts <= fc.t_click + INTERVAL 24 HOURS
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM fv) AS n_viewed,
+           (SELECT count(*) FROM fc) AS n_clicked_1h,
+           (SELECT count(*) FROM fp) AS n_purchased_24h
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict windowed conversion funnel: first view → first click within
+    1 hour of it → first purchase within 24 hours of that click. Unlike
+    events_funnel (any-order firsts), each stage is anchored to the
+    PREVIOUS stage's timestamp with a conversion deadline — the metric
+    product analytics actually reports. Three stage aggregates, each an
+    equi-join on user_id reusing the same hash partitioning; stage tables
+    shrink monotonically so later joins broadcast under AQE."""
+    ev = table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        fv.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(fc.agg(F.count(F.lit(1)).alias("n_clicked_1h")))
+        .crossJoin(fp.agg(F.count(F.lit(1)).alias("n_purchased_24h")))
+    )

@@ -233,3 +233,51 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "join_strategy_equivalence",
+    oracle="""
+    WITH agg AS (
+        SELECT count(*) AS n,
+               CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    )
+    SELECT 'broadcast' AS strategy, n, cents FROM agg
+    UNION ALL SELECT 'shuffle_hash', n, cents FROM agg
+    UNION ALL SELECT 'shuffle_merge', n, cents FROM agg
+    ORDER BY strategy
+    """,
+)
+def join_strategy_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-join-strategy surface: the same logical join executed under
+    BROADCAST, SHUFFLE_HASH, and SHUFFLE_MERGE hints must agree exactly —
+    Spark's analogue of the reference's single-vs-multi-threaded test
+    matrix (SURVEY.md §5: same corpus, different execution schedule,
+    identical results). The hints are real (each run plans its hinted
+    operator; visible in explain()); the oracle states the shared answer
+    three times. At scale this query doubles as the strategy-picking
+    harness: time the three rows' plans at the target layout and keep the
+    winner."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+
+    def run(hint: str, label: str) -> DataFrame:
+        return (
+            li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_extendedprice") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .select(F.lit(label).alias("strategy"), "n", "cents")
+        )
+
+    return (
+        run("broadcast", "broadcast")
+        .unionByName(run("shuffle_hash", "shuffle_hash"))
+        .unionByName(run("shuffle_merge", "shuffle_merge"))
+        .orderBy("strategy")
+    )

@@ -382,3 +382,53 @@ def orders_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_a", "key_b")
     )
+
+
+@register(
+    "dq_expectations_suite",
+    oracle="""
+    SELECT 'not_null(o_orderkey)' AS rule,
+           count(*) FILTER (WHERE o_orderkey IS NULL) AS n_failed FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           count(*) - count(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'in_set(o_orderstatus)',
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+    FROM orders
+    UNION ALL
+    SELECT 'between(o_totalprice,0,10000000.0)',
+           count(*) FILTER (WHERE o_totalprice NOT BETWEEN 0 AND 10000000.0)
+    FROM orders
+    UNION ALL
+    SELECT 'matches(o_orderpriority)',
+           count(*) FILTER (WHERE NOT regexp_matches(o_orderpriority,
+                                                     '^[1-5]-[A-Z ]+$'))
+    FROM orders
+    """,
+)
+def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations suite (functions.expectations): five typed
+    rules — not-null, uniqueness, set membership, numeric range, regex
+    shape — compiled into one fused aggregate pass plus one grouped pass
+    for uniqueness; the report row order is the suite order. The oracle
+    states each rule as an independent filtered count, proving the fused
+    plan changes no semantics."""
+    from duckdb_fastlanes_spark.functions.expectations import (
+        between,
+        in_set,
+        matches,
+        not_null,
+        unique,
+        validate,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    suite = [
+        not_null("o_orderkey"),
+        unique("o_orderkey"),
+        in_set("o_orderstatus", ["F", "O", "P"]),
+        between("o_totalprice", 0, 10000000.0),
+        matches("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+    ]
+    return validate(o, suite)
