@@ -158,8 +158,9 @@ def _register_query() -> None:
             {"n_name": F.concat(F.col("n_name"), F.lit("_EU"))},
         )
         out = read_table(spark, root).orderBy("n_nationkey")
-        # materialize before dropping the version directories the plan reads
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # materialize executor-side (no driver round-trip) before dropping
+        # the version directories the plan reads
+        out = out.localCheckpoint(eager=True)
         shutil.rmtree(root, ignore_errors=True)
         return out
 

@@ -66,7 +66,7 @@ _COLS = ("l_returnflag", "l_linestatus", "l_quantity", "l_partkey", "l_shipdate"
                          OR l_shipdate <> p_shipdate THEN 1 ELSE 0 END)
         FROM ordered
     )
-    SELECT col_name, n_rows, ndv, n_runs,
+    SELECT col_name, n_rows, ndv, CAST(n_runs AS BIGINT) AS n_runs,
            round(CAST(n_rows AS DOUBLE) / n_runs, 2) AS avg_run_len,
            CASE WHEN ndv = 1 THEN 'CONSTANT'
                 WHEN CAST(n_rows AS DOUBLE) / n_runs >= 4.0 THEN 'RLE'

@@ -403,7 +403,7 @@ def chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     days AS (SELECT DISTINCT day FROM activity)
-    SELECT d.day,
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
            count(DISTINCT a.user_id) AS active_7d,
            count(DISTINCT CASE WHEN a.day = d.day THEN a.user_id END) AS active_1d
     FROM days d
@@ -437,7 +437,7 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return (
-        fanned.groupBy(F.col("wday").alias("day"))
+        fanned.groupBy(F.col("wday").cast("timestamp").alias("day"))
         .agg(
             F.countDistinct("user_id").alias("active_7d"),
             F.countDistinct(

@@ -71,7 +71,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS active_week
         FROM events e
     )
-    SELECT f.cohort_week,
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
            CAST(datediff('week', f.cohort_week, a.active_week) AS BIGINT) AS week_n,
            count(*) AS n_active
     FROM firsts f
@@ -99,7 +99,8 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     week_n = (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7).cast("bigint")
     return (
         firsts.join(activity, "user_id")
-        .select("cohort_week", week_n.alias("week_n"))
+        .select(F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+                week_n.alias("week_n"))
         .filter(F.col("week_n").between(0, 4))
         .groupBy("cohort_week", "week_n")
         .agg(F.count(F.lit(1)).alias("n_active"))
@@ -189,7 +190,7 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta) AS live
         FROM points
     )
-    SELECT event_type, max(live) AS max_concurrent,
+    SELECT event_type, CAST(max(live) AS BIGINT) AS max_concurrent,
            CAST(count(*) / 2 AS BIGINT) AS n_intervals
     FROM running
     GROUP BY event_type
@@ -533,8 +534,8 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_type,
            round(m.med, 2) AS med,
            round(d.mad, 2) AS mad,
-           sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * d.mad
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * d.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events e
     JOIN med m USING (event_type)
     JOIN mad d USING (event_type)

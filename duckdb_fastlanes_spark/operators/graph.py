@@ -146,17 +146,20 @@ _TRI_ORACLE_PAIRS = """
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle + wedge census of the part co-purchase graph (parts that
-    appear in the same order are adjacent). Edges are oriented low-id → high-id
-    so each triangle {a<b<c} is counted exactly once as (a,b)+(b,c)+(a,c) —
-    the standard compact-forward algorithm expressed as two equi-joins.
+    appear in the same order are adjacent), via the compact-forward algorithm
+    with DEGREE ordering: every edge is re-oriented from its lower-(degree,id)
+    endpoint to its higher one, wedges are enumerated at the common SOURCE,
+    and the closing edge is probed in the same orientation. Each triangle
+    {a≺b≺c} is counted exactly once as (a→b)+(a→c)+(b→c).
 
-    Scale shape: the wedge join e1⋈e2 shuffles on the middle vertex, so its
-    cost is Σ deg(v)²; TPC-H part keys are near-uniform so id-orientation is
-    safe here. On a power-law graph at 100 TB the same plan holds after
-    re-orienting edges from the lower-degree endpoint to the higher-degree
-    one (degree ordering) — the triangle total is orientation-invariant, so
-    the oracle stays identical. The edge list is localCheckpoint-ed once and
-    reused by the degree census and all three legs of the triangle join.
+    Scale shape: the wedge join groups on the source vertex, so its cost is
+    Σ out-deg(v)² — and degree orientation bounds every out-degree by
+    O(√m) (arboricity), turning the Σ deg² blow-up on power-law hubs into
+    Σ min-deg². That is the difference between a plan that dies on the one
+    celebrity node at 100 TB and one that doesn't; the triangle total is
+    orientation-invariant, so the id-oriented DuckDB oracle is unchanged.
+    The oriented edge list is localCheckpoint-ed once and reused by all
+    three legs of the triangle join.
     """
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
@@ -175,13 +178,32 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
     )
     wedges = deg.agg(F.expr("CAST(sum(d * (d - 1)) DIV 2 AS BIGINT)").alias("n_wedges"))
-    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
-        .join(
-            e3,
-            (F.col("e3.s1") == F.col("e1.s1")) & (F.col("e3.s2") == F.col("e2.s2")),
+    # degree-ordered orientation: u = lower (d, id) endpoint, v = higher;
+    # dv (degree of v) rides along so the wedge comparator stays join-local
+    s1_lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("s1") < F.col("s2"))
+    )
+    oriented = (
+        pairs.join(deg.select(F.col("node").alias("s1"), F.col("d").alias("da")), "s1")
+        .join(deg.select(F.col("node").alias("s2"), F.col("d").alias("db")), "s2")
+        .select(
+            F.when(s1_lower, F.col("s1")).otherwise(F.col("s2")).alias("u"),
+            F.when(s1_lower, F.col("s2")).otherwise(F.col("s1")).alias("v"),
+            F.when(s1_lower, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
+        .localCheckpoint()
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    # wedge at the source u, endpoints ordered by the same (deg, id) total
+    # order so the closing edge b→c is probed in its stored orientation
+    wedge_ord = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    e3 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_ord)
+        .select(F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+        .join(e3, ["b", "c"])
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return n_edges.crossJoin(wedges).crossJoin(tri)

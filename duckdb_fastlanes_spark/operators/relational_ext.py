@@ -22,7 +22,7 @@ from duckdb_fastlanes_spark.registry import ROUND_SCALE, register
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(cast(json_extract(props, '$.k') AS INT)) AS sum_k,
+           CAST(sum(cast(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            min(cast(json_extract(props, '$.k') AS INT)) AS min_k,
            max(cast(json_extract(props, '$.k') AS INT)) AS max_k
     FROM events
@@ -170,10 +170,12 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_distinct_from",
     oracle="""
     SELECT
-        sum(CASE WHEN nullif(l_returnflag, 'N') IS DISTINCT FROM
-                      nullif(l_linestatus, 'O') THEN 1 ELSE 0 END) AS n_distinct_from,
-        sum(CASE WHEN nullif(l_returnflag, 'N') IS NOT DISTINCT FROM
-                      nullif(l_linestatus, 'O') THEN 1 ELSE 0 END) AS n_not_distinct,
+        CAST(sum(CASE WHEN nullif(l_returnflag, 'N') IS DISTINCT FROM
+                      nullif(l_linestatus, 'O') THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_distinct_from,
+        CAST(sum(CASE WHEN nullif(l_returnflag, 'N') IS NOT DISTINCT FROM
+                      nullif(l_linestatus, 'O') THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_not_distinct,
         count(coalesce(nullif(l_returnflag, 'N'), nullif(l_linestatus, 'O')))
             AS n_coalesced
     FROM lineitem
@@ -217,7 +219,7 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            len(range(1, l_linenumber + 1))      AS arr_len,
-           list_sum(range(1, l_linenumber + 1)) AS arr_sum,
+           CAST(list_sum(range(1, l_linenumber + 1)) AS BIGINT) AS arr_sum,
            list_contains(range(1, l_linenumber + 1), 3) AS has_three,
            array_to_string(list_reverse(range(1, l_linenumber + 1)), ',') AS rev_csv
     FROM lineitem
@@ -234,8 +236,10 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.size(seq).alias("arr_len"),
-        F.aggregate(seq, F.lit(0), lambda acc, x: acc + x).alias("arr_sum"),
+        F.size(seq).cast("bigint").alias("arr_len"),
+        F.aggregate(seq, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "arr_sum"
+        ),
         F.array_contains(seq, 3).alias("has_three"),
         F.array_join(F.reverse(seq), ",").alias("rev_csv"),
     ).orderBy("l_orderkey", "l_linenumber")

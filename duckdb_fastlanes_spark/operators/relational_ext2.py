@@ -176,8 +176,9 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_date_arith2",
     oracle="""
     SELECT o_orderkey,
-           last_day(CAST(o_orderdate AS DATE))                       AS month_end,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)    AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP)
+                                                                     AS plus_3m,
            CAST(datediff('month', TIMESTAMP '1995-01-01 00:00:00',
                          o_orderdate) AS BIGINT)                     AS months_since_95,
            dayofweek(o_orderdate) + 1                                AS dow,
@@ -199,8 +200,8 @@ def scalar_date_arith2(spark: SparkSession, sf_dir: str) -> DataFrame:
     months_since = (F.year(d) - 1995) * 12 + (F.month(d) - 1)
     return o.select(
         "o_orderkey",
-        F.last_day(d).alias("month_end"),
-        F.add_months(d, 3).alias("plus_3m"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.add_months(d, 3).cast("timestamp").alias("plus_3m"),
         months_since.cast("bigint").alias("months_since_95"),
         F.dayofweek(d).alias("dow"),
         F.weekofyear(d).alias("woy"),
@@ -214,7 +215,8 @@ def scalar_date_arith2(spark: SparkSession, sf_dir: str) -> DataFrame:
         count(*)                                            AS n_rows,
         count(try_cast(lang AS INT))                        AS n_numeric_lang,
         count(try_cast(substr(props, 8, 2) AS INT))         AS n_k_prefix,
-        sum(coalesce(try_cast(substr(props, 8, 2) AS INT), 0)) AS sum_k_prefix
+        CAST(sum(coalesce(try_cast(substr(props, 8, 2) AS INT), 0)) AS BIGINT)
+            AS sum_k_prefix
     FROM documents d, events e
     WHERE d.doc_id = e.event_id
     """,
@@ -406,7 +408,7 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
         WHERE m < CAST('1996-12-01' AS DATE)
     )
-    SELECT m AS month_start, count(o_orderkey) AS n_orders
+    SELECT CAST(m AS TIMESTAMP) AS month_start, count(o_orderkey) AS n_orders
     FROM months LEFT JOIN orders
       ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
     GROUP BY m
@@ -425,7 +427,7 @@ def recursive_cte_months(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
         WHERE m < CAST('1996-12-01' AS DATE)
     )
-    SELECT m AS month_start, count(o_orderkey) AS n_orders
+    SELECT CAST(m AS TIMESTAMP) AS month_start, count(o_orderkey) AS n_orders
     FROM months LEFT JOIN parquet.`{sf_dir}/orders.parquet`
       ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
     GROUP BY m
@@ -696,8 +698,8 @@ def distinct_on_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_lambda_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           list_sum(list_transform(range(1, l_linenumber + 1), x -> x * x))
-               AS sum_squares,
+           CAST(list_sum(list_transform(range(1, l_linenumber + 1), x -> x * x))
+                AS BIGINT) AS sum_squares,
            len(list_filter(range(1, l_linenumber + 1), x -> x % 2 = 0))
                AS n_even,
            len(list_filter(range(1, l_linenumber + 1), x -> x > 3)) > 0
@@ -719,7 +721,9 @@ def array_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.aggregate(
-            F.transform(seq, lambda x: x * x), F.lit(0), lambda a, x: a + x
+            F.transform(seq, lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
         ).alias("sum_squares"),
         F.size(F.filter(seq, lambda x: x % 2 == 0)).alias("n_even"),
         F.exists(seq, lambda x: x > 3).alias("has_gt3"),

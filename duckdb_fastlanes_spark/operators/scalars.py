@@ -35,13 +35,14 @@ HUGE = 469231731687303715884105728  # reference's HUGEINT multiplier (test :79-9
         CAST(val AS INTEGER)                                 AS c_int,
         CAST(val * 10 AS BIGINT)                             AS c_bigint,
         CAST(val * 10 AS BIGINT)                             AS c_ubigint,
-        CAST(val * -{HUGE} AS DECIMAL(38,0))                 AS c_hugeint,
-        CAST(val * {HUGE} AS DECIMAL(38,0))                  AS c_uhugeint,
+        CAST(CAST(val * -{HUGE} AS DECIMAL(38,0)) AS VARCHAR) AS c_hugeint,
+        CAST(CAST(val * {HUGE} AS DECIMAL(38,0)) AS VARCHAR)  AS c_uhugeint,
         CAST(val / 100.0 AS FLOAT)                           AS c_float,
         CAST(val / 1000.0 AS DOUBLE)                         AS c_double,
-        CAST(CAST(val AS DECIMAL(10,2)) / 10.0 AS DECIMAL(12,3)) AS c_decimal,
+        CAST(CAST(CAST(val AS DECIMAL(10,2)) / 10.0 AS DECIMAL(12,3)) AS VARCHAR)
+                                                             AS c_decimal,
         'Value ' || CAST(val AS VARCHAR)                     AS c_varchar,
-        DATE '1992-03-22' + CAST(val AS INTEGER)             AS c_date,
+        CAST(DATE '1992-03-22' + CAST(val AS INTEGER) AS TIMESTAMP) AS c_date,
         TIMESTAMP '2025-01-01 00:00:00' + to_seconds(CAST(val AS BIGINT)) AS c_timestamp,
         CAST(CAST(TIMESTAMP '2025-01-01 00:00:00' + to_seconds(CAST(val AS BIGINT)) AS TIMESTAMP_S) AS TIMESTAMP) AS c_timestamp_s,
         TIMESTAMP '2025-01-01 00:00:00' + to_seconds(CAST(val AS BIGINT)) + to_milliseconds(val % 1000) AS c_timestamp_ms,
@@ -56,6 +57,10 @@ def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Type-mapping notes (SURVEY.md §1.2): unsigned → LongType (documented),
     HUGEINT/UHUGEINT → DecimalType(38,0), TIMESTAMP_S → second-truncated
     timestamp, TIMESTAMP_NS → BIGINT nanoseconds (Spark timestamps are µs).
+    128-bit and DECIMAL columns are rendered as digit strings on BOTH
+    engines (pandas lowers DuckDB HUGEINT/DECIMAL to float64, which loses
+    exactness past 2⁵³ and flips the value hash); DATE is compared in its
+    timestamp view for the same repr-stability reason.
     """
     r = spark.range(1, 1025).select(F.col("id"))
     val = F.col("id")
@@ -69,13 +74,24 @@ def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         val.cast("int").alias("c_int"),
         (val * 10).cast("bigint").alias("c_bigint"),
         (val * 10).cast("bigint").alias("c_ubigint"),
-        (val.cast("decimal(38,0)") * F.lit(Decimal(-HUGE))).cast("decimal(38,0)").alias("c_hugeint"),
-        (val.cast("decimal(38,0)") * F.lit(Decimal(HUGE))).cast("decimal(38,0)").alias("c_uhugeint"),
+        (val.cast("decimal(38,0)") * F.lit(Decimal(-HUGE)))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("c_hugeint"),
+        (val.cast("decimal(38,0)") * F.lit(Decimal(HUGE)))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("c_uhugeint"),
         (val / 100.0).cast("float").alias("c_float"),
         (val / 1000.0).cast("double").alias("c_double"),
-        (val.cast("decimal(10,2)") / 10.0).cast("decimal(12,3)").alias("c_decimal"),
+        (val.cast("decimal(10,2)") / 10.0)
+        .cast("decimal(12,3)")
+        .cast("string")
+        .alias("c_decimal"),
         F.concat(F.lit("Value "), val.cast("string")).alias("c_varchar"),
-        F.date_add(F.lit("1992-03-22").cast("date"), val.cast("int")).alias("c_date"),
+        F.date_add(F.lit("1992-03-22").cast("date"), val.cast("int"))
+        .cast("timestamp")
+        .alias("c_date"),
         ts.alias("c_timestamp"),
         F.date_trunc("second", ts).alias("c_timestamp_s"),
         F.timestamp_add("MILLISECOND", val % 1000, ts).alias("c_timestamp_ms"),

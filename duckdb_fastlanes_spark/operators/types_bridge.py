@@ -29,10 +29,10 @@ U64_MAX = "18446744073709551615"
     oracle=f"""
     WITH g AS (SELECT unnest(range(0, 8)) AS id)
     SELECT count(*) AS n,
-           min(CAST('{U64_MAX}' AS UBIGINT) - id) AS min_v,
-           max(CAST('{U64_MAX}' AS UBIGINT) - id) AS max_v,
+           CAST(min(CAST('{U64_MAX}' AS UBIGINT) - id) AS VARCHAR) AS min_v,
+           CAST(max(CAST('{U64_MAX}' AS UBIGINT) - id) AS VARCHAR) AS max_v,
            CAST(sum(CAST(CAST('{U64_MAX}' AS UBIGINT) - id AS HUGEINT))
-                AS DECIMAL(38, 0)) AS sum_v
+                AS VARCHAR) AS sum_v
     FROM g
     """,
 )
@@ -40,23 +40,26 @@ def unsigned_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UINT64 bridge: values at the 2⁶⁴ ceiling carried as DECIMAL(20,0)
     (BIGINT would overflow; the reference's UBIGINT has no Spark twin).
     min/max survive at full precision and the sum accumulates in
-    DECIMAL(38,0) — matching DuckDB's native UBIGINT/HUGEINT arithmetic."""
+    DECIMAL(38,0) — matching DuckDB's native UBIGINT/HUGEINT arithmetic.
+    Output rendered as digit strings on BOTH engines: the comparison is
+    then exact at full 128-bit precision (pandas would otherwise lower
+    DuckDB's UBIGINT/HUGEINT to float64, quietly rounding past 2⁵³)."""
     v = F.expr(f"CAST('{U64_MAX}' AS DECIMAL(20,0)) - id")
     return spark.range(0, 8).agg(
         F.count(F.lit(1)).alias("n"),
-        F.min(v).alias("min_v"),
-        F.max(v).alias("max_v"),
-        F.sum(v).cast("decimal(38,0)").alias("sum_v"),
+        F.min(v).cast("string").alias("min_v"),
+        F.max(v).cast("string").alias("max_v"),
+        F.sum(v).cast("decimal(38,0)").cast("string").alias("sum_v"),
     )
 
 
 @register(
     "hugeint_decimal38",
     oracle="""
-    SELECT CAST(sum(CAST(o_orderkey AS HUGEINT) * CAST('4294967296000000000' AS HUGEINT))
-                AS DECIMAL(38, 0)) AS big_sum,
-           CAST(max(CAST(o_orderkey AS HUGEINT) * CAST('4294967296000000000' AS HUGEINT))
-                AS DECIMAL(38, 0)) AS big_max,
+    SELECT CAST(CAST(sum(CAST(o_orderkey AS HUGEINT) * CAST('4294967296000000000' AS HUGEINT))
+                AS DECIMAL(38, 0)) AS VARCHAR) AS big_sum,
+           CAST(CAST(max(CAST(o_orderkey AS HUGEINT) * CAST('4294967296000000000' AS HUGEINT))
+                AS DECIMAL(38, 0)) AS VARCHAR) AS big_max,
            count(*) AS n
     FROM orders
     """,
@@ -65,7 +68,9 @@ def hugeint_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HUGEINT bridge: products far beyond BIGINT range (key × 2³²·10⁹ ≈ 10²⁵)
     computed and summed in DECIMAL(38,0) — the Spark carrier for the
     reference's 128-bit integers (which its own writer can only stringify,
-    fls_view_writer.cpp:12-46; DECIMAL(38,0) keeps them numeric here)."""
+    fls_view_writer.cpp:12-46; DECIMAL(38,0) keeps them numeric here).
+    Rendered as digit strings on BOTH engines so the compare is exact at
+    full precision (pandas lowers DuckDB DECIMAL(38,0) to float64)."""
     from duckdb_fastlanes_spark.catalog import table
 
     o = table(spark, sf_dir, "orders")
@@ -73,8 +78,8 @@ def hugeint_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST('4294967296000000000' AS DECIMAL(19,0))"
     )
     return o.agg(
-        F.sum(big).cast("decimal(38,0)").alias("big_sum"),
-        F.max(big).cast("decimal(38,0)").alias("big_max"),
+        F.sum(big).cast("decimal(38,0)").cast("string").alias("big_sum"),
+        F.max(big).cast("decimal(38,0)").cast("string").alias("big_max"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -91,20 +96,20 @@ def hugeint_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def timestamp_ns_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TIMESTAMP_NS bridge: the events table is INT64 TIMESTAMP(NANOS)
-    parquet. Spark reads the raw 64-bit nanos (nanosAsLong) and derives the
-    µs view by integer division — the same truncation DuckDB's parquet
-    reader applies wholesale (its epoch_ns over this data returns
-    µs-aligned values: the sub-µs digits are already gone engine-side,
-    which is why the shared contract here is µs). The raw-nanos column
-    Spark holds is strictly MORE fidelity than either DuckDB's read or the
-    reference's own broken NS roundtrip
-    (all_types_single_threaded.test:346-348)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    """Timestamp bridge: whatever the physical parquet encoding of events.ts
+    (INT64 TIMESTAMP(NANOS) → nanosAsLong div 1000, or timestamp[us]
+    isAdjustedToUTC=false → NTZ cast under the UTC session), the catalog
+    normalizes to µs TimestampType — the same µs UTC-instant semantics
+    DuckDB's parquet reader applies (its own NS roundtrip is broken,
+    all_types_single_threaded.test:346-348). This query proves the bridge:
+    epoch-µs extrema and their timestamp views match DuckDB exactly."""
+    from duckdb_fastlanes_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events")
     return ev.agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr("min(ts) div 1000").alias("min_us"),
-        F.expr("max(ts) div 1000").alias("max_us"),
-        F.timestamp_micros(F.expr("min(ts) div 1000")).alias("min_us_ts"),
-        F.timestamp_micros(F.expr("max(ts) div 1000")).alias("max_us_ts"),
+        F.unix_micros(F.min("ts")).alias("min_us"),
+        F.unix_micros(F.max("ts")).alias("max_us"),
+        F.min("ts").alias("min_us_ts"),
+        F.max("ts").alias("max_us_ts"),
     )

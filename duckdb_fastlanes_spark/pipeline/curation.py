@@ -80,7 +80,7 @@ _ORACLE_N_TOKENS = f"len(regexp_extract_all(lower(text), '{_TOKENS}'))"
     SELECT source,
            CAST(floor(start_off / {PACK_CTX}) AS BIGINT) AS bin_id,
            count(*)      AS n_docs,
-           sum(n_tokens) AS bin_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
            min(doc_id)   AS first_doc,
            max(doc_id)   AS last_doc
     FROM offs
@@ -128,7 +128,8 @@ def _contam_oracle() -> str:
     )
     SELECT t.doc_id,
            count(*) AS n_shingles,
-           sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap,
+           CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlap,
            round(CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                  / count(*), 4) AS overlap_ratio,
            CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
@@ -200,7 +201,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY 1, 2
     )
     SELECT doc_id,
-           sum(cnt)  AS n_words,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
            count(*)  AS n_distinct_words,
            round(CAST(count(*) AS DOUBLE) / sum(cnt), 4)  AS distinct_ratio,
            round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4)  AS top_word_ratio,
@@ -275,7 +276,8 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixture_temperature",
     oracle=f"""
     WITH per_src AS (
-        SELECT source, count(*) AS n_docs, sum({_ORACLE_N_TOKENS}) AS src_tokens
+        SELECT source, count(*) AS n_docs,
+               CAST(sum({_ORACLE_N_TOKENS}) AS BIGINT) AS src_tokens
         FROM documents GROUP BY 1
     ),
     tot AS (SELECT sum(src_tokens) AS total_tokens FROM per_src),

@@ -376,7 +376,8 @@ def _curate_oracle() -> str:
     )
     SELECT q.lang,
            count(*) AS n_docs,
-           sum(len(regexp_extract_all(lower(q.text), '[a-z0-9]+'))) AS total_tokens
+           CAST(sum(len(regexp_extract_all(lower(q.text), '[a-z0-9]+'))) AS BIGINT)
+               AS total_tokens
     FROM quality q
     WHERE q.doc_id IN (SELECT doc_id FROM exact_kept)
       AND q.doc_id NOT IN (SELECT doc_id FROM near_dropped)

@@ -50,10 +50,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
-        # read INT64 TIMESTAMP(NANOS) parquet columns (events.ts) as long;
-        # catalog.table converts to µs TimestampType losslessly (values are
-        # µs-aligned; DuckDB's reader does the same µs conversion)
+        # events.ts normalization (see catalog._read_raw): INT64
+        # TIMESTAMP(NANOS) reads as long via nanosAsLong; timestamp[us]
+        # isAdjustedToUTC=false would read as TIMESTAMP_NTZ — disable NTZ
+        # inference so it reads as TimestampType directly (UTC session tz,
+        # lossless, matches DuckDB's µs semantics on the same file)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

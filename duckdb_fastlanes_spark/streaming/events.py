@@ -81,7 +81,8 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         FROM ordered
     )
-    SELECT user_id, session_seq, count(*) AS n_events,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end
     FROM sessions
     GROUP BY user_id, session_seq
@@ -200,8 +201,9 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("content_fp")
     )
-    # force the aggregation off the memory sink, then drop staged files
-    out = spark.createDataFrame(out.collect(), out.schema)
+    # materialize executor-side off the memory sink (no driver round-trip),
+    # then drop staged files
+    out = out.localCheckpoint(eager=True)
     import shutil
 
     shutil.rmtree(workdir, ignore_errors=True)
@@ -286,7 +288,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     out = spark.table(name).orderBy("view_event_id", "click_event_id")
-    out = spark.createDataFrame(out.collect(), out.schema)
+    out = out.localCheckpoint(eager=True)
     shutil.rmtree(workdir, ignore_errors=True)
     return out
 

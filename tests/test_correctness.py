@@ -1,10 +1,24 @@
 """Every registered query hash-matches its DuckDB oracle at sf0.001 — the
 pytest twin of the driver's t2 gate (and of the reference's self-checking
-sqllogictest corpus, SURVEY.md §5)."""
+sqllogictest corpus, SURVEY.md §5).
+
+Two comparisons per query:
+
+1. value equality (floats to 9 dp, order-insensitive) — catches wrong answers;
+2. REPR-FAMILY parity — catches right answers that hash differently. The
+   driver compares pandas frames by value repr, where ``5`` (int64) and
+   ``5.0`` (float64, what pandas lowers DuckDB HUGEINT/DECIMAL to) differ,
+   as do ``datetime.date`` (Spark DATE → object) and ``datetime64`` (DuckDB
+   DATE). Int widths and datetime units DO hash alike (driver-verified in
+   round 1: tpch_q7/q8/q9 int32-vs-int64 and tpch_q3 ns-vs-us all passed),
+   so families — not exact dtypes — are the right bar. This is derived from
+   the Spark schema + a DuckDB DESCRIBE, no second execution.
+"""
 
 from __future__ import annotations
 
 import math
+import re
 
 import pytest
 
@@ -13,6 +27,37 @@ from tests.conftest import SF_DIR
 
 QUERIES = registry.queries()
 ORACLES = registry.oracles()
+
+
+def _spark_family(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.DateType):
+        return "date"  # pandas object — never repr-matches DuckDB datetime64
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"  # pandas object(Decimal) vs DuckDB float64
+    return "obj"
+
+
+def _duck_family(type_name: str) -> str:
+    t = type_name.upper()
+    if re.fullmatch(r"U?(TINYINT|SMALLINT|INTEGER|BIGINT)", t):
+        return "int"
+    if t in ("HUGEINT", "UHUGEINT", "DOUBLE", "FLOAT") or t.startswith("DECIMAL"):
+        return "float"  # pandas lowers all of these to float64
+    if t == "DATE" or t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "BOOLEAN":
+        return "bool"
+    return "obj"
 
 
 def _normalize(rows, cols):
@@ -44,3 +89,15 @@ def test_query_matches_oracle(name, spark, duck):
     assert sorted(sdf.columns) == sorted(ocols), "column names must match oracle"
     assert len(srows) == len(orows), "row count must match oracle"
     assert _normalize(srows, sdf.columns) == _normalize(orows, ocols)
+    # repr-family parity (the driver-hash bar; see module docstring)
+    duck_types = {
+        r[0].lower(): r[1]
+        for r in duck.execute("DESCRIBE " + ORACLES[name]).fetchall()
+    }
+    mismatches = [
+        f"{f.name}: spark={_spark_family(f.dataType)} "
+        f"oracle={_duck_family(duck_types[f.name.lower()])}"
+        for f in sdf.schema.fields
+        if _spark_family(f.dataType) != _duck_family(duck_types[f.name.lower()])
+    ]
+    assert not mismatches, f"repr-family mismatch (driver hash would differ): {mismatches}"
