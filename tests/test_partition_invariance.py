@@ -37,6 +37,11 @@ REPRESENTATIVE = [
     "dq_split_divergence",  # KL/TVD float sums over the vocab must round stably
     "events_ewma_smoothing",  # HOF fold: order pinned by array_sort, not layout
     "graph_link_prediction",  # top-k with float scores: ties must break on ids
+    "stream_upsert_latest",  # streaming state: last-write-wins must not depend
+    # on source file split (the A13/B17 parity proof extended to a stateful
+    # stream, reference test/all_types_multi_threaded.test:163)
+    "graph_triangle_count",  # degree-ordered orientation: census must be
+    # identical whatever file layout feeds the degree computation
 ]
 
 

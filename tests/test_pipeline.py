@@ -231,6 +231,28 @@ def test_embed_text_unit_norm_and_determinism(spark):
     assert vals[0] != vals[1]
 
 
+def test_multimodal_features_registry_invariants(spark):
+    """Registry-level invariant for the no-oracle `multimodal_features` entry
+    (mapInPandas decode is not SQL-expressible; the driver records rows-only):
+    one output row per document, deterministic across runs, decoded dims/luma
+    inside their contract ranges, and row count equal to the metadata query's
+    (the SQL-observable twin) so the decode path drops nothing."""
+    from duckdb_fastlanes_spark import registry
+
+    qs = registry.queries()
+    rows = qs["multimodal_features"](spark, SF_DIR).collect()
+    n_docs = table(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    for r in rows[:50]:
+        assert r.media_format == "jpeg"
+        assert r.payload_bytes == 16
+        assert r.width > 0 and r.height > 0
+        assert 0.0 <= r.mean_luma <= 1.0 or 0.0 <= r.mean_luma <= 255.0
+    rows2 = qs["multimodal_features"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
 def test_audio_features_invariants(spark):
     from duckdb_fastlanes_spark.pipeline.multimodal import (
         attach_media,
