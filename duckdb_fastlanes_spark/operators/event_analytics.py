@@ -16,6 +16,11 @@ from pyspark.sql import functions as F
 from duckdb_fastlanes_spark.catalog import table
 from duckdb_fastlanes_spark.registry import register
 
+#: time slices for the distributed sweep-line prefix sum (events_max_
+#: concurrency): parallelism = |event_type| × this; the offset frame stays
+#: |event_type| × this rows — trivially broadcastable at any corpus size
+N_SWEEP_BUCKETS = 64
+
 
 @register(
     "events_funnel",
@@ -205,12 +210,18 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrency watermark (peak simultaneous sessions / GPU occupancy /
     room usage — the interval-algebra op dashboards ask for).
 
-    Determinism: the window uses the default RANGE frame, so tied boundary
-    points are peers and every row sees the same running value regardless
-    of partition order. Scale shape: one projection, one union, one window
-    shuffle on (event_type), one bounded-key aggregate — linear at any
-    scale; for a single globally-hot event_type, pre-aggregate points per
-    (t, delta) first (sum of deltas), which this data does not need."""
+    Scale shape — two-level distributed prefix sum. A single running-sum
+    window PARTITION BY event_type caps parallelism at the number of types
+    (measured flat ~3.4 s at the 100× cell whatever the partition count), so
+    instead: (1) collapse boundary points to one net delta per (type, t) —
+    the intermediate "after the ends, before the starts" running value is
+    always ≤ its predecessor, so the per-instant net prefix preserves the
+    maximum exactly; (2) range-bucket time into N_SWEEP_BUCKETS deterministic
+    slices from the broadcast global bounds; (3) an inner running sum
+    windowed per (type, bucket) — parallelism types × buckets; (4) a
+    bucket-offset prefix over the tiny (type, bucket) totals frame; (5)
+    max(offset + inner). Deterministic at any layout: every sum is keyed by
+    unique (type, t), no row_number, no peer ambiguity."""
     from duckdb_fastlanes_spark.functions.ordering import ordered_small
     from pyspark.sql.window import Window
 
@@ -223,13 +234,41 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     points = iv.selectExpr("event_type", "start_us AS t", "1 AS delta").unionAll(
         iv.selectExpr("event_type", "end_us AS t", "-1 AS delta")
     )
-    w = Window.partitionBy("event_type").orderBy("t", "delta")
+    pts = points.groupBy("event_type", "t").agg(
+        F.sum("delta").alias("d"), F.count(F.lit(1)).alias("npts")
+    )
+    bounds = pts.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    n_b = N_SWEEP_BUCKETS
+    pts = pts.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.least(
+            F.lit(n_b - 1),
+            ((F.col("t") - F.col("lo")) * n_b / (F.col("hi") - F.col("lo") + 1)).cast(
+                "long"
+            ),
+        ),
+    )
+    w_in = Window.partitionBy("event_type", "bucket").orderBy("t")
+    inner = pts.select(
+        "event_type", "bucket", "npts", F.sum("d").over(w_in).alias("run_in")
+    )
+    btot = pts.groupBy("event_type", "bucket").agg(F.sum("d").alias("bd"))
+    w_b = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = btot.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.sum("bd").over(w_b), F.lit(0)).alias("off"),
+    )
     return ordered_small(
-        points.select("event_type", F.sum("delta").over(w).alias("live"))
+        inner.join(F.broadcast(off), ["event_type", "bucket"])
         .groupBy("event_type")
         .agg(
-            F.max("live").alias("max_concurrent"),
-            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+            F.max(F.col("off") + F.col("run_in")).alias("max_concurrent"),
+            (F.sum("npts") / 2).cast("long").alias("n_intervals"),
         ),
         "event_type",
     )

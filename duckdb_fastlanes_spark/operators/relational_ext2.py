@@ -498,9 +498,9 @@ def dq_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - 3 * avg(l_quantity) * avg(l_quantity * l_quantity)
                   + 2 * avg(l_quantity) * avg(l_quantity) * avg(l_quantity))
                  / power(avg(l_quantity * l_quantity) - avg(l_quantity) * avg(l_quantity), 1.5),
-                 2) AS skew_g1,
+                 2) + 0.0 AS skew_g1,
            round(avg(l_quantity * l_quantity) - avg(l_quantity) * avg(l_quantity), 2)
-               AS variance_pop
+               + 0.0 AS variance_pop
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -519,12 +519,15 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(
-                (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
-                / F.pow(m2 - m1 * m1, F.lit(1.5)),
-                ROUND_SCALE,
+            (
+                F.round(
+                    (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                    / F.pow(m2 - m1 * m1, F.lit(1.5)),
+                    ROUND_SCALE,
+                )
+                + 0.0  # + 0.0 folds IEEE -0.0 to 0.0 (repr-stable vs oracle)
             ).alias("skew_g1"),
-            F.round(m2 - m1 * m1, ROUND_SCALE).alias("variance_pop"),
+            (F.round(m2 - m1 * m1, ROUND_SCALE) + 0.0).alias("variance_pop"),
         )
         .orderBy("l_returnflag")
     )

@@ -47,7 +47,7 @@ HUGE = 469231731687303715884105728  # reference's HUGEINT multiplier (test :79-9
         CAST(CAST(TIMESTAMP '2025-01-01 00:00:00' + to_seconds(CAST(val AS BIGINT)) AS TIMESTAMP_S) AS TIMESTAMP) AS c_timestamp_s,
         TIMESTAMP '2025-01-01 00:00:00' + to_seconds(CAST(val AS BIGINT)) + to_milliseconds(val % 1000) AS c_timestamp_ms,
         epoch_ns(TIMESTAMP '2025-01-01 00:00:00' + to_seconds(CAST(val AS BIGINT))) AS c_timestamp_ns,
-        CAST(md5(CAST(val AS VARCHAR)) AS BLOB)              AS c_blob
+        hex(CAST(md5(CAST(val AS VARCHAR)) AS BLOB))         AS c_blob
     FROM range(1, 1025) t(val)
     """,
 )
@@ -96,7 +96,7 @@ def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("second", ts).alias("c_timestamp_s"),
         F.timestamp_add("MILLISECOND", val % 1000, ts).alias("c_timestamp_ms"),
         (F.unix_micros(ts) * 1000).alias("c_timestamp_ns"),
-        F.md5(val.cast("string")).cast("binary").alias("c_blob"),
+        F.hex(F.md5(val.cast("string")).cast("binary")).alias("c_blob"),
     )
 
 

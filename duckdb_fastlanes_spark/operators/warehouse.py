@@ -241,9 +241,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            round((avg(l_quantity) - any_value(g.mq)) / any_value(g.sq), 2)
-               AS qty_z,
+               + 0.0 AS qty_z,
            round((avg(l_extendedprice) - any_value(g.lop))
-                 / (any_value(g.hip) - any_value(g.lop)), 2) AS price_minmax
+                 / (any_value(g.hip) - any_value(g.lop)), 2) + 0.0 AS price_minmax
     FROM lineitem CROSS JOIN g
     GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -269,11 +269,15 @@ def feature_scale_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.crossJoin(F.broadcast(g))
         .select(
             "l_returnflag",
-            F.round((F.col("aq") - F.col("mq")) / F.col("sq"), 2).alias(
+            # + 0.0 folds IEEE -0.0 to 0.0 (repr-stable vs oracle)
+            (F.round((F.col("aq") - F.col("mq")) / F.col("sq"), 2) + 0.0).alias(
                 "qty_z"
             ),
-            F.round(
-                (F.col("ap") - F.col("lop")) / (F.col("hip") - F.col("lop")), 2
+            (
+                F.round(
+                    (F.col("ap") - F.col("lop")) / (F.col("hip") - F.col("lop")), 2
+                )
+                + 0.0
             ).alias("price_minmax"),
         )
         .orderBy("l_returnflag")

@@ -86,10 +86,14 @@ def tune_for_input(spark: SparkSession, data_dir: str) -> None:
       small-query wall time);
     - constraint propagation off: O(plan²) driver work inferring predicates
       that row-group pruning already covers at this size (~10%);
-    - shuffle partitions ≈ cores/8: 32 near-empty shuffle tasks cost more to
-      schedule than they parallelize (measured ~40% on shuffle-heavy queries;
-      AQE coalescing normally absorbs this, but AQE is off here; a 4-vs-8-vs-2
-      sweep at sf0.1 put 4 ahead on 8 of 9 headline shapes).
+    - shuffle partitions sized to the input (~1 per 8 MB, floor cores/8,
+      cap cores): 32 near-empty shuffle tasks cost more to schedule than
+      they parallelize on tiny inputs (a 4-vs-8-vs-2 sweep at sf0.1 put 4
+      ahead on 8 of 9 headline shapes), but a flat floor strangles the
+      shuffle once the input grows — at the synthesized ~sf1 corpus a
+      4-vs-8-vs-16-vs-32 sweep put 16 ahead 2-3× on the shuffle-heavy
+      shapes (count_distinct 1.43→0.83 s, triangle census 43→20 s). AQE
+      coalescing normally absorbs this; AQE is off below the threshold.
 
     Above the threshold every default stands (AQE, skew-join splitting, wide
     shuffles) — the 100 TB path is the default path, the fast path is the
@@ -107,4 +111,5 @@ def tune_for_input(spark: SparkSession, data_dir: str) -> None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus // 8, 2)))
+        parts = min(cpus, max(cpus // 8, total // (8 * 1024**2), 2))
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))

@@ -1,0 +1,96 @@
+"""Synthesize a larger scale factor from the driver's sf0.1 catalog.
+
+Concatenates N disjoint copies of every table with all key domains shifted
+per copy (one offset per key family, so every FK relationship — including
+the cross-table doc_id = event_id probe — is preserved inside each replica).
+The result is N self-contained TPC-H-ish worlds: row counts, join fan-outs
+and group cardinalities scale by N with unchanged per-row semantics, which
+is exactly what a wall-time-vs-data-size experiment needs. Values are NOT
+resampled — this is a perf corpus, not a statistics corpus.
+
+    python tools/make_scaled_data.py [src_dir] [out_dir] [n_copies]
+
+Defaults: /root/testdata/sf0.1 → /tmp/dfs_scaled/sf1 × 10. Idempotent
+(skips when the output exists with the expected row count).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+#: key column → offset family; columns in the same family shift together so
+#: cross-table equality joins keep matching inside a replica
+KEY_FAMILIES = {
+    "region": {"r_regionkey": "region"},
+    "nation": {"n_nationkey": "nation", "n_regionkey": "region"},
+    "customer": {"c_custkey": "cust", "c_nationkey": "nation"},
+    "supplier": {"s_suppkey": "supp", "s_nationkey": "nation"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "order", "l_partkey": "part", "l_suppkey": "supp"},
+    # doc_id joins event_id in the corpus (scalar_try_cast), and vec_id is the
+    # embedding row id — one shared 'id' family keeps every such probe alive
+    "events": {"event_id": "id", "user_id": "user"},
+    "documents": {"doc_id": "id"},
+    "embeddings": {"vec_id": "id"},
+}
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dfs_scaled/sf1"
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(out, exist_ok=True)
+
+    con = duckdb.connect()
+    # one offset per family = max over every column in the family, +1
+    offsets: dict[str, int] = {}
+    for t, fams in KEY_FAMILIES.items():
+        for col, fam in fams.items():
+            mx = con.execute(
+                f"SELECT max({col}) FROM read_parquet('{src}/{t}.parquet')"
+            ).fetchone()[0]
+            offsets[fam] = max(offsets.get(fam, 0), int(mx) + 1)
+
+    for t in TABLES:
+        dst = os.path.join(out, f"{t}.parquet")
+        n_src = con.execute(
+            f"SELECT count(*) FROM read_parquet('{src}/{t}.parquet')"
+        ).fetchone()[0]
+        if os.path.exists(dst):
+            n_dst = con.execute(
+                f"SELECT count(*) FROM read_parquet('{dst}')"
+            ).fetchone()[0]
+            if n_dst == n_src * n:
+                print(f"{t}: up to date ({n_dst} rows)")
+                continue
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
+            ).fetchall()
+        ]
+        fams = KEY_FAMILIES.get(t, {})
+        selects = []
+        for i in range(n):
+            exprs = [
+                f"{c} + {i * offsets[fams[c]]} AS {c}" if c in fams else c
+                for c in cols
+            ]
+            selects.append(
+                f"SELECT {', '.join(exprs)} FROM read_parquet('{src}/{t}.parquet')"
+            )
+        union = "\nUNION ALL\n".join(selects)
+        con.execute(f"COPY ({union}) TO '{dst}' (FORMAT parquet, COMPRESSION zstd)")
+        print(f"{t}: wrote {n_src * n} rows")
+    print(f"done → {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
