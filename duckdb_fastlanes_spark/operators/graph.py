@@ -290,7 +290,16 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.selectExpr("s2 AS src", "s1 AS dst")
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ea, eb = edges.alias("ea"), edges.alias("eb")
+    # the wedge stream is Σ C(deg,2) rows — orders of magnitude larger than
+    # the input, so both the wedge join and its aggregation must run at a
+    # width that tracks THAT, not input bytes (tune_for_input's byte-sized
+    # partition count ran this 143 s vs ~10 s at sf0.1). Pre-partitioning on
+    # the join key widens wedge GENERATION; re-keying on the pair widens the
+    # aggregate — Catalyst reuses both partitionings, so no exchange is
+    # added beyond the two the plan already needed.
+    width = spark.sparkContext.defaultParallelism
+    edges_w = edges.repartition(width, "dst")
+    ea, eb = edges_w.alias("ea"), edges_w.alias("eb")
     cand = (
         ea.join(
             eb,
@@ -300,7 +309,11 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(deg.selectExpr("src AS v", "d AS dv")),
             F.col("ea.dst") == F.col("v"),
         )
-        .groupBy(F.col("ea.src").alias("s1"), F.col("eb.src").alias("s2"))
+        .select(
+            F.col("ea.src").alias("s1"), F.col("eb.src").alias("s2"), F.col("dv")
+        )
+        .repartition(width, "s1", "s2")
+        .groupBy("s1", "s2")
         .agg(
             F.count(F.lit(1)).alias("common_neighbors"),
             F.sum(1.0 / F.log("dv")).alias("aa_raw"),

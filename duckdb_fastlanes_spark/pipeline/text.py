@@ -271,6 +271,117 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 hyperparameters (Robertson defaults) + a fixed keyword query over the
+#: corpus vocabulary; scores are quantized to integer micro-units BEFORE the
+#: per-doc sum so both engines add exact integers (float addition is not
+#: associative — summing raw doubles in different orders flips last-ulp bits
+#: and therefore the driver's value-repr hash)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("vector", "hash", "join")
+BM25_TOPK = 15
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM toks
+        WHERE w IN {BM25_TERMS!r} GROUP BY 1, 2
+    ),
+    dft AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(round(
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * (1.0 + {BM25_K1}))
+                   / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * l.dl
+                        / (CAST(s.tot_dl AS DOUBLE) / s.n_docs)))
+                   * 1000000) AS BIGINT) AS u
+        FROM tf t JOIN dft d USING (w) JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           count(*) AS n_terms_hit,
+           CAST(sum(u) AS BIGINT) / 1000000.0 AS score
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY CAST(sum(u) AS BIGINT) DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-{BM25_TOPK} documents for a fixed term
+    query — the ranking function under retrieval-corpus construction and
+    contamination probes (tfidf's big sibling; completes the text-retrieval
+    family next to text_tfidf_top_terms and the inverted-index build).
+
+    Scale shape: token explode → per-doc length (key-local), corpus stats
+    as one broadcast row (sum(dl) is an exact integer sum, so avgdl is a
+    deterministic double — never a float reduction), term frequencies only
+    for the ≤|Q| query terms (the explode filter prunes before the
+    shuffle), document frequencies broadcast back. Per-term scores are
+    deterministic per-row arithmetic quantized to integer micro-units; the
+    per-doc sum is exact, and the top-k orders by that integer with doc_id
+    tiebreak — a TakeOrderedAndProject, no global sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), F.lit(0))
+        ).alias("w"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl"))
+    tf = (
+        toks.filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # expression trees mirror the oracle token-for-token: both engines run
+    # the same IEEE double ops in the same order on the same exact inputs
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = (
+        idf
+        * (F.col("tf") * (1.0 + BM25_K1))
+        / (
+            F.col("tf")
+            + BM25_K1 * (F.lit(1.0 - BM25_B) + BM25_B * F.col("dl") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(term_score * 1000000).cast("bigint").alias("u"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("u").alias("su"),
+        )
+        .orderBy(F.col("su").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            (F.col("su") / F.lit(1000000.0)).alias("score"),
+        )
+    )
+
+
 #: feature-hashing embedding dims (power of two for cheap modulo)
 EMBED_DIMS = 64
 
