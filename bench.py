@@ -36,7 +36,7 @@ HEADLINE = [
     "stream_tumbling_counts",
 ]
 
-N_TIMED = 3
+N_TIMED = 5  # min-of-N; local-mode scheduler noise is ±50% on sub-200ms queries
 
 
 def _timed(thunk) -> float:

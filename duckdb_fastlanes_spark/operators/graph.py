@@ -92,7 +92,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # reused by deg + every iteration: flat lineage
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    with_deg = edges.join(deg, "src")
+    # degree-annotated edges materialize ONCE and feed every round; the
+    # per-round rank frame is |nodes|-sized and 3 rounds deep at most, so
+    # its lineage stays shallow without per-round checkpoints (open-ended
+    # iteration — functions/iterate.py — checkpoints per round instead)
+    with_deg = edges.join(deg, "src").localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # one scalar to the driver; state stays distributed
 
@@ -108,7 +112,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank")
             )
             .select(F.col("dst").alias("node"), "rank")
-            .localCheckpoint()
         )
     return ranks.select("node", F.round("rank", RANK_SCALE).alias("rank")).orderBy(
         "node"
