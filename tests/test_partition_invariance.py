@@ -42,6 +42,9 @@ REPRESENTATIVE = [
     # stream, reference test/all_types_multi_threaded.test:163)
     "graph_triangle_count",  # degree-ordered orientation: census must be
     # identical whatever file layout feeds the degree computation
+    "encoding_advisor",  # run counts ride a canonical (key, value) order —
+    # NOT scan order; (orderkey, linenumber) alone is not unique and an
+    # earlier version silently depended on stable single-partition sort
 ]
 
 
