@@ -305,3 +305,63 @@ def scan_hive_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "scan_bucketed_join",
+    oracle="""
+    SELECT l_orderkey % 16 AS k,
+           count(*) AS n_lines,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)
+                    * CAST(round(o_totalprice * 100) AS BIGINT) // 10000)
+                AS BIGINT) AS weighted
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free co-located join through bucketed tables (io.fls
+    write_fls_bucketed): both fact tables are hash-bucketed on the join key
+    at write time, so the sort-merge join consumes the write-time shuffle
+    and inserts ZERO Exchange nodes — the primitive that makes repeated
+    100 TB fact-fact joins affordable (pay the shuffle once, reuse forever).
+    The plan is asserted exchange-free at build time (MERGE hint pins SMJ so
+    a small probe side can't silently flip to broadcast); the aggregate
+    result hash-checks against the plain-join oracle. Weighted sum runs in
+    exact integer cents//10000 so no float-summation order can leak into
+    the hash."""
+    import os
+    import shutil
+
+    from duckdb_fastlanes_spark.io.fls import write_fls_bucketed
+    from duckdb_fastlanes_spark.plans.checks import explain_str
+
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    li_t, o_t = f"dfs_li_bucketed_{tag}", f"dfs_o_bucketed_{tag}"
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for name, df, keys in ((li_t, li, ["l_orderkey"]), (o_t, o, ["o_orderkey"])):
+        if not spark.catalog.tableExists(name):
+            # clear orphaned warehouse dirs a killed session may have left
+            warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+                "file:"
+            )
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+            write_fls_bucketed(df, name, bucket_by=keys, n_buckets=8)
+    lb, ob = spark.table(li_t), spark.table(o_t)
+    joined = lb.join(ob.hint("merge"), lb.l_orderkey == ob.o_orderkey)
+    plan = explain_str(joined, "simple")
+    if "Exchange" in plan:
+        raise AssertionError(
+            "bucketed join plan contains an Exchange — bucketing not applied"
+        )
+    return (
+        joined.groupBy((F.col("l_orderkey") % 16).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.expr("CAST(round(l_quantity * 100) AS BIGINT)"
+                         " * CAST(round(o_totalprice * 100) AS BIGINT)"
+                         " DIV 10000")).alias("weighted"),
+        )
+        .orderBy("k")
+    )
