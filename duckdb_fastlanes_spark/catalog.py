@@ -37,10 +37,15 @@ _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 # opt-in; table() only redirects when the caller ingested first)
 _LAYOUT: dict[str, str] = {}
 
-#: tables worth splitting at ingest; dims stay single-file. documents and
-#: embeddings are small in rows but heavy per row (regex shingling, vector
-#: math) — splitting parallelizes that CPU, not the I/O
-_FACT_FILES = {"lineitem": 16, "orders": 8, "events": 8, "documents": 8, "embeddings": 4}
+#: minimum ingest splits for tables that are small in bytes but heavy per
+#: row (regex shingling, vector math, per-row hashing) — splitting
+#: parallelizes that CPU, not the I/O. Every table additionally splits by
+#: SIZE (one file per _SPLIT_BYTES) so no table — dimension or fact — ever
+#: bottlenecks on a single-file single-task scan as the corpus grows (a
+#: single-file customer table ran the hash matrix on one core at ~sf1).
+_MIN_FILES = {"lineitem": 16, "orders": 8, "events": 8, "documents": 8, "embeddings": 4}
+_SPLIT_BYTES = 8 * 1024**2
+_MAX_FILES = 32
 
 
 def optimize_layout(spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/dfs_layout") -> str:
@@ -65,7 +70,14 @@ def optimize_layout(spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/df
         if os.path.exists(os.path.join(dst, "_SUCCESS")):
             if spark.read.parquet(dst).count() == src_df.count():
                 continue  # staged copy is current
-        n_files = _FACT_FILES.get(name)
+        src_bytes = 0
+        try:
+            src_bytes = os.path.getsize(src)
+        except OSError:
+            pass
+        n_files = min(
+            _MAX_FILES, max(_MIN_FILES.get(name, 0), src_bytes // _SPLIT_BYTES)
+        )
         writer = src_df.repartition(n_files) if n_files else src_df
         writer.write.mode("overwrite").option("compression", "zstd").parquet(dst)
     _LAYOUT[key] = out_root

@@ -166,8 +166,14 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta (non-equi range) join — broadcast nested loop on the small side;
-    the DuckDB analogue is its IEJoin/NLJ path (SURVEY §2.C Joins)."""
-    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    the DuckDB analogue is its IEJoin/NLJ path (SURVEY §2.C Joins).
+
+    The probe side is explicitly widened to core count: NLJ work is
+    |probe| × |build| — quadratic in data, not bytes — so the scan's
+    byte-proportional partitioning under-parallelizes it (a single-file
+    probe side ran the whole product on one core at the ~sf1 cell)."""
+    width = spark.sparkContext.defaultParallelism
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 10).repartition(width)
     s = F.broadcast(table(spark, sf_dir, "supplier"))
     return (
         p.join(s, s.s_acctbal > p.p_retailprice / 100.0)

@@ -57,6 +57,12 @@ def get_spark(
         # lossless, matches DuckDB's µs semantics on the same file)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # iterative operators localCheckpoint intermediate frames; the JVM
+        # blocks only release after a driver GC cycle notifies the
+        # ContextCleaner, and the default 30min periodic GC lets residue
+        # from hundreds of queries pile up in long sessions (observed as
+        # GCLocker thrash sweeping all 212 queries at the ~sf1 cell)
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

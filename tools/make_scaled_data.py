@@ -8,6 +8,19 @@ and group cardinalities scale by N with unchanged per-row semantics, which
 is exactly what a wall-time-vs-data-size experiment needs. Values are NOT
 resampled — this is a perf corpus, not a statistics corpus.
 
+Two columns are perturbed rather than copied verbatim, because real
+corpora grow their CONTENT space, not their bucket occupancy:
+
+- ``documents.text``: every word gets a replica tag (replica 0 keeps the
+  original), so replicas are textually disjoint — otherwise every doc has
+  N exact copies, shingle buckets inflate ×N and candidate-pair counts in
+  the n-gram/containment/minhash dedups inflate ×N² (measured ×21-×81 at
+  N=10), which models a pathological corpus, not a grown one;
+- ``embeddings.label``: shifted per replica like a key (labels are cluster
+  ids — new data forms new clusters; IVF cells at scale keep occupancy
+  bounded, so the label-bucketed pairwise dedup must see constant bucket
+  sizes as the corpus grows).
+
     python tools/make_scaled_data.py [src_dir] [out_dir] [n_copies]
 
 Defaults: /root/testdata/sf0.1 → /tmp/dfs_scaled/sf1 × 10. Idempotent
@@ -37,7 +50,15 @@ KEY_FAMILIES = {
     # embedding row id — one shared 'id' family keeps every such probe alive
     "events": {"event_id": "id", "user_id": "user"},
     "documents": {"doc_id": "id"},
-    "embeddings": {"vec_id": "id"},
+    "embeddings": {"vec_id": "id", "label": "label"},
+}
+
+#: per-replica column rewrites (i = replica index); replica 0 is verbatim
+PERTURB = {
+    ("documents", "text"): (
+        "array_to_string(list_transform(string_split(text, ' '), "
+        "w -> w || 'r{i}'), ' ') AS text"
+    ),
 }
 
 
@@ -78,10 +99,14 @@ def main() -> int:
         fams = KEY_FAMILIES.get(t, {})
         selects = []
         for i in range(n):
-            exprs = [
-                f"{c} + {i * offsets[fams[c]]} AS {c}" if c in fams else c
-                for c in cols
-            ]
+            exprs = []
+            for c in cols:
+                if c in fams:
+                    exprs.append(f"{c} + {i * offsets[fams[c]]} AS {c}")
+                elif i > 0 and (t, c) in PERTURB:
+                    exprs.append(PERTURB[(t, c)].format(i=i))
+                else:
+                    exprs.append(c)
             selects.append(
                 f"SELECT {', '.join(exprs)} FROM read_parquet('{src}/{t}.parquet')"
             )
