@@ -527,7 +527,7 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT dayofweek(ts) AS dow, hour(ts) AS hod,
            count(*) AS n_events,
            CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents,
-           round(count(*) / (sum(count(*)) OVER ()), 4) AS share
+           round(count(*) * 10000.0 / (sum(count(*)) OVER ())) / 10000.0 AS share
     FROM events
     GROUP BY 1, 2
     ORDER BY dow, hod
@@ -554,7 +554,15 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hod",
         "n_events",
         "total_value_cents",
-        F.round(F.col("n_events") / F.sum("n_events").over(total), 4).alias("share"),
+        # scale INTO the round: n·10⁴/total reaches an integer half-boundary
+        # only as an exactly-representable odd/2 (both engines round it away
+        # from zero identically); round(x, 4) instead evaluates within one
+        # ulp of the boundary whenever the quotient has >4 decimal digits —
+        # observed flipping 0.0057 vs 0.0056 at sf0.1
+        (
+            F.round(F.col("n_events") * 10000.0 / F.sum("n_events").over(total))
+            / 10000.0
+        ).alias("share"),
     ).orderBy("dow", "hod")
 
 

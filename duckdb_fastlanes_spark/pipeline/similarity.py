@@ -172,6 +172,91 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: product quantization: M subspaces × SUBDIM dims, K centroids per subspace
+PQ_M, PQ_SUBDIM, PQ_K = 8, 8, 16
+
+
+def _subvectors(col: Column) -> Column:
+    """Split a PQ_M×PQ_SUBDIM vector into an array of PQ_M subvectors."""
+    return F.array(
+        *[F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)]
+    )
+
+
+def _sq_l2(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register("sim_pq_topk")  # no oracle: sample-trained codebook; pytest pins invariants
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC): each vector compresses to PQ_M 4-bit
+    codes (64 dims → 8 bytes, a 32× memory cut), queries scan codes with a
+    PQ_M×PQ_K lookup table of subspace distances. This is the memory side of
+    the ANN scale path — IVF bounds how much is SEARCHED, PQ bounds what a
+    100 TB corpus COSTS TO HOLD; production systems (FAISS IVFPQ) compose
+    both.
+
+    Codebook: the PQ_K corpus vectors with smallest md5(vec_id) — a
+    deterministic sample standing in for per-subspace k-means (sampling the
+    corpus for codebook training is standard PQ practice). Scale shape:
+    codebook is a 128-row broadcast; encoding is a broadcast-join argmin per
+    (vector, subspace) — embarrassingly parallel, no shuffle wider than the
+    codes themselves; the query ADC is a 128-entry broadcast lookup join +
+    per-vector sum. Subspace distances quantize to integer nano-units before
+    the sum, so the ADC ranking is exact-integer and layout-invariant."""
+    from pyspark.sql.window import Window
+
+    v = _doubled(table(spark, sf_dir, "embeddings")).select("vec_id", "e")
+    seeds = (
+        v.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(PQ_K)
+        .withColumn(
+            "cid", F.row_number().over(Window.orderBy("h", "vec_id")) - 1
+        )
+        .select("cid", "e")
+    )
+    cb = seeds.select(
+        "cid", F.posexplode(_subvectors(F.col("e"))).alias("m", "c_sub")
+    )
+    corpus = v.select(
+        "vec_id", F.posexplode(_subvectors(F.col("e"))).alias("m", "sub")
+    )
+    d2 = _sq_l2(F.col("sub"), F.col("c_sub"))
+    codes = (
+        corpus.join(F.broadcast(cb), "m")
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("cid", F.struct(d2.alias("d"), F.col("cid"))).alias("cid"))
+    )
+    qsubs = (
+        v.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.posexplode(_subvectors(F.col("e"))).alias("m", "sub"))
+    )
+    lut = (
+        qsubs.join(cb, "m")
+        .select(
+            "m",
+            "cid",
+            F.round(_sq_l2(F.col("sub"), F.col("c_sub")) * 1e9)
+            .cast("bigint")
+            .alias("du"),
+        )
+    )
+    return (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("du").alias("adc_u"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy("adc_u", "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", (F.col("adc_u") / 1e9).alias("adc_dist"))
+    )
+
+
 #: batch search: all vectors with vec_id < N_QUERIES are query vectors
 N_QUERIES = 5
 
