@@ -800,3 +800,234 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 / Q20 — the three partsupp queries, adapted by DERIVING partsupp
+# from lineitem: ps(partkey, suppkey) with ps_supplycost := min unit price
+# (min(l_extendedprice / l_quantity) — order-independent, exact IEEE double
+# on both engines, so the Q2 min-equality join is hash-stable) and
+# ps_availqty := total quantity ever shipped by that (supplier, part).
+# This completes the 22-query suite with the original operator shapes:
+# correlated-min join (Q2), HAVING vs global scalar (Q11), nested IN +
+# correlated aggregate threshold (Q20).
+# ---------------------------------------------------------------------------
+
+_PS_CTE = """
+    ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_supplycost,
+               sum(l_quantity) AS ps_availqty
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem-derived partsupp (see module comment): one row per
+    (part, supplier) pair that ever traded, with min unit price as the
+    supply cost and lifetime quantity as availability. One shuffle on the
+    composite key; ~|parts|×|suppliers| rows max, far smaller than lineitem."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        F.sum("l_quantity").alias("ps_availqty"),
+    )
+
+
+@register(
+    "tpch_q2",
+    oracle=f"""
+    WITH {_PS_CTE}
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_type,
+           round(ps_supplycost, 2) AS supplycost
+    FROM part, supplier, ps, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_size <= 10 AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+          SELECT min(ps2.ps_supplycost)
+          FROM ps ps2, supplier s2, nation n2, region r2
+          WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+            AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier: for each STANDARD small part, the EUROPE
+    supplier(s) matching the per-part minimum supply cost. The correlated
+    min subquery decorrelates to a window-min over the candidate set (the
+    inner and outer share the same region restriction), so one scan of the
+    joined candidates feeds both the min and the filter — no re-join.
+
+    Scale: ps is one lineitem shuffle; nation/region broadcast; the window
+    min partitions by p_partkey (same key as the preceding join output).
+    """
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    cand = (
+        _partsupp(spark, sf_dir)
+        .join(p, F.col("ps_partkey") == p.p_partkey)
+        .join(s, F.col("ps_suppkey") == s.s_suppkey)
+        .join(n, s.s_nationkey == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            F.round("s_acctbal", ROUND_SCALE).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("ps_supplycost", ROUND_SCALE).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11",
+    oracle=f"""
+    WITH {_PS_CTE},
+    natps AS (
+        -- exact integer cents: the per-term product is the same IEEE double
+        -- on both engines, and BIGINT summation is order-independent — a
+        -- double sum differs in the last ulp between engines and flips the
+        -- rounded cent (seen at sf0.01)
+        SELECT ps_partkey,
+               CAST(round(ps_supplycost * ps_availqty * 100, 0) AS BIGINT)
+                   AS value_cents
+        FROM ps, supplier, nation
+        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+    )
+    SELECT ps_partkey, round(sum(value_cents) / 100.0, 2) AS value
+    FROM natps
+    GROUP BY ps_partkey
+    HAVING sum(value_cents) >
+        1.5 * (SELECT sum(value_cents) / count(DISTINCT ps_partkey) FROM natps)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock: per-part inventory value held by a 3-nation
+    group, keeping parts whose value exceeds 1.5× the mean per-part value
+    (scale-invariant, unlike the classic fixed fraction of the total — the
+    driver corpus grows the part count with SF, so a fixed fraction selects
+    nothing at larger scales).
+    The global scalar subquery is a 1-row broadcast cross-join — the same
+    decorrelation DuckDB applies; natps is computed once and reused for
+    both the per-part aggregate and the total (Spark reuses the shuffle
+    via the exchange-reuse rule; at cluster scale the total is a second
+    pass over the same shuffle files, not a rescan)."""
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        table(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+        )
+    )
+    natps = (
+        _partsupp(spark, sf_dir)
+        .join(s, F.col("ps_suppkey") == s.s_suppkey)
+        .join(n, s.s_nationkey == F.col("n_nationkey"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("ps_supplycost") * F.col("ps_availqty") * 100, 0)
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+    )
+    total = natps.agg(
+        (F.sum("value_cents") / F.countDistinct("ps_partkey") * F.lit(1.5)).alias(
+            "threshold"
+        )
+    )
+    return (
+        natps.groupBy("ps_partkey")
+        .agg(F.sum("value_cents").alias("cents"))
+        .join(F.broadcast(total))
+        .filter(F.col("cents") > F.col("threshold"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("cents") / 100.0, ROUND_SCALE).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle=f"""
+    WITH {_PS_CTE}
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier, nation, region
+    WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND s_suppkey IN (
+        SELECT ps_suppkey FROM ps
+        WHERE ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND ps_availqty > 5 * (
+            SELECT coalesce(sum(l_quantity), 0) FROM lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+      )
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential part promotion, adapted: EUROPE suppliers holding
+    'small%' parts whose lifetime stock exceeds 5× what they shipped in
+    2001 (slow-moving inventory). The correlated aggregate threshold
+    becomes a left join against the 2001 per-(part,supplier) totals with
+    coalesce-0 for pairs that shipped nothing in 2001; the IN chains are
+    semi joins. Both aggregates shuffle on the same composite key, so AQE
+    co-plans them; part filter is a broadcast semi join."""
+    li = table(spark, sf_dir, "lineitem")
+    small = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    recent = li.filter(F.col("l_shipdate") >= _ts("2001-01-01")).groupBy(
+        F.col("l_partkey").alias("r_partkey"), F.col("l_suppkey").alias("r_suppkey")
+    ).agg(F.sum("l_quantity").alias("recent_qty"))
+    excess = (
+        _partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(small.select(F.col("p_partkey").alias("ps_partkey"))),
+            "ps_partkey",
+            "left_semi",
+        )
+        .join(
+            recent,
+            (F.col("ps_partkey") == F.col("r_partkey"))
+            & (F.col("ps_suppkey") == F.col("r_suppkey")),
+            "left",
+        )
+        .filter(
+            F.col("ps_availqty") > 5 * F.coalesce(F.col("recent_qty"), F.lit(0.0))
+        )
+        .select(F.col("ps_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    return (
+        s.join(excess, "s_suppkey", "left_semi")
+        .join(n, s.s_nationkey == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_name", F.round("s_acctbal", ROUND_SCALE).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
