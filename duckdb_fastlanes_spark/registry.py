@@ -51,6 +51,7 @@ _MODULES = (
     "duckdb_fastlanes_spark.pipeline.curation",
     "duckdb_fastlanes_spark.pipeline.dedup",
     "duckdb_fastlanes_spark.pipeline.similarity",
+    "duckdb_fastlanes_spark.pipeline.retrieval",
     "duckdb_fastlanes_spark.pipeline.multimodal",
     "duckdb_fastlanes_spark.streaming.events",
     "duckdb_fastlanes_spark.streaming.stateful",

@@ -304,3 +304,55 @@ def test_audio_features_invariants(spark):
         assert 0.0 <= r.rms_level <= 1.0
     rows2 = extract_audio_features(attach_media(d)).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_hybrid_rrf_fusion_invariants(spark):
+    """A doc ranked #1 on both legs must out-score any single-leg doc; rrf
+    bounds follow from rank >= 1 on each contributing leg."""
+    from duckdb_fastlanes_spark.pipeline.retrieval import (
+        FUSED_TOPK,
+        LEG_TOPK,
+        RRF_K,
+        retrieval_hybrid_rrf,
+    )
+
+    rows = retrieval_hybrid_rrf(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= FUSED_TOPK
+    for r in rows:
+        assert 0 <= r.sparse_rank <= LEG_TOPK
+        assert 0 <= r.dense_rank <= LEG_TOPK
+        assert r.sparse_rank > 0 or r.dense_rank > 0
+        legs = sum(1 for x in (r.sparse_rank, r.dense_rank) if x > 0)
+        assert r.rrf <= round(legs / (RRF_K + 1), 6) + 1e-9
+    # sorted by fused score descending
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_dsir_weights_kl_invariant(spark):
+    """Per-token mean weight over target docs must exceed the rest of the
+    corpus's (the importance model is fitted ON those docs; the absolute
+    value is biased negative by add-0.5 smoothing over 256 buckets vs the
+    small target token count, so only the RELATIVE ordering is invariant).
+    Also: registered top-k agrees with the all-docs helper, deterministically."""
+    from duckdb_fastlanes_spark.pipeline.retrieval import (
+        DSIR_TARGET_SOURCE,
+        DSIR_TOPK,
+        dsir_doc_weights,
+        dsir_importance_weights,
+    )
+
+    rows = dsir_doc_weights(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    tgt = [r for r in rows if r.source == DSIR_TARGET_SOURCE]
+    rest = [r for r in rows if r.source != DSIR_TARGET_SOURCE]
+    assert tgt and rest
+    mean_t = sum(r.log_weight for r in tgt) / sum(r.n_toks for r in tgt)
+    mean_r = sum(r.log_weight for r in rest) / sum(r.n_toks for r in rest)
+    assert mean_t > mean_r
+    top = dsir_importance_weights(spark, SF_DIR).collect()
+    assert 0 < len(top) <= DSIR_TOPK
+    best = sorted(rows, key=lambda r: (-r.log_weight, r.doc_id))[: len(top)]
+    assert [(r.doc_id, r.log_weight) for r in top] == [
+        (r.doc_id, r.log_weight) for r in best
+    ]
