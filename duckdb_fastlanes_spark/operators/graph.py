@@ -245,16 +245,20 @@ AA_SCALE = 6  # Adamic-Adar sums ~10 terms of 1/ln(deg) — 6 dp is order-stable
     ),
     deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
     cand AS (
+        -- per-wedge Adamic-Adar terms quantized to integer nano-units so the
+        -- cross-pair sum is an exact BIGINT on both engines (double summation
+        -- order differs between engines at the rounding boundary)
         SELECT a.src AS s1, b.src AS s2,
                count(*) AS common_neighbors,
-               sum(1.0 / ln(dv.d)) AS adamic_adar
+               CAST(sum(CAST(round(1000000000.0 / ln(dv.d)) AS BIGINT))
+                    AS BIGINT) AS aa_u
         FROM edges a
         JOIN edges b ON b.dst = a.dst AND a.src < b.src
         JOIN deg dv ON dv.node = a.dst
         GROUP BY a.src, b.src
     )
     SELECT c.s1, c.s2, c.common_neighbors,
-           round(c.adamic_adar, {AA_SCALE}) AS adamic_adar,
+           round(c.aa_u / 1000000000.0, {AA_SCALE}) AS adamic_adar,
            round(c.common_neighbors * 1.0 /
                  (d1.d + d2.d - c.common_neighbors), {AA_SCALE}) AS jaccard
     FROM cand c
@@ -273,12 +277,18 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Jaccard of neighborhoods; top 25 candidates. The "what should we
     bundle next" query — beyond-reference (no graph ops in the engine).
 
-    Scale shape: one wedge join (shuffle on the shared neighbor, Σ deg(v)²
-    — same cost class the triangle census already pays), then broadcast-able
-    degree lookups and an anti-join against the edge list to drop existing
-    edges. Top-k is a TakeOrderedAndProject, no global sort materialization.
-    Ordering ties broken by (s1, s2) so the LIMIT is deterministic; float
-    scores are output-only (rounded), never the sole sort key.
+    Scale shape: wedges come from the edges⋈edges self-join on the shared
+    neighbor (Σ C(deg,2) stream), re-keyed onto the pair BEFORE the
+    aggregate. Measured A/B at sf0.1 (1.2 M edges, ~1.4 B wedges): shuffling
+    the raw wedge stream and aggregating once after the exchange runs 14.4 s
+    vs 45 s for partial-agg-inside-the-join-stage — fusing a 2 M-key hash
+    aggregate into the already codegen-heavy join stage costs ~3× more than
+    the sequential shuffle write of small fixed-width rows; an
+    adjacency-array explode variant (triangle-census style) is worse still
+    (each exploded row copies the whole neighbor list). Keep the
+    repartition. Adamic-Adar terms are quantized to integer nano-units per
+    wedge so the pair sum is an exact BIGINT (order-independent across
+    engines). Top-k is a TakeOrderedAndProject; ties broken by (s1, s2).
     """
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
@@ -287,19 +297,15 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2"))
         .distinct()
-        .localCheckpoint()  # reused: wedge join (2×), degree, anti-join
+        .localCheckpoint()  # reused: adjacency, degree, anti-join
     )
     edges = pairs.selectExpr("s1 AS src", "s2 AS dst").unionAll(
         pairs.selectExpr("s2 AS src", "s1 AS dst")
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # the wedge stream is Σ C(deg,2) rows — orders of magnitude larger than
-    # the input, so both the wedge join and its aggregation must run at a
-    # width that tracks THAT, not input bytes (tune_for_input's byte-sized
-    # partition count ran this 143 s vs ~10 s at sf0.1). Pre-partitioning on
-    # the join key widens wedge GENERATION; re-keying on the pair widens the
-    # aggregate — Catalyst reuses both partitionings, so no exchange is
-    # added beyond the two the plan already needed.
+    # wedge GENERATION runs at full core width (the join stage inherits the
+    # repartition width — the byte-sized small-input default of 4 partitions
+    # ran this 143 s; see tune_for_input docstring)
     width = spark.sparkContext.defaultParallelism
     edges_w = edges.repartition(width, "dst")
     ea, eb = edges_w.alias("ea"), edges_w.alias("eb")
@@ -313,13 +319,17 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ea.dst") == F.col("v"),
         )
         .select(
-            F.col("ea.src").alias("s1"), F.col("eb.src").alias("s2"), F.col("dv")
+            F.col("ea.src").alias("s1"),
+            F.col("eb.src").alias("s2"),
+            F.round(F.lit(1000000000.0) / F.log(F.col("dv").cast("double")))
+            .cast("bigint")
+            .alias("u"),
         )
         .repartition(width, "s1", "s2")
         .groupBy("s1", "s2")
         .agg(
             F.count(F.lit(1)).alias("common_neighbors"),
-            F.sum(1.0 / F.log("dv")).alias("aa_raw"),
+            F.sum("u").alias("aa_u"),
         )
     )
     scored = (
@@ -330,7 +340,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s1",
             "s2",
             "common_neighbors",
-            F.round("aa_raw", AA_SCALE).alias("adamic_adar"),
+            F.round(F.col("aa_u") / 1000000000.0, AA_SCALE).alias("adamic_adar"),
             F.round(
                 F.col("common_neighbors")
                 / (F.col("d1") + F.col("d2") - F.col("common_neighbors")),
