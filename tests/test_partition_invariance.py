@@ -45,6 +45,9 @@ REPRESENTATIVE = [
     "encoding_advisor",  # run counts ride a canonical (key, value) order —
     # NOT scan order; (orderkey, linenumber) alone is not unique and an
     # earlier version silently depended on stable single-partition sort
+    "tpch_q11",  # exact integer-cents sums: value must not move with layout
+    "dsir_importance_weights",  # micro-unit quantized log-ratio sums
+    "retrieval_hybrid_rrf",  # leg ranks from integer scores + id tiebreaks
 ]
 
 
