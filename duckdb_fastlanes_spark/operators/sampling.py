@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from duckdb_fastlanes_spark.catalog import table
 from duckdb_fastlanes_spark.registry import register
@@ -278,4 +279,47 @@ def sample_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
         expanded.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_after"))
         .orderBy("event_type")
+    )
+
+
+N_SHARDS = 8
+
+
+@register(
+    "shard_deterministic_shuffle",
+    oracle=f"""
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS pos
+    FROM (
+        SELECT doc_id,
+               {_BUCKET_SQL.format(key="doc_id")} % {N_SHARDS} AS shard
+        FROM documents
+    )
+    ORDER BY shard, pos
+    """,
+)
+def shard_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into {N_SHARDS} training shards: shard =
+    md5-bucket(doc_id), position = rank of md5(doc_id) within the shard. The
+    training-data writer's last step — a reproducible, content-keyed order
+    (no RNG, no partition dependence), so every re-run of the pipeline and
+    every engine emits byte-identical shards, and a resumed training job
+    sees the same sequence.
+
+    Scale shape: one shuffle on the shard key, then a per-shard sort — at
+    100 TB the shard count is chosen so each shard sorts in one task's
+    memory (shards ≈ executors × k), which is exactly how training shards
+    are sized in practice. No global total order is ever materialized: the
+    ORDER BY here is per-shard (pos) and only for the bounded test output.
+    """
+    d = table(spark, sf_dir, "documents")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    shard = (_bucket("doc_id") % N_SHARDS).alias("shard")
+    w = Window.partitionBy("shard").orderBy(md5, "doc_id")
+    return (
+        d.select("doc_id", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .orderBy("shard", "pos")
     )
