@@ -713,3 +713,56 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("est_jaccard")
     )
+
+
+BP_MIN_DOCS = 4  # a shingle in >= this many docs is a repeated span
+BP_TOPK = 25
+
+
+@register(
+    "dedup_boilerplate_spans",
+    oracle=f"""
+    WITH shingled AS (
+        SELECT doc_id, {_ORACLE_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_ORACLE_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    exploded AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    )
+    SELECT shingle,
+           count(*) AS n_docs,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM exploded
+    GROUP BY shingle
+    HAVING count(*) >= {BP_MIN_DOCS}
+    ORDER BY n_docs DESC, shingle
+    LIMIT {BP_TOPK}
+    """,
+)
+def dedup_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span mining (the span-level sibling of whole-doc dedup, à la
+    exact-substring training-data dedup reduced to shingle granularity): the
+    top {BP_TOPK} 3-gram shingles by cross-document spread, keeping those in
+    ≥ {BP_MIN_DOCS} distinct docs — the headers/footers/license-block
+    candidates a span-removal pass would strip corpus-wide.
+
+    Scale shape: one shingle-keyed aggregate that partial-aggregates
+    map-side (the shuffle carries (shingle, partial count/min/max), never
+    text) and ends in a TakeOrderedAndProject — no global sort, no join.
+    Integer counts only; ties broken on the shingle string.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = _shingle_rows(d)  # distinct (doc_id, shingle)
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= BP_MIN_DOCS)
+        .orderBy(F.col("n_docs").desc(), "shingle")
+        .limit(BP_TOPK)
+    )
