@@ -928,3 +928,69 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(fc.agg(F.count(F.lit(1)).alias("n_clicked_1h")))
         .crossJoin(fp.agg(F.count(F.lit(1)).alias("n_purchased_24h")))
     )
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle="""
+    SELECT
+        CASE WHEN grouping(d) = 0 AND grouping(h) = 0 THEN 'hour'
+             WHEN grouping(d) = 0 THEN 'day' ELSE 'all' END AS grain,
+        coalesce(CAST(d AS VARCHAR), '-') AS day,
+        coalesce(CAST(h AS VARCHAR), '-') AS hour,
+        event_type,
+        count(*) AS n_events,
+        round(sum(value), 2) AS sum_value
+    FROM (
+        SELECT event_type, value,
+               CAST(date_trunc('day', ts) AS DATE) AS d,
+               extract(hour FROM ts) AS h
+        FROM events
+    )
+    GROUP BY GROUPING SETS ((event_type, d, h), (event_type, d), (event_type))
+    ORDER BY grain, day, hour, event_type
+    """,
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the same event stream rolled to
+    hour, day, and all-time grains in ONE pass via GROUPING SETS over
+    time_bucket columns — the batch twin of a TimescaleDB continuous
+    aggregate / the streaming matview. grouping() flags name the grain;
+    coarser grains print '-' for the finer bucket columns (string-typed so
+    one schema serves all grains).
+
+    Scale shape: a single Expand + partial/final aggregate — the fact rows
+    are read once and fan out 3× inside the stage (no re-scan per grain);
+    the shuffle carries partially-aggregated (grain, bucket, type) rows,
+    whose cardinality is bounded by hours×types, not event count. At 100 TB
+    the rollup output is what the serving tier stores; finer-grain spines
+    derive coarser ones incrementally (see streaming/matview.py for the
+    incremental path).
+
+    Single-parse SQL body (Spark dialect matches the oracle up to
+    date_trunc/hour syntax).
+    """
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT
+            CASE WHEN grouping(d) = 0 AND grouping(h) = 0 THEN 'hour'
+                 WHEN grouping(d) = 0 THEN 'day' ELSE 'all' END AS grain,
+            coalesce(CAST(d AS STRING), '-') AS day,
+            coalesce(CAST(h AS STRING), '-') AS hour,
+            event_type,
+            count(1) AS n_events,
+            round(sum(value), 2) AS sum_value
+        FROM (
+            SELECT event_type, value,
+                   CAST(date_trunc('DAY', ts) AS DATE) AS d,
+                   hour(ts) AS h
+            FROM events
+        )
+        GROUP BY GROUPING SETS ((event_type, d, h), (event_type, d), (event_type))
+        ORDER BY grain, day, hour, event_type
+        """,
+    )

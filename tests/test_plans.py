@@ -168,3 +168,32 @@ def test_query_progress_reports_task_completion(spark):
     assert 0.0 < qp.max_percent <= 100.0
     # percent is monotone-ish per stage set; terminal snapshot sane
     assert qp.snapshots[-1].completed_tasks <= qp.snapshots[-1].total_tasks or qp.snapshots[-1].total_tasks == 0
+
+
+def test_parquet_aggregate_pushdown_v2(spark, tmp_path):
+    """count/min/max can be answered from parquet footer statistics alone
+    (DuckDB's metadata fast path; reference zone-map stats,
+    row_group_statistics.cpp). Spark's V2 parquet source supports it behind
+    spark.sql.parquet.aggregatePushdown (set in session.py) — the default V1
+    path doesn't, so this pins the capability on an explicit V2 read: the
+    scan must report PushedAggregation and return correct values."""
+    src = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    p = str(tmp_path / "li_agg")
+    src.write.parquet(p)
+    old = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(p).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("min_k"),
+            F.max("l_orderkey").alias("max_k"),
+        )
+        plan = explain_str(df)
+        assert "PushedAggregation: [COUNT(*)" in plan or "PushedAggregation" in plan, plan
+        row = df.collect()[0]
+        exp = src.agg(
+            F.count(F.lit(1)), F.min("l_orderkey"), F.max("l_orderkey")
+        ).collect()[0]
+        assert tuple(row) == tuple(exp)
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old)
