@@ -48,6 +48,7 @@ REPRESENTATIVE = [
     "tpch_q11",  # exact integer-cents sums: value must not move with layout
     "dsir_importance_weights",  # micro-unit quantized log-ratio sums
     "retrieval_hybrid_rrf",  # leg ranks from integer scores + id tiebreaks
+    "events_hypertable_rollup",  # float sum(value) per bucket must round stably
 ]
 
 
