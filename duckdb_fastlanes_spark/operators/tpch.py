@@ -19,6 +19,43 @@ from duckdb_fastlanes_spark.registry import ROUND_SCALE, register
 
 Q1_CUTOFF = "1998-09-02"
 
+# Money aggregates sum EXACT integer micro-units (1e-6 — lossless for the
+# ≤6-dp products of 2-dp money columns), because a raw double sum's last
+# rounded cent depends on summation order and flips between engines once
+# group sums reach ~1e8 (seen on tpch_q7/q9 at the 100× cell). The
+# accumulator is engine-idiomatic exact width: DuckDB promotes sum(BIGINT)
+# to HUGEINT; Spark gets an explicit DECIMAL(25,0) term so the sum widens
+# to DECIMAL(35,0) — no BIGINT overflow at any corpus size.
+_USCALE = 1_000_000
+
+
+def _usum_duck(expr: str) -> str:
+    return (
+        f"round(CAST(sum(CAST(round(({expr}) * {_USCALE}, 0) AS BIGINT))"
+        f" AS DOUBLE) / {_USCALE}.0, {ROUND_SCALE})"
+    )
+
+
+def _usum_spark(expr: str) -> str:
+    return (
+        f"round(CAST(sum(CAST(round(({expr}) * {_USCALE}, 0) AS DECIMAL(25, 0)))"
+        f" AS DOUBLE) / {_USCALE}.0D, {ROUND_SCALE})"
+    )
+
+
+def _uavg_duck(expr: str) -> str:
+    return (
+        f"round(CAST(sum(CAST(round(({expr}) * {_USCALE}, 0) AS BIGINT))"
+        f" AS DOUBLE) / {_USCALE}.0 / count(*), {ROUND_SCALE})"
+    )
+
+
+def _uavg_spark(expr: str) -> str:
+    return (
+        f"round(CAST(sum(CAST(round(({expr}) * {_USCALE}, 0) AS DECIMAL(25, 0)))"
+        f" AS DOUBLE) / {_USCALE}.0D / count(1), {ROUND_SCALE})"
+    )
+
 
 @register(
     "tpch_q1",
@@ -26,14 +63,15 @@ Q1_CUTOFF = "1998-09-02"
     SELECT
         l_returnflag,
         l_linestatus,
-        round(sum(l_quantity), {ROUND_SCALE})                                       AS sum_qty,
-        round(sum(l_extendedprice), {ROUND_SCALE})                                  AS sum_base_price,
-        round(sum(l_extendedprice * (1 - l_discount)), {ROUND_SCALE})               AS sum_disc_price,
-        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {ROUND_SCALE}) AS sum_charge,
-        round(avg(l_quantity), {ROUND_SCALE})                                       AS avg_qty,
-        round(avg(l_extendedprice), {ROUND_SCALE})                                  AS avg_price,
-        round(avg(l_discount), {ROUND_SCALE})                                       AS avg_disc,
-        count(*)                                                                    AS count_order
+        round(sum(l_quantity), {ROUND_SCALE})       AS sum_qty,
+        {_usum_duck("l_extendedprice")}             AS sum_base_price,
+        {_usum_duck("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        {_usum_duck("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}
+                                                    AS sum_charge,
+        round(avg(l_quantity), {ROUND_SCALE})       AS avg_qty,
+        {_uavg_duck("l_extendedprice")}             AS avg_price,
+        {_uavg_duck("l_discount")}                  AS avg_disc,
+        count(*)                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -58,12 +96,12 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"""
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), {r})      AS sum_qty,
-                   round(sum(l_extendedprice), {r}) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), {r}) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {r}) AS sum_charge,
+                   {_usum_spark("l_extendedprice")} AS sum_base_price,
+                   {_usum_spark("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+                   {_usum_spark("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
                    round(avg(l_quantity), {r})      AS avg_qty,
-                   round(avg(l_extendedprice), {r}) AS avg_price,
-                   round(avg(l_discount), {r})      AS avg_disc,
+                   {_uavg_spark("l_extendedprice")} AS avg_price,
+                   {_uavg_spark("l_discount")}      AS avg_disc,
                    count(1)                         AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'

@@ -6,9 +6,12 @@ public knowledge). This module declares the classic decision-support shapes —
 multi-way star joins, correlated EXISTS/scalar subqueries, disjunctive
 predicates, group-by-over-join — adapted to the columns the driver's tables
 actually have (no partsupp table, no commit/receipt dates, no ship modes;
-see TESTDATA.md). Q2/Q11/Q20 need partsupp and are omitted; Q4/Q12/Q21/Q22
-are re-expressed with the available columns, keeping each query's *shape*
-(the operator composition) intact.
+see TESTDATA.md). Q2/Q11/Q20 derive partsupp from lineitem (min unit price
+as supply cost, lifetime quantity as availability); Q4/Q12/Q21/Q22 are
+re-expressed with the available columns, keeping each query's *shape*
+(the operator composition) intact. Money sums aggregate exact integer
+micro-units (``_usum_col``/``_usum_sql``) so the rounded cent never
+depends on double summation order at any scale.
 
 Scale notes (100 TB readiness):
 - every star join broadcasts region/nation (25/5 rows at any SF) and leaves
@@ -34,12 +37,36 @@ def _ts(s: str) -> F.Column:
     return F.lit(f"{s} 00:00:00").cast("timestamp")
 
 
+#: micro-unit exact-integer money sum (see operators/tpch.py: a raw double
+#: sum's last rounded cent is summation-order-dependent and flips between
+#: engines at large group sums; 1e-6 units are lossless for <=6-dp products
+#: of the 2-dp money columns; DECIMAL(25,0) terms widen the sum to
+#: DECIMAL(35,0) so no corpus size overflows)
+_USCALE = 1_000_000
+
+
+def _usum_col(col: F.Column) -> F.Column:
+    return F.round(
+        F.sum(F.round(col * _USCALE, 0).cast("decimal(25,0)")).cast("double")
+        / float(_USCALE),
+        ROUND_SCALE,
+    )
+
+
+def _usum_sql(expr: str) -> str:
+    """DuckDB twin of _usum_col (sum(BIGINT) auto-widens to HUGEINT)."""
+    return (
+        f"round(CAST(sum(CAST(round(({expr}) * {_USCALE}, 0) AS BIGINT))"
+        f" AS DOUBLE) / {_USCALE}.0, {ROUND_SCALE})"
+    )
+
+
 @register(
     "tpch_q3",
     oracle="""
     SELECT
         l_orderkey,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS revenue,
         o_orderdate
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -62,8 +89,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), ROUND_SCALE
+            _usum_col(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -113,7 +140,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q5",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -148,8 +175,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), ROUND_SCALE
+            _usum_col(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
@@ -187,13 +214,18 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q7",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume_cents) / 100.0, 2) AS revenue
     FROM (
         SELECT
             n1.n_name AS supp_nation,
             n2.n_name AS cust_nation,
             extract(year FROM l_shipdate) AS l_year,
-            l_extendedprice * (1 - l_discount) AS volume
+            -- exact integer cents: at ~1e8 sums the double's last cent
+            -- depends on summation order and flips between engines (seen
+            -- at the 100x cell); per-row products are engine-identical
+            CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                 AS BIGINT) AS volume_cents
         FROM supplier, lineitem, orders, customer, nation n1, nation n2
         WHERE s_suppkey = l_suppkey
           AND o_orderkey = l_orderkey
@@ -234,9 +266,15 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, c.c_nationkey == F.col("n2_nationkey"))
         .filter(pair)
         .withColumn("l_year", F.year("l_shipdate"))
-        .withColumn("volume", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .withColumn(
+            "volume_cents",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+            .cast("bigint"),
+        )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), ROUND_SCALE).alias("revenue"))
+        .agg(
+            F.round(F.sum("volume_cents") / 100.0, ROUND_SCALE).alias("revenue")
+        )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -310,12 +348,15 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q9",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year, round(sum(amount_cents) / 100.0, 2) AS sum_profit
     FROM (
         SELECT
             n_name AS nation,
             extract(year FROM o_orderdate) AS o_year,
-            l_extendedprice * (1 - l_discount) AS amount
+            -- exact integer cents (see tpch_q7): ~2e8 double sums flip the
+            -- rounded cent between engines at the 100x cell
+            CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                 AS BIGINT) AS amount_cents
         FROM part, supplier, lineitem, orders, nation
         WHERE s_suppkey = l_suppkey
           AND p_partkey = l_partkey
@@ -344,10 +385,14 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+            .cast("bigint")
+            .alias("amount_cents"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), ROUND_SCALE).alias("sum_profit"))
+        .agg(
+            F.round(F.sum("amount_cents") / 100.0, ROUND_SCALE).alias("sum_profit")
+        )
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
 
@@ -356,7 +401,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS revenue,
            round(c_acctbal, 2) AS acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey
@@ -385,8 +430,8 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), ROUND_SCALE
+            _usum_col(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -510,7 +555,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -532,8 +577,8 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1997-04-01"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), ROUND_SCALE
+        _usum_col(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
         ).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
@@ -655,7 +700,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q19",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -685,8 +730,8 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, li.l_partkey == p.p_partkey)
         .filter(band)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), ROUND_SCALE
+            _usum_col(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -755,7 +800,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q22",
     oracle="""
-    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    SELECT cntrycode, count(*) AS numcust, round(CAST(sum(CAST(round((c_acctbal) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS totacctbal
     FROM (
         SELECT c_custkey % 7 AS cntrycode, c_acctbal
         FROM customer
@@ -796,7 +841,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), ROUND_SCALE).alias("totacctbal"),
+            _usum_col(F.col("c_acctbal")).alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )

@@ -51,17 +51,25 @@ def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            rank()       OVER (PARTITION BY l_orderkey ORDER BY l_quantity)       AS qty_rank,
            dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity)       AS qty_dense_rank,
-           ntile(4)     OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)     AS quartile
+           ntile(4)     OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber, l_quantity,
+                                       l_extendedprice, l_shipdate)              AS quartile
     FROM lineitem
     WHERE l_orderkey % 50 = 0
     """,
 )
 def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / ntile. rank ties on equal l_quantity are fine (rank
-    is tie-stable); ntile ordered by unique l_linenumber is deterministic."""
+    is tie-stable); ntile is POSITIONAL, so its ORDER BY must be total —
+    (l_orderkey, l_linenumber) is unique in the driver corpus but collides
+    in the synthesized 100× cell, where an underspecified ntile order
+    assigned tied rows to different quartiles per engine; the extra sort
+    keys pin it on every corpus."""
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
     w_qty = Window.partitionBy("l_orderkey").orderBy("l_quantity")
-    w_ln = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w_ln = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",
