@@ -215,7 +215,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q7",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume_cents) / 100.0, 2) AS revenue
+           round(CAST(sum(volume_cents) AS DOUBLE) / 100.0, 2) AS revenue
     FROM (
         SELECT
             n1.n_name AS supp_nation,
@@ -348,7 +348,8 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q9",
     oracle="""
-    SELECT nation, o_year, round(sum(amount_cents) / 100.0, 2) AS sum_profit
+    SELECT nation, o_year,
+           round(CAST(sum(amount_cents) AS DOUBLE) / 100.0, 2) AS sum_profit
     FROM (
         SELECT
             n_name AS nation,
@@ -960,7 +961,8 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
           AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
     )
-    SELECT ps_partkey, round(sum(value_cents) / 100.0, 2) AS value
+    SELECT ps_partkey,
+           round(CAST(sum(value_cents) AS DOUBLE) / 100.0, 2) AS value
     FROM natps
     GROUP BY ps_partkey
     HAVING sum(value_cents) >
