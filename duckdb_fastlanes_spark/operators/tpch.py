@@ -22,10 +22,17 @@ Q1_CUTOFF = "1998-09-02"
 # Money aggregates sum EXACT integer micro-units (1e-6 — lossless for the
 # ≤6-dp products of 2-dp money columns), because a raw double sum's last
 # rounded cent depends on summation order and flips between engines once
-# group sums reach ~1e8 (seen on tpch_q7/q9 at the 100× cell). The
-# accumulator is engine-idiomatic exact width: DuckDB promotes sum(BIGINT)
-# to HUGEINT; Spark gets an explicit DECIMAL(25,0) term so the sum widens
-# to DECIMAL(35,0) — no BIGINT overflow at any corpus size.
+# group sums reach ~1e8 (seen on tpch_q7/q9 at the 100× cell). DuckDB
+# promotes sum(BIGINT) to HUGEINT (exact). Spark's exact-width choice is
+# split accumulation: per row the micro value m splits into
+# hi = m div 1e6 and lo = m mod 1e6 (truncating div, so m = hi*1e6 + lo
+# exactly for either sign), each summed as plain BIGINT — the codegen'd
+# long-add fast path, measured ~2x faster than a DECIMAL(25,0) sum — and
+# recombined ONCE per output group in DECIMAL(25,0) arithmetic, so the
+# total is exact (identical to DuckDB's HUGEINT, hence identical after the
+# shared cast-to-double) while sum(hi) < 2^63 holds up to ~9.2e18 currency
+# units per group and sum(lo) up to ~9.2e12 rows per group — comfortably
+# past a 100 TB corpus.
 _USCALE = 1_000_000
 
 
@@ -36,9 +43,18 @@ def _usum_duck(expr: str) -> str:
     )
 
 
+def _micro_total_spark(expr: str) -> str:
+    """Exact micro-unit group total as DECIMAL, via split BIGINT sums."""
+    m = f"CAST(round(({expr}) * {_USCALE}, 0) AS BIGINT)"
+    return (
+        f"(CAST(sum({m} div {_USCALE}) AS DECIMAL(25, 0)) * {_USCALE}"
+        f" + CAST(sum({m} % {_USCALE}) AS DECIMAL(25, 0)))"
+    )
+
+
 def _usum_spark(expr: str) -> str:
     return (
-        f"round(CAST(sum(CAST(round(({expr}) * {_USCALE}, 0) AS DECIMAL(25, 0)))"
+        f"round(CAST({_micro_total_spark(expr)}"
         f" AS DOUBLE) / {_USCALE}.0D, {ROUND_SCALE})"
     )
 
@@ -52,7 +68,7 @@ def _uavg_duck(expr: str) -> str:
 
 def _uavg_spark(expr: str) -> str:
     return (
-        f"round(CAST(sum(CAST(round(({expr}) * {_USCALE}, 0) AS DECIMAL(25, 0)))"
+        f"round(CAST({_micro_total_spark(expr)}"
         f" AS DOUBLE) / {_USCALE}.0D / count(1), {ROUND_SCALE})"
     )
 

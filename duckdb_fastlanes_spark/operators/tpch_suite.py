@@ -40,17 +40,26 @@ def _ts(s: str) -> F.Column:
 #: micro-unit exact-integer money sum (see operators/tpch.py: a raw double
 #: sum's last rounded cent is summation-order-dependent and flips between
 #: engines at large group sums; 1e-6 units are lossless for <=6-dp products
-#: of the 2-dp money columns; DECIMAL(25,0) terms widen the sum to
-#: DECIMAL(35,0) so no corpus size overflows)
+#: of the 2-dp money columns). Exactness at speed: each micro value splits
+#: into hi = m div 1e6 / lo = m mod 1e6 (truncating, m = hi*1e6 + lo for
+#: either sign), both summed as plain BIGINT (codegen long adds, ~2x a
+#: DECIMAL sum), recombined once per output group in DECIMAL(25,0) — the
+#: same exact total DuckDB's HUGEINT reaches, valid to ~9.2e18 currency
+#: units and ~9.2e12 rows per group (past a 100 TB corpus).
 _USCALE = 1_000_000
 
 
 def _usum_col(col: F.Column) -> F.Column:
-    return F.round(
-        F.sum(F.round(col * _USCALE, 0).cast("decimal(25,0)")).cast("double")
-        / float(_USCALE),
-        ROUND_SCALE,
+    micro = F.round(col * _USCALE, 0).cast("bigint")
+    # truncating integer div via double divide + cast: per-row |micro| < 2^53
+    # so the quotient's integer part is exact (fraction is either 0 exactly
+    # or >= 1e-6, far beyond one ulp)
+    hi = (micro / _USCALE).cast("bigint")
+    lo = micro - hi * _USCALE
+    total = F.sum(hi).cast("decimal(25,0)") * _USCALE + F.sum(lo).cast(
+        "decimal(25,0)"
     )
+    return F.round(total.cast("double") / float(_USCALE), ROUND_SCALE)
 
 
 def _usum_sql(expr: str) -> str:
