@@ -131,6 +131,11 @@ def warm_cache(spark: SparkSession, sf_dir: str, max_bytes: int = 2 * 1024**3) -
 
 
 def _read_raw(spark: SparkSession, path: str, name: str) -> DataFrame:
+    # timestamp semantics (NTZ→TS cast below, date arithmetic everywhere)
+    # assume the UTC session tz that get_spark pins; a foreign session (the
+    # driver's own) may carry another zone, so pin it here too —
+    # runtime-settable, idempotent
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
