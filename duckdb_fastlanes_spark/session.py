@@ -57,20 +57,16 @@ def get_spark(
         # lossless, matches DuckDB's µs semantics on the same file)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        # local-mode deployment: shuffle/broadcast bytes never cross a
-        # network (they move through the page cache), so compressing them
-        # and waiting for data locality are pure overhead — measured ~6%
-        # of headline wall at sf0.1. A cluster master keeps the defaults
-        # (compression on, locality wait 3s): these follow the deployment
-        # mode, not the workload.
+        # local-mode deployment: there is no locality hierarchy and
+        # broadcasts never cross a network, so waiting for locality and
+        # compressing broadcast blocks are pure latency on every tiny query.
+        # Shuffle compression STAYS ON even locally: an A/B on the 1.4 B-row
+        # wedge shuffle (graph_link_prediction, ~28 GB) measured 24 s
+        # compressed vs 62-90 s raw — local shuffles hit the (virtual) disk
+        # through dirty-page writeback, and lz4 at ~16 GB/s across 32 cores
+        # is never the bottleneck while the disk at ~1 GB/s is. A cluster
+        # master keeps every default.
         .config("spark.locality.wait", "0" if master.startswith("local") else "3s")
-        .config(
-            "spark.shuffle.compress", "false" if master.startswith("local") else "true"
-        )
-        .config(
-            "spark.shuffle.spill.compress",
-            "false" if master.startswith("local") else "true",
-        )
         .config(
             "spark.broadcast.compress",
             "false" if master.startswith("local") else "true",
