@@ -278,3 +278,72 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_status"
         ),
     ).orderBy("o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "window_frame_exclude",
+    oracle="""
+    WITH t AS (
+        SELECT o_custkey AS k, o_orderkey AS id,
+               date_trunc('month', o_orderdate) AS m,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+        FROM orders WHERE o_custkey % 101 = 0
+    )
+    SELECT k, id,
+           CAST(sum(c) OVER (PARTITION BY k ORDER BY m, id
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                             EXCLUDE CURRENT ROW) AS BIGINT) AS excl_current,
+           CAST(sum(c) OVER (PARTITION BY k ORDER BY m
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                             EXCLUDE GROUP) AS BIGINT) AS excl_group,
+           CAST(sum(c) OVER (PARTITION BY k ORDER BY m
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                             EXCLUDE TIES) AS BIGINT) AS excl_ties
+    FROM t
+    """,
+)
+def window_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame EXCLUDE clause (DuckDB/SQL:2011 surface; Spark has no
+    EXCLUDE) emulated exactly by frame arithmetic over integer cents:
+
+    - EXCLUDE CURRENT ROW on a bounded ROWS frame = frame_sum - current,
+      NULL when the frame holds only the current row (count guard);
+    - EXCLUDE GROUP on the full-partition RANGE frame = partition_sum -
+      peer_group_sum (peers = equal ORDER BY month), NULL when the
+      partition is a single peer group;
+    - EXCLUDE TIES = partition_sum - peer_group_sum + current (the frame
+      keeps the current row, so never empty).
+
+    The ROWS frame orders on (month, id) — a total order, so the frame
+    membership is deterministic across engines; the GROUP/TIES columns
+    order on the month alone so real peer groups exist. All sums are exact
+    BIGINT cents (driver-hash-stable). Scale: three window specs over the
+    same (k)-partitioned shuffle — Catalyst reuses one exchange; the
+    peer-group sum is a second window on (k, m), a strict refinement that
+    needs no extra shuffle beyond the sort."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH t AS (
+            SELECT o_custkey AS k, o_orderkey AS id,
+                   date_trunc('month', o_orderdate) AS m,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+            FROM orders WHERE o_custkey % 101 = 0
+        )
+        SELECT k, id,
+               CASE WHEN (count(1) OVER w_rows) > 1
+                    THEN (sum(c) OVER w_rows) - c END AS excl_current,
+               CASE WHEN (count(1) OVER w_part) > (count(1) OVER w_peer)
+                    THEN (sum(c) OVER w_part) - (sum(c) OVER w_peer)
+               END AS excl_group,
+               (sum(c) OVER w_part) - (sum(c) OVER w_peer) + c AS excl_ties
+        FROM t
+        WINDOW w_rows AS (PARTITION BY k ORDER BY m, id
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+               w_part AS (PARTITION BY k),
+               w_peer AS (PARTITION BY k, m)
+        """,
+    )
