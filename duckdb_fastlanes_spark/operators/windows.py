@@ -347,3 +347,53 @@ def window_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
                w_peer AS (PARTITION BY k, m)
         """,
     )
+
+
+@register(
+    "window_filtered_agg",
+    oracle="""
+    WITH t AS (
+        SELECT o_custkey AS k, o_orderkey AS id, o_orderdate AS d,
+               o_orderstatus AS st,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+        FROM orders WHERE o_custkey % 103 = 0
+    )
+    SELECT k, id,
+           CAST(sum(c) FILTER (WHERE st = 'F')
+                OVER (PARTITION BY k ORDER BY d, id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT)                                       AS run_f_cents,
+           CAST(count(*) FILTER (WHERE st = 'F')
+                OVER (PARTITION BY k ORDER BY d, id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT)                                       AS run_f_orders
+    FROM t
+    """,
+)
+def window_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clause on a window function (DuckDB surface; Spark's
+    FILTER only attaches to group aggregates) — reproduced exactly as
+    CASE-guarded window aggregates: sum(CASE WHEN p THEN x END) OVER w is
+    the filtered running sum, count(CASE ...) the filtered running count.
+    Exact integer cents; the (date, id) ROWS order is total, so frames are
+    deterministic across engines. One (k)-partition sort serves both specs."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH t AS (
+            SELECT o_custkey AS k, o_orderkey AS id, o_orderdate AS d,
+                   o_orderstatus AS st,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+            FROM orders WHERE o_custkey % 103 = 0
+        )
+        SELECT k, id,
+               sum(CASE WHEN st = 'F' THEN c END) OVER w   AS run_f_cents,
+               count(CASE WHEN st = 'F' THEN 1 END) OVER w AS run_f_orders
+        FROM t
+        WINDOW w AS (PARTITION BY k ORDER BY d, id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+    )
