@@ -731,3 +731,79 @@ def array_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(seq, lambda x: x % 2 == 0)).alias("n_even"),
         F.exists(seq, lambda x: x > 3).alias("has_gt3"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "scan_star_modifiers",
+    oracle="""
+    SELECT * EXCLUDE (c_mktsegment)
+             REPLACE (upper(c_name) AS c_name,
+                      CAST(round(c_acctbal * 100, 0) AS BIGINT) AS c_acctbal)
+    FROM customer WHERE c_custkey % 37 = 0
+    """,
+)
+def scan_star_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB star modifiers: SELECT * EXCLUDE (col) REPLACE (expr AS col).
+    Spark's `* EXCEPT (col)` covers EXCLUDE; REPLACE maps to in-place
+    withColumn (projection stays a pure column-pruned scan — no extra
+    pass). acctbal emitted as integer cents for hash stability."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 37 == 0)
+    return (
+        c.drop("c_mktsegment")
+        .withColumn("c_name", F.upper("c_name"))
+        .withColumn(
+            "c_acctbal", F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+        )
+    )
+
+
+@register(
+    "join_positional",
+    oracle="""
+    SELECT l.n_name, r.r_name
+    FROM (SELECT n_name FROM nation) l
+    POSITIONAL JOIN (SELECT r_name FROM region) r
+    """,
+)
+def join_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB POSITIONAL JOIN (row N pairs with row N; shorter side padded
+    with NULLs) — reproduced with the A9 virtual row-position column:
+    `_metadata.row_index` is the absolute row offset in the parquet file
+    (the same physical order DuckDB's scan yields), full-outer-joined on
+    position. Scale note: positional semantics only exist relative to a
+    stable file order, so the join keys on (file order) metadata, never on
+    a nondeterministic monotonically_increasing_id."""
+    sf = sf_dir.rstrip("/")
+    n = (
+        spark.read.parquet(f"{sf}/nation.parquet")
+        .select("n_name", F.col("_metadata.row_index").alias("pos"))
+    )
+    r = (
+        spark.read.parquet(f"{sf}/region.parquet")
+        .select("r_name", F.col("_metadata.row_index").alias("pos"))
+    )
+    return n.join(r, "pos", "full").select("n_name", "r_name")
+
+
+@register(
+    "setop_union_by_name",
+    oracle="""
+    SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS extra FROM nation
+    UNION ALL BY NAME
+    SELECT r_name AS nm, r_regionkey AS k FROM region
+    """,
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB UNION ALL BY NAME (columns matched by name, missing columns
+    NULL-filled) = Spark unionByName(allowMissingColumns=True) — the same
+    semantics `read_fls(union_by_name := true)` applies across files (A2,
+    /root/reference/src/reader/fls_multi_file_info.cpp:70-82)."""
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("nm"),
+        F.col("n_regionkey").alias("extra"),
+    )
+    r = table(spark, sf_dir, "region").select(
+        F.col("r_name").alias("nm"), F.col("r_regionkey").alias("k")
+    )
+    return n.unionByName(r, allowMissingColumns=True)
