@@ -807,3 +807,41 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name").alias("nm"), F.col("r_regionkey").alias("k")
     )
     return n.unionByName(r, allowMissingColumns=True)
+
+
+@register(
+    "scan_columns_expression",
+    oracle="""
+    SELECT round(min(COLUMNS('l_.*(price|discount|tax)')), 2)
+    FROM lineitem
+    """,
+)
+def scan_columns_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB COLUMNS('regex') star expression — one aggregate applied to
+    every column whose name matches a pattern. The Spark idiom is the same
+    thing made explicit: match the pattern against df.columns driver-side
+    and build the aggregate list programmatically; the resulting plan is a
+    single wide aggregate, identical to DuckDB's expansion."""
+    import re
+
+    li = table(spark, sf_dir, "lineitem")
+    cols = [c for c in li.columns if re.fullmatch(r"l_.*(price|discount|tax)", c)]
+    return li.agg(*[F.round(F.min(c), 2).alias(c) for c in cols])
+
+
+@register(
+    "scan_generate_series",
+    oracle="""
+    SELECT i, i * i AS sq, i % 5 AS bucket
+    FROM generate_series(1, 997, 7) t(i)
+    """,
+)
+def scan_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generate_series as a table function (B9): DuckDB's inclusive
+    generate_series(1, 997, 7) = spark.range(1, 998, 7) (end-exclusive),
+    both BIGINT. Series generation is a leaf the planner parallelizes by
+    slicing the range — no data movement at any length."""
+    r = spark.range(1, 998, 7).withColumnRenamed("id", "i")
+    return r.select(
+        "i", (F.col("i") * F.col("i")).alias("sq"), (F.col("i") % 5).alias("bucket")
+    )
