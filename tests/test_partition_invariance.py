@@ -49,6 +49,9 @@ REPRESENTATIVE = [
     "dsir_importance_weights",  # micro-unit quantized log-ratio sums
     "retrieval_hybrid_rrf",  # leg ranks from integer scores + id tiebreaks
     "events_hypertable_rollup",  # float sum(value) per bucket must round stably
+    "window_frame_exclude",  # EXCLUDE emulation: frame membership rides a
+    # total (month, id) order, never the scan order
+    "window_filtered_agg",  # CASE-guarded running sums on a total order
 ]
 
 
