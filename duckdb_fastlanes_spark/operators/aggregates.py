@@ -149,8 +149,8 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         o_orderstatus,
-        max_by(o_orderkey, o_totalprice) AS top_order,
-        min_by(o_orderkey, o_totalprice) AS bottom_order,
+        (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS top_order,
+        (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS bottom_order,
         round(max(o_totalprice), 2)      AS max_price
     FROM orders
     GROUP BY o_orderstatus
@@ -158,15 +158,21 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """arg_min/arg_max (DuckDB) = max_by/min_by (Spark). o_totalprice values
-    are distinct-enough reals that ties don't arise; both engines pick the
-    unique extremum row."""
+    """arg_min/arg_max (DuckDB) = max_by/min_by (Spark), made tie-
+    deterministic: a bare max_by(key, price) picks an ARBITRARY key among
+    price ties — invisible on the raw corpus where prices are near-unique,
+    but the 100x replicated cell duplicates every price and the engines
+    picked different keys. Both sides aggregate the lexicographic extremum
+    of (price, key) — same single-pass arg-extremum plan, deterministic at
+    any scale."""
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.expr("max_by(o_orderkey, o_totalprice)").alias("top_order"),
-            F.expr("min_by(o_orderkey, o_totalprice)").alias("bottom_order"),
+            F.max(F.struct(F.col("o_totalprice").alias("p"),
+                           F.col("o_orderkey").alias("k")))["k"].alias("top_order"),
+            F.min(F.struct(F.col("o_totalprice").alias("p"),
+                           F.col("o_orderkey").alias("k")))["k"].alias("bottom_order"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
         .orderBy("o_orderstatus")

@@ -199,10 +199,12 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
                first_value(nullif(l_discount, 0.0) IGNORE NULLS) OVER w
                    AS first_nonzero_disc,
                row_number() OVER (PARTITION BY l_orderkey
-                                  ORDER BY l_linenumber) AS rn
+                                  ORDER BY l_linenumber, l_suppkey,
+                                           l_extendedprice) AS rn
         FROM lineitem
         WHERE l_orderkey < 1000
-        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_suppkey, l_extendedprice
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     )
     WHERE rn = 1
@@ -215,14 +217,20 @@ def window_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (NULL-skipping first_value) — the window-function corners beyond
     first/last/lag (window_first_last, window_lag_lead). Full-partition
     frames are spelled explicitly so both engines agree; one row per order
-    via rn=1 on the same partitioning (no second shuffle)."""
+    via rn=1 on the same partitioning (no second shuffle). The window order
+    carries (l_suppkey, l_extendedprice) tie-breaks: (orderkey, linenumber)
+    is unique on the raw corpus but collides in the 100x replicated cell,
+    where an underspecified nth_value order let each engine pick a
+    different "second" row."""
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
     w = (
         Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber")
+        .orderBy("l_linenumber", "l_suppkey", "l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    w_rn = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w_rn = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
     return (
         li.select(
             F.col("l_orderkey").alias("o_orderkey"),
