@@ -230,7 +230,10 @@ def customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "supplier_pareto",
     oracle="""
     WITH rev AS (
-        SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT l_suppkey,
+               round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount))
+                                         * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                     / 1000000.0, 2) AS revenue
         FROM lineitem GROUP BY l_suppkey
     )
     SELECT l_suppkey, revenue,
@@ -244,14 +247,18 @@ def customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto analysis: cumulative revenue share per supplier (the 80/20
     read-off). Running sum over the revenue-ranked rollup ÷ grand total —
-    both windows run over supplier cardinality, not lineitem. Revenue is
-    rounded before the running sum so the cumulative ratio is
-    order-identical on both engines."""
+    both windows run over supplier cardinality, not lineitem. Per-supplier
+    revenue aggregates exact integer micro-units (the _usum_col split-BIGINT
+    pattern): a raw double sum rounded the cent differently per engine at
+    the 100x cell, which also flipped the tied-revenue ranking; the rounded
+    revenues then make the prefix-sum share order-identical."""
     from pyspark.sql.window import Window
+
+    from duckdb_fastlanes_spark.operators.tpch_suite import _usum_col
 
     li = table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        _usum_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "revenue"
         )
     )
