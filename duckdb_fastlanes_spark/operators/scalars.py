@@ -274,3 +274,33 @@ def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("cust:"), F.col("c_custkey").cast("string"), F.lit(":"), F.col("c_mktsegment")
         ).alias("compound_key"),
     )
+
+
+@register(
+    "scalar_timezone_convert",
+    oracle="""
+    SELECT event_id,
+           CAST(epoch_us(timezone('America/New_York', ts)) AS BIGINT)
+               AS utc_from_ny_us,
+           timezone('America/New_York',
+                    to_timestamp(epoch_us(ts) / 1000000.0)) AS ny_wall
+    FROM events WHERE event_id % 97 = 0
+    """,
+)
+def scalar_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AT TIME ZONE surface across DST boundaries: interpret a naive
+    timestamp as America/New_York wall time and emit the UTC instant
+    (to_utc_timestamp = DuckDB timezone(tz, naive)), and render a UTC
+    instant as New_York wall clock (from_utc_timestamp = DuckDB
+    timezone(tz, timestamptz)). The oracle goes through epoch_us so its
+    value is independent of the DuckDB session TimeZone; the Spark side is
+    likewise pinned to UTC by catalog._read_raw. events.ts spans both EST
+    and EDT, so the offset flips inside the result set."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    return ev.select(
+        "event_id",
+        F.unix_micros(F.to_utc_timestamp("ts", "America/New_York")).alias(
+            "utc_from_ny_us"
+        ),
+        F.from_utc_timestamp("ts", "America/New_York").alias("ny_wall"),
+    )
