@@ -14,7 +14,7 @@ from tests.conftest import SF_DIR
 #: oracle SQL that is ANSI enough for both parsers (no DuckDB list/ DISTINCT ON
 #: / FOR-comprehension syntax). Discovered by running EVERY oracle through
 #: spark.sql and keeping those whose rows match the DataFrame implementation
-#: string-exactly — 114 of 218 oracles are dialect-portable; the rest use
+#: string-exactly — 113 of 223 oracles are dialect-portable; the rest use
 #: DuckDB-specific syntax (list comprehensions, DISTINCT ON, EXCLUDE, FILTER
 #: on windows, md5/hash builtins with engine-specific results, ...).
 ANSI_PARITY = [
@@ -48,7 +48,8 @@ ANSI_PARITY = [
     "agg_group_by_all",
     "agg_grouping_sets",
     "agg_histogram",
-    "agg_max_by",
+    # agg_max_by left the portable set: its tie-deterministic oracle uses
+    # DuckDB struct_pack syntax (lexicographic (price, key) extremum)
     "agg_mode",
     "agg_moments",
     "agg_regression",
