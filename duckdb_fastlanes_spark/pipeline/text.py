@@ -1048,7 +1048,8 @@ def text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     postings AS (
-        SELECT term, count(*) AS df, list_sort(list(doc_id))[1:20] AS posting_head
+        SELECT term, count(*) AS df,
+               array_to_string(list_sort(list(doc_id))[1:20], ',') AS posting_head
         FROM toks GROUP BY term
     )
     SELECT term, df, posting_head
@@ -1059,8 +1060,11 @@ def text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index build: term -> document-frequency + sorted posting
-    list (head capped at 20 ids so the checked result stays bounded; a real
-    index keeps the full list). The core retrieval structure for search /
+    list (head capped at 20 ids and rendered as a CSV string so the checked
+    result stays bounded and scalar-typed — the one complex-typed output
+    column in the registry would repr-diverge between pandas list and numpy
+    array depending on the host session's Arrow setting; a real index keeps
+    the full typed list). The core retrieval structure for search /
     contamination lookup over a corpus. Spark shape: explode per-doc
     DISTINCT terms (row-local), one shuffle on term with map-side combine;
     posting lists stay bounded per term by the slice. Top-50 by df with a
@@ -1078,9 +1082,9 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
-                "posting_head"
-            ),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+            ).alias("posting_head"),
         )
         .orderBy(F.desc("df"), "term")
         .limit(50)
