@@ -130,12 +130,33 @@ def warm_cache(spark: SparkSession, sf_dir: str, max_bytes: int = 2 * 1024**3) -
     return True
 
 
-def _read_raw(spark: SparkSession, path: str, name: str) -> DataFrame:
-    # timestamp semantics (NTZ→TS cast below, date arithmetic everywhere)
-    # assume the UTC session tz that get_spark pins; a foreign session (the
-    # driver's own) may carry another zone, so pin it here too —
-    # runtime-settable, idempotent
+#: sessions whose timezone the catalog has already pinned (see _pin_utc)
+_TZ_PINNED: set[int] = set()
+
+
+def _pin_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC, once per session, at the catalog's
+    public entry points. Timestamp semantics everywhere in the engine (the
+    NTZ→TS cast in _read_raw, unix_micros, date arithmetic, watermarks)
+    assume UTC; get_spark already sets it at construction, but a foreign
+    session (e.g. the driver's own) may carry another zone. Pinning once —
+    with a warning when we actually change it — avoids silently clobbering
+    a caller's later deliberate tz choice on every table read."""
+    if id(spark) in _TZ_PINNED:
+        return
+    _TZ_PINNED.add(id(spark))
+    if spark.conf.get("spark.sql.session.timeZone", "UTC") != "UTC":
+        import warnings
+
+        warnings.warn(
+            "duckdb_fastlanes_spark catalog: setting spark.sql.session.timeZone"
+            " to UTC for this session (engine timestamp semantics are UTC-based)",
+            stacklevel=3,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _read_raw(spark: SparkSession, path: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
@@ -166,9 +187,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp[us] with isAdjustedToUTC=false (read as TIMESTAMP_NTZ, cast
     under the UTC session tz) — the same µs UTC-instant semantics DuckDB's
     parquet reader applies, so downstream ``unix_micros``/watermarks work.
+
+    On a session's FIRST catalog access this pins spark.sql.session.timeZone
+    to UTC (warning if it changes an existing setting) — engine timestamp
+    semantics are UTC-based. Later deliberate tz changes are respected.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    _pin_utc(spark)
     dir_key = sf_dir.rstrip("/")
     key = (id(spark), dir_key, name)
     if key in _CACHE:

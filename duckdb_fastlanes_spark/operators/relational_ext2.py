@@ -821,11 +821,14 @@ def scan_columns_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
     every column whose name matches a pattern. The Spark idiom is the same
     thing made explicit: match the pattern against df.columns driver-side
     and build the aggregate list programmatically; the resulting plan is a
-    single wide aggregate, identical to DuckDB's expansion."""
+    single wide aggregate, identical to DuckDB's expansion. DuckDB's
+    COLUMNS('regex') does PARTIAL (re.search) matching — COLUMNS('price')
+    selects l_extendedprice — so the Python side mirrors that, not an
+    anchored fullmatch."""
     import re
 
     li = table(spark, sf_dir, "lineitem")
-    cols = [c for c in li.columns if re.fullmatch(r"l_.*(price|discount|tax)", c)]
+    cols = [c for c in li.columns if re.search(r"l_.*(price|discount|tax)", c)]
     return li.agg(*[F.round(F.min(c), 2).alias(c) for c in cols])
 
 

@@ -284,19 +284,46 @@ def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS utc_from_ny_us,
            timezone('America/New_York',
                     to_timestamp(epoch_us(ts) / 1000000.0)) AS ny_wall
-    FROM events WHERE event_id % 97 = 0
+    FROM events
+    WHERE event_id % 97 = 0
+      AND NOT (EXTRACT(month FROM ts) = 11 AND EXTRACT(day FROM ts) <= 7
+               AND EXTRACT(dow FROM ts) = 0 AND EXTRACT(hour FROM ts) = 1)
+      AND NOT (EXTRACT(month FROM ts) = 3 AND EXTRACT(day FROM ts) BETWEEN 8 AND 14
+               AND EXTRACT(dow FROM ts) = 0 AND EXTRACT(hour FROM ts) = 2)
     """,
 )
 def scalar_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AT TIME ZONE surface across DST boundaries: interpret a naive
-    timestamp as America/New_York wall time and emit the UTC instant
-    (to_utc_timestamp = DuckDB timezone(tz, naive)), and render a UTC
-    instant as New_York wall clock (from_utc_timestamp = DuckDB
-    timezone(tz, timestamptz)). The oracle goes through epoch_us so its
-    value is independent of the DuckDB session TimeZone; the Spark side is
-    likewise pinned to UTC by catalog._read_raw. events.ts spans both EST
-    and EDT, so the offset flips inside the result set."""
+    """AT TIME ZONE surface: interpret a naive timestamp as America/New_York
+    wall time and emit the UTC instant (to_utc_timestamp = DuckDB
+    timezone(tz, naive)), and render a UTC instant as New_York wall clock
+    (from_utc_timestamp = DuckDB timezone(tz, timestamptz)). The oracle goes
+    through epoch_us so its value is independent of the DuckDB session
+    TimeZone; the Spark side is likewise pinned to UTC by the catalog.
+
+    DST-transition wall times have no engine-portable meaning — the
+    fall-back hour (01:xx on the first Sunday of November) is ambiguous and
+    Spark/DuckDB resolve it to different offsets (verified: 2024-11-03 01:30
+    differs by 1h), and the spring-forward hour (02:xx on the second Sunday
+    of March) does not exist. Both engines' filters share the guard below,
+    so the query stays hash-equal even if the corpus grows past a
+    transition (the current events corpus is Jan 2024, EST-only — the
+    transitions themselves are exercised by
+    tests/test_sql_parity.py::test_timezone_dst_boundary_parity)."""
     ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    # Spark dayofweek: Sunday=1; DuckDB dow: Sunday=0 — same rows guarded.
+    ambiguous_fall = (
+        (F.month("ts") == 11)
+        & (F.dayofmonth("ts") <= 7)
+        & (F.dayofweek("ts") == 1)
+        & (F.hour("ts") == 1)
+    )
+    nonexistent_spring = (
+        (F.month("ts") == 3)
+        & (F.dayofmonth("ts").between(8, 14))
+        & (F.dayofweek("ts") == 1)
+        & (F.hour("ts") == 2)
+    )
+    ev = ev.filter(~ambiguous_fall & ~nonexistent_spring)
     return ev.select(
         "event_id",
         F.unix_micros(F.to_utc_timestamp("ts", "America/New_York")).alias(

@@ -51,9 +51,10 @@ _USCALE = 1_000_000
 
 def _usum_col(col: F.Column) -> F.Column:
     micro = F.round(col * _USCALE, 0).cast("bigint")
-    # truncating integer div via double divide + cast: per-row |micro| < 2^53
-    # so the quotient's integer part is exact (fraction is either 0 exactly
-    # or >= 1e-6, far beyond one ulp)
+    # hi may land on either side of the true quotient (double divide + cast),
+    # but exactness never depends on it: lo is derived as micro - hi*1e6, so
+    # hi*1e6 + lo == micro identically for ANY hi, and both partial sums are
+    # recombined losslessly in DECIMAL(25,0) per output group
     hi = (micro / _USCALE).cast("bigint")
     lo = micro - hi * _USCALE
     total = F.sum(hi).cast("decimal(25,0)") * _USCALE + F.sum(lo).cast(

@@ -152,3 +152,47 @@ def test_sql_text_matches_dataframe_impl(views, name):
     a = sorted(map(lambda r: tuple(str(x) for x in r), via_sql.collect()))
     b = sorted(map(lambda r: tuple(str(x) for x in r), df_impl.collect()))
     assert a == b
+
+
+def test_timezone_dst_boundary_parity(spark, duck):
+    """scalar_timezone_convert's DST coverage, made real: hourly naive wall
+    times spanning BOTH 2024 America/New_York transitions (spring-forward
+    Mar 10, fall-back Nov 3), minus the guarded hours (the nonexistent
+    02:xx spring hour and the ambiguous 01:xx fall hour, where the two
+    engines legitimately disagree — verified 1h divergence at 2024-11-03
+    01:30). Outside those windows Spark to_utc_timestamp and DuckDB
+    timezone('America/New_York', naive_ts) must agree to the microsecond,
+    so the EST/EDT offset flip is exercised in both directions."""
+    import datetime as dt
+
+    hours = []
+    for day0 in (dt.datetime(2024, 3, 9, 12), dt.datetime(2024, 11, 2, 12)):
+        hours += [day0 + dt.timedelta(hours=h) for h in range(48)]
+    # shared guard (same predicate scalar_timezone_convert applies)
+    def guarded(t: dt.datetime) -> bool:
+        if t.month == 11 and t.day <= 7 and t.weekday() == 6 and t.hour == 1:
+            return True
+        if t.month == 3 and 8 <= t.day <= 14 and t.weekday() == 6 and t.hour == 2:
+            return True
+        return False
+
+    hours = [t for t in hours if not guarded(t)]
+    assert len(hours) == 94  # two 48h spans minus the two guarded hours
+
+    sdf = spark.createDataFrame([(t,) for t in hours], "ts timestamp")
+    from pyspark.sql import functions as F
+
+    got = {
+        r["ts"]: r["us"]
+        for r in sdf.select(
+            "ts",
+            F.unix_micros(F.to_utc_timestamp("ts", "America/New_York")).alias("us"),
+        ).collect()
+    }
+    for t in hours:
+        (want,) = duck.execute(
+            "SELECT CAST(epoch_us(timezone('America/New_York',"
+            " CAST(? AS TIMESTAMP))) AS BIGINT)",
+            [t],
+        ).fetchone()
+        assert got[t] == want, f"divergence at naive wall time {t}"
