@@ -235,6 +235,26 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AA_SCALE = 6  # Adamic-Adar sums ~10 terms of 1/ln(deg) — 6 dp is order-stable
 
+#: degree cap for wedge generation in graph_link_prediction. Wedge work is
+#: Σ_v C(deg(v), 2) — quadratic in hub degree; a deg-10⁵ hub at 100 TB is a
+#: 5×10⁹-wedge bucket on its own. Edges into a neighbor v with deg(v) > CAP
+#: are kept with probability q = CAP/deg(v) (DETERMINISTIC md5-hash uniform,
+#: so both engines keep the identical subset) and every surviving wedge is
+#: count-corrected by 1/q² (a wedge survives iff both its edges do —
+#: independent hash draws — so E[Σ 1/q²] is exactly the true wedge count).
+#: Below the cap q = 1: exact. Expected generation cost per neighbor becomes
+#: min(deg, CAP)² — LINEAR in corpus size with bounded constants; estimator
+#: std-err per hub pair is ~1/q = deg/CAP, fine for a top-k screen.
+LP_DEG_CAP = 48
+
+#: deterministic edge-keep uniform: (first 8 md5 hex digits of "src:dst"
+#: + 0.5) / 2^32 ∈ (0,1) — the sampling.py hash-uniform pattern, identical
+#: on both engines
+_LP_U_SQL = (
+    "(CAST(concat('0x', substr(md5(CAST(e.src AS VARCHAR) || ':' ||"
+    " CAST(e.dst AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0"
+)
+
 
 @register(
     "graph_link_prediction",
@@ -244,52 +264,67 @@ AA_SCALE = 6  # Adamic-Adar sums ~10 terms of 1/ln(deg) — 6 dp is order-stable
         SELECT s1, s2 FROM pairs UNION ALL SELECT s2, s1 FROM pairs
     ),
     deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+    kept AS (
+        -- degree-capped edge sampling: keep prob q = min(1, CAP/deg(dst)),
+        -- decided by a deterministic md5 uniform shared by both engines
+        SELECT e.src, e.dst, dv.d, least(1.0, {LP_DEG_CAP}.0 / dv.d) AS q
+        FROM edges e JOIN deg dv ON dv.node = e.dst
+        WHERE {_LP_U_SQL} < least(1.0, {LP_DEG_CAP}.0 / dv.d)
+    ),
     cand AS (
-        -- per-wedge Adamic-Adar terms quantized to integer nano-units so the
-        -- cross-pair sum is an exact BIGINT on both engines (double summation
-        -- order differs between engines at the rounding boundary)
+        -- per-wedge terms quantized to integer nano-units so the cross-pair
+        -- sum is an exact BIGINT on both engines; 1/q² is the inverse
+        -- sampling weight (exactly 1 below the cap)
         SELECT a.src AS s1, b.src AS s2,
-               count(*) AS common_neighbors,
-               CAST(sum(CAST(round(1000000000.0 / ln(dv.d)) AS BIGINT))
-                    AS BIGINT) AS aa_u
-        FROM edges a
-        JOIN edges b ON b.dst = a.dst AND a.src < b.src
-        JOIN deg dv ON dv.node = a.dst
+               CAST(sum(CAST(round(1000000000.0 / (a.q * a.q)) AS BIGINT))
+                    AS BIGINT) AS cn_u,
+               CAST(sum(CAST(round(1000000000.0 / (ln(a.d) * a.q * a.q))
+                             AS BIGINT)) AS BIGINT) AS aa_u
+        FROM kept a
+        JOIN kept b ON b.dst = a.dst AND a.src < b.src
         GROUP BY a.src, b.src
     )
-    SELECT c.s1, c.s2, c.common_neighbors,
+    SELECT c.s1, c.s2,
+           round(c.cn_u / 1000000000.0, {AA_SCALE}) AS common_est,
            round(c.aa_u / 1000000000.0, {AA_SCALE}) AS adamic_adar,
-           round(c.common_neighbors * 1.0 /
-                 (d1.d + d2.d - c.common_neighbors), {AA_SCALE}) AS jaccard
+           round((c.cn_u / 1000000000.0) /
+                 (d1.d + d2.d - c.cn_u / 1000000000.0), {AA_SCALE}) AS jaccard
     FROM cand c
     JOIN deg d1 ON d1.node = c.s1
     JOIN deg d2 ON d2.node = c.s2
     LEFT JOIN pairs p ON p.s1 = c.s1 AND p.s2 = c.s2
     WHERE p.s1 IS NULL
-    ORDER BY c.common_neighbors DESC, c.s1, c.s2
+    ORDER BY c.cn_u DESC, c.s1, c.s2
     LIMIT 25
     """,
 )
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction on the part co-purchase graph: for every NON-adjacent
-    pair sharing ≥1 neighbor, score by common-neighbor count, Adamic-Adar
-    (Σ 1/ln deg(v) over shared neighbors v — down-weights promiscuous hubs),
-    and Jaccard of neighborhoods; top 25 candidates. The "what should we
-    bundle next" query — beyond-reference (no graph ops in the engine).
+    pair sharing ≥1 (sampled) neighbor, score by estimated common-neighbor
+    count, Adamic-Adar (Σ 1/ln deg(v) over shared neighbors v) and Jaccard
+    of neighborhoods; top 25 candidates. The "what should we bundle next"
+    query — beyond-reference (no graph ops in the engine).
 
-    Scale shape: wedges come from the edges⋈edges self-join on the shared
-    neighbor (Σ C(deg,2) stream), re-keyed onto the pair BEFORE the
-    aggregate. Measured A/B at sf0.1 (1.2 M edges, ~1.4 B wedges): shuffling
-    the raw wedge stream and aggregating once after the exchange runs 14.4 s
+    Scale shape — DEGREE-CAPPED wedge generation (see LP_DEG_CAP): edges
+    into a neighbor with deg > CAP are hash-sampled at q = CAP/deg and each
+    surviving wedge is weighted 1/q² (unbiased Horvitz-Thompson estimate of
+    the common-neighbor count; exact when deg ≤ CAP). This bounds per-
+    neighbor generation cost at ~CAP² so total wedge work is linear in edge
+    count — without the cap one deg-10⁵ hub alone contributes 5×10⁹ wedges.
+    The keep decision is a row-local md5 uniform on (src, dst), so both
+    engines sample the identical edge subset and the BIGINT nano-unit sums
+    hash-match exactly. Measured at sf0.1 (1.2 M edges, quasi-regular
+    deg≈120): 148 M exact wedges → ~21 M sampled, 28.5 s → under 10 s, same
+    on the DuckDB side.
+
+    Wedges are re-keyed onto the pair BEFORE the aggregate (measured A/B at
+    sf0.1: shuffling the raw wedge stream then aggregating once runs 14.4 s
     vs 45 s for partial-agg-inside-the-join-stage — fusing a 2 M-key hash
-    aggregate into the already codegen-heavy join stage costs ~3× more than
-    the sequential shuffle write of small fixed-width rows; an
-    adjacency-array explode variant (triangle-census style) is worse still
-    (each exploded row copies the whole neighbor list). Keep the
-    repartition. Adamic-Adar terms are quantized to integer nano-units per
-    wedge so the pair sum is an exact BIGINT (order-independent across
-    engines). Top-k is a TakeOrderedAndProject; ties broken by (s1, s2).
-    """
+    aggregate into the codegen-heavy join stage costs ~3× more than the
+    sequential shuffle write of small fixed-width rows). Per-wedge terms are
+    quantized to integer nano-units so pair sums are exact BIGINTs
+    (order-independent across engines); top-k is a TakeOrderedAndProject on
+    the exact cn_u with (s1, s2) tiebreak."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -303,35 +338,64 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.selectExpr("s2 AS src", "s1 AS dst")
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # degree-capped deterministic edge sampling (q = min(1, CAP/deg(dst)));
+    # deg is node-sized — broadcast here, hash-join on dst at cluster scale
+    u01 = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("src").cast("string"),
+                        F.lit(":"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    kept = (
+        edges.join(
+            F.broadcast(deg.selectExpr("src AS node", "d")),
+            F.col("dst") == F.col("node"),
+        )
+        .withColumn("q", F.least(F.lit(1.0), F.lit(float(LP_DEG_CAP)) / F.col("d")))
+        .filter(u01 < F.col("q"))
+        .select("src", "dst", "d", "q")
+    )
     # wedge GENERATION runs at full core width (the join stage inherits the
     # repartition width — the byte-sized small-input default of 4 partitions
-    # ran this 143 s; see tune_for_input docstring)
+    # ran the uncapped form 143 s; see tune_for_input docstring)
     width = spark.sparkContext.defaultParallelism
-    edges_w = edges.repartition(width, "dst")
-    ea, eb = edges_w.alias("ea"), edges_w.alias("eb")
+    kept_w = kept.repartition(width, "dst")
+    ea, eb = kept_w.alias("ea"), kept_w.alias("eb")
     cand = (
         ea.join(
             eb,
             (F.col("eb.dst") == F.col("ea.dst")) & (F.col("ea.src") < F.col("eb.src")),
         )
-        .join(
-            F.broadcast(deg.selectExpr("src AS v", "d AS dv")),
-            F.col("ea.dst") == F.col("v"),
-        )
         .select(
             F.col("ea.src").alias("s1"),
             F.col("eb.src").alias("s2"),
-            F.round(F.lit(1000000000.0) / F.log(F.col("dv").cast("double")))
+            F.round(F.lit(1000000000.0) / (F.col("ea.q") * F.col("ea.q")))
             .cast("bigint")
-            .alias("u"),
+            .alias("w_u"),
+            F.round(
+                F.lit(1000000000.0)
+                / (F.log(F.col("ea.d").cast("double")) * F.col("ea.q") * F.col("ea.q"))
+            )
+            .cast("bigint")
+            .alias("aa_term"),
         )
         .repartition(width, "s1", "s2")
         .groupBy("s1", "s2")
-        .agg(
-            F.count(F.lit(1)).alias("common_neighbors"),
-            F.sum("u").alias("aa_u"),
-        )
+        .agg(F.sum("w_u").alias("cn_u"), F.sum("aa_term").alias("aa_u"))
     )
+    est = F.col("cn_u") / F.lit(1000000000.0)
     scored = (
         cand.join(F.broadcast(deg.selectExpr("src AS s1", "d AS d1")), "s1")
         .join(F.broadcast(deg.selectExpr("src AS s2", "d AS d2")), "s2")
@@ -339,16 +403,17 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s1",
             "s2",
-            "common_neighbors",
+            "cn_u",
+            F.round(est, AA_SCALE).alias("common_est"),
             F.round(F.col("aa_u") / 1000000000.0, AA_SCALE).alias("adamic_adar"),
-            F.round(
-                F.col("common_neighbors")
-                / (F.col("d1") + F.col("d2") - F.col("common_neighbors")),
-                AA_SCALE,
-            ).alias("jaccard"),
+            F.round(est / (F.col("d1") + F.col("d2") - est), AA_SCALE).alias("jaccard"),
         )
     )
-    return scored.orderBy(F.desc("common_neighbors"), "s1", "s2").limit(25)
+    return (
+        scored.orderBy(F.desc("cn_u"), "s1", "s2")
+        .limit(25)
+        .select("s1", "s2", "common_est", "adamic_adar", "jaccard")
+    )
 
 
 @register(

@@ -30,6 +30,18 @@ from duckdb_fastlanes_spark.registry import register
 N_MINHASH = 8
 BAND_WIDTH = 2
 JACCARD_THRESHOLD = 0.5
+#: stop-shingle document-frequency cap for the exact pairwise paths
+#: (dedup_ngram_jaccard / dedup_containment). A shingle shared by df docs
+#: creates a C(df,2) pair bucket in the shingle self-join; one boilerplate
+#: trigram in 10^6 docs is a 10^12-pair bucket at 100 TB. Dropping shingles
+#: with df > CAP before the join bounds every bucket at C(CAP,2) so total
+#: pair work is ≤ CAP × Σdf — LINEAR in corpus size — and a df>CAP shingle
+#: carries ~no near-dup signal anyway (it is corpus boilerplate by
+#: definition; the information-bearing shingles decide the pair score).
+#: Sizes (|A|,|B|) are computed post-cap on BOTH engines so the ratio stays
+#: a true Jaccard/containment over the kept shingle sets. Max observed df
+#: in the test corpora is 25 (sf0.1), so 32 changes nothing at test scale.
+SHINGLE_DF_CAP = 32
 # near-dup gate; the driver's embeddings are random vectors (within-label max
 # cosine ≈ 0.47), so a production-style 0.95 matches nothing — 0.3 keeps the
 # operator's output non-trivial (~1% of in-bucket pairs) for the oracle check
@@ -92,12 +104,42 @@ def _shingle_sets(d: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_rows_capped(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) with stop-shingles removed: df computed over the
+    distinct exploded rows, shingles with df > SHINGLE_DF_CAP dropped. The
+    df aggregation and the kept-shingle semi-join both hash-partition on
+    shingle — the same key the downstream pair self-join uses, so AQE can
+    chain the exchanges; the extra pass is one narrow aggregate, a constant
+    factor, while the cap turns the worst-case pair join from Σ df² (one
+    hot shingle → quadratic) into ≤ CAP × Σ df (linear)."""
+    rows = _shingle_rows(d)
+    kept = (
+        rows.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    return rows.join(kept, "shingle").select("doc_id", "shingle")
+
+
 #: DuckDB equivalents of the helpers above (1-based lists, same regexes)
 _ORACLE_WORDS = r"regexp_extract_all(lower(text), '[a-z0-9]+')"
 _ORACLE_SHINGLES = (
     f"list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
     f"FOR i IN range(1, greatest(len(w) - 1, 1))])"
 )
+
+#: oracle twin of _shingle_rows_capped — shared CTE text so both pairwise
+#: queries cap identically (expects a prior CTE named ``exploded``)
+_ORACLE_CAPPED = f"""
+    df AS (
+        SELECT shingle, count(*) AS df FROM exploded GROUP BY 1
+    ),
+    kept AS (
+        SELECT e.doc_id, e.shingle
+        FROM exploded e JOIN df USING (shingle)
+        WHERE df.df <= {SHINGLE_DF_CAP}
+    )"""
 
 
 @register(
@@ -134,13 +176,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     exploded AS (
         SELECT doc_id, unnest(shingles) AS shingle FROM shingled
-    ),
+    ),{_ORACLE_CAPPED},
     pair_inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
-    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled)
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1)
     SELECT doc_a, doc_b,
            round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
     FROM pair_inter p
@@ -151,11 +193,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard near-dup: explode distinct 3-gram shingles, self-join on
-    shingle to count intersections (cost ∝ Σ shingle-bucket², not n²), then
-    |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold."""
+    """N-gram Jaccard near-dup: explode distinct 3-gram shingles, drop
+    stop-shingles (df > SHINGLE_DF_CAP — see the constant's scale note),
+    self-join on shingle to count intersections (cost ≤ CAP × Σdf, linear),
+    then |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold over the kept sets."""
     d = table(spark, sf_dir, "documents")
-    exploded = _shingle_rows(d)
+    exploded = _shingle_rows_capped(d)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pair_inter = (
@@ -564,13 +607,13 @@ CONTAINMENT_THRESHOLD = 0.8
     ),
     exploded AS (
         SELECT doc_id, unnest(shingles) AS shingle FROM shingled
-    ),
+    ),{_ORACLE_CAPPED},
     pair_inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
-    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled)
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1)
     SELECT doc_a, doc_b,
            round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4) AS containment,
            round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
@@ -588,10 +631,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment while its Jaccard can be arbitrarily small, so a
     Jaccard-only pipeline ships the duplicate text anyway. Reported with
     Jaccard side by side — the gap between the two columns IS the excerpt
-    signal. Same shingle-bucket join as the Jaccard path (cost ∝ Σ bucket²,
-    never n²)."""
+    signal. Same stop-shingle-capped bucket join as the Jaccard path
+    (df ≤ SHINGLE_DF_CAP ⇒ pair work ≤ CAP × Σdf, linear in corpus size)."""
     d = table(spark, sf_dir, "documents")
-    exploded = _shingle_rows(d)
+    exploded = _shingle_rows_capped(d)
     a, b = exploded.alias("a"), exploded.alias("b")
     pair_inter = (
         a.join(

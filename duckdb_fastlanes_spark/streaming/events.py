@@ -22,6 +22,30 @@ WINDOW = "1 hour"
 WATERMARK = "2 hours"
 
 
+def drain_to_parquet(stream_df: DataFrame, workdir: str, name: str = "out") -> DataFrame:
+    """Drain a streaming DataFrame through a parquet FILE sink (availableNow)
+    and read the result back as a batch DataFrame.
+
+    This is the uniform drain for every streaming query in the package: a
+    ``memory`` sink materializes the whole result on the DRIVER, which is a
+    driver OOM on an unbounded feed — the file sink writes from the
+    executors, exactly as a production job lands windows/matches into a
+    table, so the drain itself scales with the cluster, not the driver.
+    The read-back uses the stream's own schema (no inference) so an empty
+    result is still well-typed."""
+    outdir = f"{workdir}/{name}"
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", f"{workdir}/ckpt_{name}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return stream_df.sparkSession.read.schema(stream_df.schema).parquet(outdir)
+
+
 def windowed_event_counts(events: DataFrame) -> DataFrame:
     """Tumbling-window per-type aggregation — shared by batch and streaming."""
     return (
@@ -185,24 +209,14 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.write.mode("overwrite").parquet(staged)
     stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
     deduped = stream_dedup(stream, ["content_fp"], "ts", "1 hour")
-    name = "dfs_stream_dedup_out"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{workdir}/ckpt")
-        .start()
-    )
-    q.awaitTermination(120)
     out = (
-        spark.table(name)
+        drain_to_parquet(deduped, workdir, "dedup_out")
         .groupBy("content_fp")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("content_fp")
     )
-    # materialize executor-side off the memory sink (no driver round-trip),
-    # then drop staged files
+    # materialize executor-side off the file sink before the staged input,
+    # checkpoint, and sink files are dropped
     out = out.localCheckpoint(eager=True)
     import shutil
 
@@ -277,17 +291,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("micros_to_click"),
     )
-    name = "dfs_ss_join_out"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{workdir}/ckpt")
-        .start()
+    out = drain_to_parquet(joined, workdir, "join_out").orderBy(
+        "view_event_id", "click_event_id"
     )
-    q.awaitTermination(120)
-    out = spark.table(name).orderBy("view_event_id", "click_event_id")
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(workdir, ignore_errors=True)
     return out

@@ -171,20 +171,10 @@ def _register_query() -> None:
         staged = f"{workdir}/staged"
         ev.write.mode("overwrite").parquet(staged)
         stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
-        name = "dfs_stateful_sessions_out"
-        q = (
-            stream_sessionize(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{workdir}/ckpt")
-            .start()
-        )
-        q.awaitTermination(180)
-        out = spark.table(name).orderBy("user_id", "session_seq")
-        # memory-sink rows live in the session, not in workdir — safe to drop
-        # the staged input + checkpoint now instead of littering /tmp
+        from duckdb_fastlanes_spark.streaming.events import drain_to_parquet
+
+        out = drain_to_parquet(stream_sessionize(stream), workdir, "sessions_out")
+        out = out.orderBy("user_id", "session_seq").localCheckpoint(eager=True)
         import shutil
 
         shutil.rmtree(workdir, ignore_errors=True)
