@@ -240,3 +240,63 @@ def sql_q(spark: SparkSession, sf_dir: str, sql: str) -> "DataFrame":
         register_views(spark, sf_dir)
         _VIEWS_CURRENT[id(spark)] = dir_key
     return spark.sql(sql)
+
+
+def install_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] | None = None,
+    database: str = "dfs_stats",
+) -> dict[str, int]:
+    """Install table + column statistics into Spark's catalog so the
+    cost-based optimizer plans from them — the Spark realization of the
+    reference feeding per-column min/max and cardinality into its planner
+    (reference A10/A11: src/reader/fls_reader.cpp:244-292 merges row-group
+    column stats; src/reader/fls_multi_file_info.cpp:152-164 feeds
+    explicit_cardinality to join planning; ``read_fls``'s
+    explicit_cardinality option in io/fls.py is the API-surface twin).
+
+    ``stats_catalog`` computes the same statistics as an observable query;
+    this call is the side that INSTALLS them: each catalog table present in
+    ``sf_dir`` becomes an external parquet table in ``database`` and gets
+    ``ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS`` (row count,
+    per-column min/max/ndv/null count/avg+max length). With
+    ``spark.sql.cbo.enabled`` these drive filter-selectivity estimates and
+    therefore join-strategy (broadcast) and join-reorder decisions —
+    demonstrated by tests/test_plans.py::test_installed_stats_flip_join_strategy.
+
+    Scale note: ANALYZE is one scan per table (all column aggregates in one
+    pass) and writes only catalog metadata — at 100 TB it is a routine
+    nightly job, and the alternative (planning joins from raw file sizes)
+    is exactly what mis-sizes filtered build sides into sort-merge joins.
+
+    Idempotent; returns {table: row_count} read back from the catalog
+    statistics (not from a re-count)."""
+    import os
+
+    base = _LAYOUT.get(sf_dir.rstrip("/"), sf_dir.rstrip("/"))
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    out: dict[str, int] = {}
+    for name in tables or TABLES:
+        path = os.path.join(base, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        _pin_utc(spark)
+        full = f"{database}.{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {full}")
+        spark.sql(f"CREATE TABLE {full} USING parquet LOCATION '{path}'")
+        spark.sql(f"ANALYZE TABLE {full} COMPUTE STATISTICS FOR ALL COLUMNS")
+        stats_row = [
+            r
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {full}").collect()
+            if r["col_name"] == "Statistics"
+        ]
+        n = -1
+        if stats_row:
+            import re as _re
+
+            m = _re.search(r"(\d+) rows", stats_row[0]["data_type"])
+            if m:
+                n = int(m.group(1))
+        out[name] = n
+    return out

@@ -53,7 +53,10 @@ def read_fls(
       (reference fls_multi_file_info.cpp:75-81) via parquet ``mergeSchema``.
     - ``explicit_cardinality``: planner hint in the reference
       (fls_multi_file_info.cpp:57-68); Spark plans from file statistics, so
-      this is accepted-and-ignored (documented no-op).
+      at the path level this is accepted-and-ignored — the catalog-level
+      realization is ``catalog.install_stats`` (ANALYZE-installed row counts
+      + column stats that the CBO plans from; see
+      tests/test_plans.py::test_installed_stats_flip_join_strategy).
     - ``promote_types``: apply the reference's cross-source type-promotion
       rules (schema_builder.cpp:132-172) when unioning heterogeneous files.
     """

@@ -62,6 +62,42 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_distribution_grouped",
+    oracle="""
+    SELECT s_nationkey, s_suppkey,
+           round(percent_rank() OVER (PARTITION BY s_nationkey
+                                      ORDER BY s_acctbal, s_suppkey), 4) AS pr,
+           round(cume_dist()    OVER (PARTITION BY s_nationkey
+                                      ORDER BY s_acctbal, s_suppkey), 4) AS cd,
+           ntile(4)             OVER (PARTITION BY s_nationkey
+                                      ORDER BY s_acctbal, s_suppkey) AS quartile
+    FROM supplier
+    ORDER BY s_nationkey, s_suppkey
+    """,
+)
+def window_distribution_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows in their SCALE-CORRECT form: percent_rank /
+    cume_dist / ntile PARTITION BY group. This is the primary API — the
+    partition key hash-distributes the sort across the cluster (per-group
+    local sorts after one exchange), where the global-ORDER-BY sibling
+    (window_distribution, kept for the reference's B-row parity) funnels
+    every row through a single-partition sort. Plan-asserted in
+    tests/test_plans.py: the physical Window node sorts WITHIN hash
+    partitions — no SinglePartition exchange anywhere."""
+    from pyspark.sql.window import Window
+
+    s = table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("s_nationkey", "s_suppkey")
+
+
+@register(
     "sort_nulls_ordering",
     oracle="""
     SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg

@@ -197,3 +197,79 @@ def test_parquet_aggregate_pushdown_v2(spark, tmp_path):
         assert tuple(row) == tuple(exp)
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", old)
+
+
+def test_grouped_distribution_window_sorts_within_hash_partitions(spark):
+    """window_distribution_grouped is the scale-correct distribution-window
+    form: the Window's required ordering must be satisfied by per-partition
+    sorts AFTER a hashpartitioning exchange on the group key — never by a
+    SinglePartition exchange (the global form's funnel)."""
+    from duckdb_fastlanes_spark.operators.relational_ext2 import (
+        window_distribution_grouped,
+    )
+
+    df = window_distribution_grouped(spark, SF_DIR)
+    plan = explain_str(df, "formatted")
+    assert "Window" in plan
+    # the exchange feeding the Window hashes on the partition key ...
+    assert re.search(r"hashpartitioning\(s_nationkey", plan)
+    # ... and nothing in the pre-Window pipeline collapses to one partition
+    # (the final presentation ORDER BY is a range exchange, which is fine)
+    window_prefix = plan.split("Window")[0]
+    assert "SinglePartition" not in window_prefix
+
+
+def test_installed_stats_flip_join_strategy(spark):
+    """Reference A10/A11 realized end-to-end: install_stats feeds per-column
+    statistics into the catalog (the Spark twin of the reference merging
+    row-group column stats / explicit_cardinality into its planner,
+    fls_reader.cpp:244-292, fls_multi_file_info.cpp:152-164), and the CBO
+    plans from them — a filtered build side whose RAW file size exceeds the
+    broadcast threshold is correctly re-estimated below it and broadcast.
+    Three legs isolate the cause: no CBO → SMJ (file-size estimate); CBO
+    without ANALYZE → still SMJ (no stats to estimate with); CBO + stats →
+    BHJ."""
+    from duckdb_fastlanes_spark.catalog import install_stats
+
+    rows = install_stats(spark, SF_DIR, tables=("customer", "orders"))
+    assert rows == {"customer": 150, "orders": 1500}
+    # control: same files as catalog tables WITHOUT column statistics
+    spark.sql("CREATE DATABASE IF NOT EXISTS dfs_nostats")
+    for t in ("customer", "orders"):
+        spark.sql(f"DROP TABLE IF EXISTS dfs_nostats.{t}")
+        spark.sql(
+            f"CREATE TABLE dfs_nostats.{t} USING parquet"
+            f" LOCATION '{SF_DIR}/{t}.parquet'"
+        )
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+
+    def join_plan(cbo: bool, db: str) -> str:
+        spark.conf.set("spark.sql.cbo.enabled", str(cbo).lower())
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        o = spark.table(f"{db}.orders")
+        c = spark.table(f"{db}.customer").filter(F.col("c_custkey") < 10)
+        j = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_name")
+        return explain_str(j, "simple")
+
+    try:
+        no_cbo = join_plan(False, "dfs_stats")
+        cbo_no_stats = join_plan(True, "dfs_nostats")
+        cbo_stats = join_plan(True, "dfs_stats")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "SortMergeJoin" in no_cbo and "BroadcastHashJoin" not in no_cbo
+    assert "SortMergeJoin" in cbo_no_stats and "BroadcastHashJoin" not in cbo_no_stats
+    assert "BroadcastHashJoin" in cbo_stats and "SortMergeJoin" not in cbo_stats
