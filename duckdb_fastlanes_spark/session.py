@@ -77,6 +77,14 @@ def get_spark(
         # from hundreds of queries pile up in long sessions (observed as
         # GCLocker thrash sweeping all 212 queries at the ~sf1 cell)
         .config("spark.cleaner.periodicGC.interval", "2min")
+        # FAIR scheduling: concurrent jobs (a workload batch, the bench's
+        # concurrent mode, any multi-tenant notebook) share executor slots
+        # fairly instead of head-of-line blocking behind the first FIFO job.
+        # Callers isolate a job stream with
+        # sc.setLocalProperty("spark.scheduler.pool", name) — on-demand
+        # pools get weight 1 and fair-share against each other. Sequential
+        # workloads are unaffected (one job at a time schedules the same).
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

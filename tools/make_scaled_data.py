@@ -21,10 +21,15 @@ corpora grow their CONTENT space, not their bucket occupancy:
   bounded, so the label-bucketed pairwise dedup must see constant bucket
   sizes as the corpus grows).
 
-    python tools/make_scaled_data.py [src_dir] [out_dir] [n_copies]
+    python tools/make_scaled_data.py [src_dir] [out_dir] [n_copies] [tables]
 
-Defaults: /root/testdata/sf0.1 → /tmp/dfs_scaled/sf1 × 10. Idempotent
-(skips when the output exists with the expected row count).
+Defaults: /root/testdata/sf0.1 → /tmp/dfs_scaled/sf1 × 10, all tables.
+``tables`` is an optional comma-list restricting which tables are
+replicated ×N — the rest are copied verbatim (1 replica), which keeps the
+catalog complete while growing only the families under test (e.g.
+``documents,embeddings,events`` for a ~sf10 dedup/ANN/streaming cell
+without a 60 M-row lineitem nobody queries there). Idempotent (skips when
+the output exists with the expected row count).
 """
 
 from __future__ import annotations
@@ -66,6 +71,7 @@ def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dfs_scaled/sf1"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    scaled_tables = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set(TABLES)
     os.makedirs(out, exist_ok=True)
 
     con = duckdb.connect()
@@ -79,6 +85,7 @@ def main() -> int:
             offsets[fam] = max(offsets.get(fam, 0), int(mx) + 1)
 
     for t in TABLES:
+        n_t = n if t in scaled_tables else 1
         dst = os.path.join(out, f"{t}.parquet")
         n_src = con.execute(
             f"SELECT count(*) FROM read_parquet('{src}/{t}.parquet')"
@@ -87,7 +94,7 @@ def main() -> int:
             n_dst = con.execute(
                 f"SELECT count(*) FROM read_parquet('{dst}')"
             ).fetchone()[0]
-            if n_dst == n_src * n:
+            if n_dst == n_src * n_t:
                 print(f"{t}: up to date ({n_dst} rows)")
                 continue
         cols = [
@@ -98,7 +105,7 @@ def main() -> int:
         ]
         fams = KEY_FAMILIES.get(t, {})
         selects = []
-        for i in range(n):
+        for i in range(n_t):
             exprs = []
             for c in cols:
                 if c in fams:
@@ -112,7 +119,7 @@ def main() -> int:
             )
         union = "\nUNION ALL\n".join(selects)
         con.execute(f"COPY ({union}) TO '{dst}' (FORMAT parquet, COMPRESSION zstd)")
-        print(f"{t}: wrote {n_src * n} rows")
+        print(f"{t}: wrote {n_src * n_t} rows")
     print(f"done → {out}")
     return 0
 

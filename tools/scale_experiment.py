@@ -34,6 +34,10 @@ from duckdb_fastlanes_spark import get_spark, registry
 SF_SMALL = "/root/testdata/sf0.01"
 SF_BIG = "/root/testdata/sf0.1"
 SF_HUGE = os.environ.get("SPARK_GRAFT_SCALED_DIR", "/tmp/dfs_scaled/sf1")
+#: the 1000× cell: documents/embeddings/events replicated ×100 from sf0.1
+#: (make_scaled_data.py with a table subset — the other tables stay at
+#: sf0.1 size, so only the dedup/ANN/text/streaming families run here)
+SF_DOCS = os.environ.get("SPARK_GRAFT_SCALED10_DIR", "/tmp/dfs_scaled/sf10")
 
 #: one representative per cost shape (scan-bound, shuffle-bound, expand-bound,
 #: window-materialization, candidate-generation, regex-CPU, sequence-window)
@@ -43,19 +47,38 @@ QUERIES = [
     "count_distinct",  # Expand plan (3 count-distincts in one pass)
     "window_row_number",  # full-input window materialization
     "dedup_minhash_lsh",  # explode + band-join candidate generation
+    "dedup_ngram_jaccard",  # stop-shingle-capped pair join (linear by design)
+    "dedup_containment",  # same capped join, asymmetric score
+    "dedup_simhash",  # bit-math signature + bucket join
+    "sim_ivf_topk",  # bucketed ANN (centroid cell probe)
     "text_quality_score",  # regex-heavy CPU scan
     "events_max_concurrency",  # sweep-line window over every event
     "embedding_dim_stats",  # vector explode (64× row expansion)
     "graph_triangle_count",  # wedge join: the superlinear canary (Σ deg²)
 ]
 
+#: queries whose input tables are replicated in the 1000× cell
+#: (documents/embeddings/events only — see make_scaled_data.py tables arg);
+#: the TPC-H/graph families stay at sf0.1 size there and are skipped
+DOC_QUERIES = {
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_simhash",
+    "sim_ivf_topk",
+    "text_quality_score",
+    "events_max_concurrency",
+    "embedding_dim_stats",
+}
+
 N_TIMED = 2
 
 
-def duck_time(con, sql: str) -> float:
-    con.execute(sql).fetchall()  # warm
+def duck_time(con, sql: str, n_timed: int = N_TIMED, warm: bool = True) -> float:
+    if warm:
+        con.execute(sql).fetchall()
     best = float("inf")
-    for _ in range(N_TIMED):
+    for _ in range(n_timed):
         t0 = time.perf_counter()
         con.execute(sql).fetchall()
         best = min(best, time.perf_counter() - t0)
@@ -87,6 +110,8 @@ def main() -> None:
     cells = [("1×", SF_SMALL), ("10×", SF_BIG)]
     if os.path.isdir(SF_HUGE):
         cells.append(("100×", SF_HUGE))
+    if os.path.isdir(SF_DOCS):
+        cells.append(("1000×", SF_DOCS))
 
     results: dict[str, dict[str, tuple[float, float]]] = {}
     for label, sf_dir in cells:
@@ -94,9 +119,15 @@ def main() -> None:
         optimize_layout(spark, sf_dir)
         con = duck_con(sf_dir)
         results[label] = {}
-        for name in QUERIES:
-            s = bench_query(qs[name], spark, sf_dir, n_timed=N_TIMED)
-            d = duck_time(con, osql[name])
+        # the 1000× cell replicates only documents/embeddings/events, so
+        # only the families reading those tables run there; multi-second
+        # cells are timed once (noise is relative, and the DuckDB side of
+        # the dedup family runs minutes-long there)
+        names = [q for q in QUERIES if label != "1000×" or q in DOC_QUERIES]
+        n_t = 1 if label == "1000×" else N_TIMED
+        for name in names:
+            s = bench_query(qs[name], spark, sf_dir, n_timed=n_t)
+            d = duck_time(con, osql[name], n_timed=n_t, warm=(label != "1000×"))
             results[label][name] = (s, d)
         con.close()
 
@@ -117,7 +148,10 @@ def main() -> None:
         f"{N_TIMED} warm runs per cell; same protocol as bench.py). The 100× "
         "cell is the synthesized ~sf1 corpus from `tools/make_scaled_data.py` "
         "(10 disjoint key-shifted replicas of sf0.1 — run it first to include "
-        "the cell).",
+        "the cell). The 1000× cell replicates only documents/embeddings/"
+        "events ×100 (make_scaled_data.py table-subset mode: 500 k docs, "
+        "10 M events, 200 k embeddings), so only the dedup/ANN/text/event "
+        "families run there (single timed run; — elsewhere).",
         "",
         "A growth factor ≪10 per 10× of data means the query is still",
         "overhead-bound — its Spark-vs-DuckDB ratio shrinks with every",
@@ -128,23 +162,46 @@ def main() -> None:
         hdr,
         sep,
     ]
-    first, last = labels[0], labels[-1]
-    steps = len(labels) - 1  # each step is one decade
+    first = labels[0]
     for name in QUERIES:
         row = f"| {name} |"
+        have = [lab for lab in labels if name in results[lab]]
         for lab in labels:
-            s, d = results[lab][name]
-            row += f" {s:.3f} | {d:.3f} | {s / d:.1f} |"
-        sg = (results[last][name][0] / results[first][name][0]) ** (1 / steps)
-        dg = (results[last][name][1] / results[first][name][1]) ** (1 / steps)
+            if name in results[lab]:
+                s, d = results[lab][name]
+                row += f" {s:.3f} | {d:.3f} | {s / d:.1f} |"
+            else:
+                row += " — | — | — |"
+        last_q = have[-1]
+        steps_q = labels.index(last_q) - labels.index(first)
+        sg = (results[last_q][name][0] / results[first][name][0]) ** (1 / steps_q)
+        dg = (results[last_q][name][1] / results[first][name][1]) ** (1 / steps_q)
         row += f" ×{sg:.1f} | ×{dg:.1f} |"
         lines.append(row)
 
+    # totals over the cells where EVERY query ran (growth comparisons need a
+    # constant query basket; the 1000× cell covers only the doc families)
+    full_labels = [
+        lab for lab in labels if all(n in results[lab] for n in QUERIES)
+    ]
+    last = full_labels[-1]
+    steps = len(full_labels) - 1
     tot = {lab: (sum(results[lab][n][0] for n in QUERIES),
-                 sum(results[lab][n][1] for n in QUERIES)) for lab in labels}
+                 sum(results[lab][n][1] for n in QUERIES)) for lab in full_labels}
     s_g = (tot[last][0] / tot[first][0]) ** (1 / steps)
     d_g = (tot[last][1] / tot[first][1]) ** (1 / steps)
-    ratios = " → ".join(f"{tot[lab][0] / tot[lab][1]:.1f}" for lab in labels)
+    ratios = " → ".join(f"{tot[lab][0] / tot[lab][1]:.1f}" for lab in full_labels)
+    if "1000×" in labels:
+        doc_tot = {
+            lab: (
+                sum(results[lab][n][0] for n in sorted(DOC_QUERIES)),
+                sum(results[lab][n][1] for n in sorted(DOC_QUERIES)),
+            )
+            for lab in labels
+        }
+        ratios += "; doc-family basket (incl 1000×): " + " → ".join(
+            f"{doc_tot[lab][0] / doc_tot[lab][1]:.2f}" for lab in labels
+        )
     lines += [
         "",
         f"**Totals:** per 10× of data Spark's wall grows ×{s_g:.1f}, DuckDB's "
