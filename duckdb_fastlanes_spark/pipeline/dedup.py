@@ -302,8 +302,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates — one keeping collect_set, one the min-hashes — and the
     # whole regex/shingle pipeline runs twice. Persisting materializes it
     # once; MEMORY_AND_DISK so an executor that can't hold its slice spills
-    # instead of recomputing (the 100 TB-safe level).
-    per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+    # instead of recomputing (the 100 TB-safe level). Routed through
+    # managed_persist so the bench can unpersist between timed runs —
+    # repeated timed executions must rebuild this, not reuse it.
+    from duckdb_fastlanes_spark.bench_support import managed_persist
+
+    per_doc = managed_persist(per_doc, StorageLevel.MEMORY_AND_DISK)
     n_bands = N_MINHASH // BAND_WIDTH
     # Band ONLY (doc_id, band_id, band_key): the self-join shuffles narrow
     # 3-column rows instead of dragging each doc's shingle array through the
