@@ -155,3 +155,98 @@ def roundtrip_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "fls_native_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc,
+           min(md5(text)) AS text_fp
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def fls_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal FastLanes-model format roundtrip (io/fls_native.py): encode
+    documents with the fls_kernels codecs (FFOR/dict/ALP/RLE/constant —
+    src/include/reader/materializer/kernels/*.hpp), write one .fls file per
+    partition (mapInArrow, no shuffle), read back distributed, and aggregate
+    EVERY column — min(md5(text)) fingerprints full string fidelity per
+    group, so the oracle hash pins byte-exact decode, not just cardinality.
+
+    Scale: write is partition-local encode, read is per-file parallel decode
+    with projection pushdown — the Parquet execution shape with our own
+    codecs."""
+    from duckdb_fastlanes_spark.io.fls_native import (
+        read_fls_native,
+        write_fls_native,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.gettempdir(), "dfs_flsnative_documents")
+    write_fls_native(d, out, row_group_size=16 * 1024)
+    rt = read_fls_native(spark, out)
+    return (
+        rt.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.min(F.md5(F.col("text").cast("binary"))).alias("text_fp"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "fls_native_prune_scan",
+    oracle="""
+    SELECT count(*) AS n,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           min(l_orderkey) AS min_key,
+           max(l_orderkey) AS max_key
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 100 AND 2000
+    """,
+)
+def fls_native_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map row-group pruning on the native format
+    (row_group_filter.cpp:75-199): lineitem is written ORDERED by l_orderkey
+    in small row groups (tight per-group min/max), then read with a range
+    predicate — the reader prunes non-overlapping row groups from the
+    footer stats before decoding a single vector, and projection pushdown
+    decodes only the two referenced columns. The Spark-side filter then
+    applies exactly (pruning is conservative, never wrong), and the oracle
+    verifies the numbers."""
+    from duckdb_fastlanes_spark.io.fls_native import (
+        read_fls_native,
+        write_fls_native,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    out = os.path.join(tempfile.gettempdir(), "dfs_flsnative_lineitem")
+    # repartitionByRange + local sort → each row group covers a tight,
+    # non-overlapping key range: the layout that makes zone maps effective
+    # (same reason the reference sorts before writing its bench files)
+    write_fls_native(
+        li.repartitionByRange(4, "l_orderkey").sortWithinPartitions("l_orderkey"),
+        out,
+        row_group_size=8 * 1024,
+    )
+    rt = read_fls_native(
+        spark,
+        out,
+        columns=["l_orderkey", "l_quantity"],
+        predicate=[("l_orderkey", ">=", 100), ("l_orderkey", "<=", 2000)],
+    )
+    return rt.filter(F.col("l_orderkey").between(100, 2000)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )

@@ -1,0 +1,250 @@
+"""fls_native: literal FastLanes-model format — kernels, container, Spark path.
+
+Mirrors the reference's roundtrip test strategy
+(test/all_types_single_threaded.test: write → read → zero IS DISTINCT FROM
+mismatches) plus property tests on each codec kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_fastlanes_spark.io import fls_kernels as K
+from duckdb_fastlanes_spark.io.fls_native import (
+    read_file,
+    read_fls_native,
+    read_footer,
+    write_fls_native,
+    write_table,
+)
+from tests.conftest import SF_DIR
+
+
+# ------------------------------------------------------------------- kernels
+@given(
+    st.integers(min_value=0, max_value=64),
+    st.integers(min_value=0, max_value=2**32),
+)
+@settings(max_examples=30, deadline=None)
+def test_pack_bits_roundtrip(width, seed):
+    rng = np.random.default_rng(seed)
+    hi = 2**width if width < 64 else 2**63
+    v = (
+        rng.integers(0, hi, size=1024, dtype=np.uint64)
+        if width
+        else np.zeros(1024, dtype=np.uint64)
+    )
+    assert (K.unpack_bits(K.pack_bits(v, width), width, 1024) == v).all()
+
+
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=1024))
+@settings(max_examples=50, deadline=None)
+def test_ffor_roundtrip(vals):
+    a = np.array(vals, dtype=np.int64)
+    base, w, payload = K.ffor_encode(a)
+    assert (K.ffor_decode(base, w, payload, len(a)) == a).all()
+
+
+def test_ffor_full_int64_range():
+    a = np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max, 0, -1], dtype=np.int64)
+    base, w, payload = K.ffor_encode(a)
+    assert (K.ffor_decode(base, w, payload, 4) == a).all()
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.decimals(
+                min_value=-1e6, max_value=1e6, places=3, allow_nan=False, allow_infinity=False
+            ).map(float),
+            st.just(float("nan")),
+            st.just(float("inf")),
+            st.floats(allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=1024,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_alp_roundtrip_with_exceptions(vals):
+    v = np.array(vals, dtype=np.float64)
+    e, f = K.alp_choose(v)
+    ints, ep, ev = K.alp_encode(v, e, f)
+    out = K.alp_decode(ints, e, f, ep, ev)
+    assert np.array_equal(out, v, equal_nan=True)
+
+
+def test_rle_index_mapped_contract():
+    # decode contract of rle_map_kernel.hpp: arr[i] == run_values[idxs[i]]
+    a = np.repeat(np.array([7, -3, 7, 9], dtype=np.int64), [5, 1, 3, 7])
+    runs, idxs = K.rle_encode(a)
+    assert (runs == np.array([7, -3, 7, 9])).all()
+    assert (K.rle_decode(runs, idxs) == a).all()
+
+
+def test_dict_offsets_layout():
+    keys = [b"", b"a", b"hello", b"\xf0\x9f\x8c\x8d"]
+    ends, blob = K.dict_offsets_bytes(keys)
+    assert K.strings_from_offsets(ends, blob) == keys
+
+
+# ----------------------------------------------------------------- container
+def _all_types_table(n=3000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "i8": pa.array(
+                [None if i % 7 == 0 else (i % 100) - 50 for i in range(n)], pa.int8()
+            ),
+            "i64": pa.array(rng.integers(-(2**40), 2**40, n), pa.int64()),
+            "runs": pa.array(np.repeat(np.arange(n // 1000 + 1), 1000)[:n], pa.int64()),
+            "const": pa.array([42] * n, pa.int32()),
+            "f": pa.array(
+                [None if i % 11 == 0 else round(float(i) * 0.01, 2) for i in range(n)],
+                pa.float64(),
+            ),
+            "f32": pa.array(rng.normal(0, 1, n).astype(np.float32), pa.float32()),
+            "s": pa.array(
+                [None if i % 13 == 0 else f"cat{i % 5}" for i in range(n)], pa.string()
+            ),
+            "b": pa.array([bool(i % 2) for i in range(n)], pa.bool_()),
+            "d": pa.array([18000 + i % 50 for i in range(n)], pa.date32()),
+            "ts": pa.array(np.arange(n) * 1_000_000, pa.timestamp("us")),
+        }
+    )
+
+
+def test_container_roundtrip_all_types(tmp_path):
+    t = _all_types_table()
+    path = str(tmp_path / "all.fls")
+    footer = write_table(t, path, row_group_size=1024)
+    assert footer["n_rows"] == t.num_rows
+    t2 = pa.Table.from_batches(list(read_file(path)))
+    for name in t.schema.names:
+        assert t.column(name).combine_chunks().equals(
+            t2.column(name).combine_chunks()
+        ), name
+
+
+def test_encoder_selection(tmp_path):
+    t = _all_types_table()
+    footer = write_table(t, str(tmp_path / "e.fls"), row_group_size=1024)
+    encs = {}
+    for rg in footer["row_groups"]:
+        for cname, meta in zip(t.schema.names, rg["columns"]):
+            for k, v in meta["encodings"].items():
+                encs.setdefault(cname, set()).add(k)
+    assert encs["const"] == {"constant"}
+    assert "dict" in encs["s"]  # 5 distinct categories → dictionary
+    assert "alp" in encs["f"]  # 2-decimal values → ALP exact
+    assert "uncompressed" in encs["f32"]  # irrational normals → ALP rejected
+    assert "ffor" in encs["i64"]
+
+
+def test_rle_chosen_for_long_runs(tmp_path):
+    t = pa.table({"r": pa.array(np.repeat(np.int64(5), 4096))})
+    # constant wins all-equal vectors; make two runs per vector instead
+    t = pa.table(
+        {"r": pa.array(np.tile(np.repeat(np.array([3, 9], dtype=np.int64), 512), 4))}
+    )
+    footer = write_table(t, str(tmp_path / "r.fls"), row_group_size=1024)
+    encs = set()
+    for rg in footer["row_groups"]:
+        encs |= set(rg["columns"][0]["encodings"])
+    assert "rle" in encs
+
+
+def test_rowgroup_pruning_skips(tmp_path):
+    n = 8192
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)), "v": pa.array(np.ones(n))})
+    path = str(tmp_path / "p.fls")
+    write_table(t, path, row_group_size=1024)
+    footer = read_footer(path)
+    assert len(footer["row_groups"]) == 8
+    batches = list(read_file(path, predicate=[("k", ">=", 6000)]))
+    # row groups [0..5] (max key 6143 in rg5) — rgs 0-4 proven empty, pruned
+    assert len(batches) == 3
+    got = pa.Table.from_batches(batches)
+    assert got.num_rows == 3 * 1024
+    # conservative: surviving rows still need the exact filter
+    k = np.asarray(got.column("k"))
+    assert k.min() == 5120 and k.max() == 8191
+
+
+def test_projection_decodes_only_requested(tmp_path):
+    t = _all_types_table(1000)
+    path = str(tmp_path / "proj.fls")
+    write_table(t, path)
+    got = pa.Table.from_batches(list(read_file(path, columns=["i64", "s"])))
+    assert got.schema.names == ["i64", "s"]
+    assert got.column("i64").to_pylist() == t.column("i64").to_pylist()
+
+
+def test_empty_table(tmp_path):
+    t = _all_types_table(0)
+    path = str(tmp_path / "empty.fls")
+    write_table(t, path)
+    batches = list(read_file(path))
+    assert sum(b.num_rows for b in batches) == 0
+
+
+# ---------------------------------------------------------------- spark path
+@pytest.mark.parametrize("parts", [1, 5])
+def test_spark_roundtrip_documents(spark, tmp_path, parts):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(parts)
+    out = str(tmp_path / f"docs{parts}")
+    write_fls_native(d, out, row_group_size=2048)
+    rt = read_fls_native(spark, out)
+    assert rt.exceptAll(d).count() == 0
+    assert d.exceptAll(rt).count() == 0
+
+
+def test_spark_partition_invariance(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    outs = []
+    for parts in (2, 7):
+        out = str(tmp_path / f"li{parts}")
+        write_fls_native(li.repartition(parts), out)
+        rows = read_fls_native(spark, out).collect()
+        # (l_orderkey, l_linenumber) is not unique in the synthetic corpus —
+        # sort by the full tuple for a deterministic comparison
+        outs.append(sorted(rows, key=lambda r: tuple(str(v) for v in r)))
+    assert outs[0] == outs[1]
+
+
+def test_spark_empty_partitions(spark, tmp_path):
+    sm = spark.read.parquet(f"{SF_DIR}/nation.parquet").repartition(50)
+    out = str(tmp_path / "nation")
+    write_fls_native(sm, out)
+    rt = read_fls_native(spark, out)
+    assert rt.count() == sm.count()
+    assert rt.exceptAll(sm).count() == 0
+
+
+def test_spark_projection_and_predicate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = str(tmp_path / "li_sorted")
+    write_fls_native(
+        li.repartitionByRange(2, "l_orderkey").sortWithinPartitions("l_orderkey"),
+        out,
+        row_group_size=1024,
+    )
+    rt = read_fls_native(
+        spark, out, columns=["l_orderkey", "l_extendedprice"],
+        predicate=[("l_orderkey", "<", 500)],
+    )
+    assert rt.columns == ["l_orderkey", "l_extendedprice"]
+    got = rt.filter(F.col("l_orderkey") < 500).agg(
+        F.sum("l_extendedprice").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    exp = li.filter(F.col("l_orderkey") < 500).agg(
+        F.sum("l_extendedprice").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert got["n"] == exp["n"]
+    assert got["s"] == pytest.approx(exp["s"], rel=1e-12)

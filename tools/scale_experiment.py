@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-from bench import bench_query
+from bench import bench_query_constructed
 from duckdb_fastlanes_spark import get_spark, registry
 
 SF_SMALL = "/root/testdata/sf0.01"
@@ -126,7 +126,10 @@ def main() -> None:
         names = [q for q in QUERIES if label != "1000×" or q in DOC_QUERIES]
         n_t = 1 if label == "1000×" else N_TIMED
         for name in names:
-            s = bench_query(qs[name], spark, sf_dir, n_timed=n_t)
+            # constructed discipline: plan built AND executed per timed run,
+            # tracked persists drained between runs (bench.py docstring) —
+            # the same symmetric protocol as the headline bench
+            s = bench_query_constructed(qs[name], spark, sf_dir, n_timed=n_t)
             d = duck_time(con, osql[name], n_timed=n_t, warm=(label != "1000×"))
             results[label][name] = (s, d)
         con.close()
