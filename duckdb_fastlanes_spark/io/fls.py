@@ -51,20 +51,22 @@ def read_fls(
       offset within each physical file (reference fls_reader.cpp:474-495).
     - ``union_by_name``: align differing file schemas by column name
       (reference fls_multi_file_info.cpp:75-81) via parquet ``mergeSchema``.
-    - ``explicit_cardinality``: planner hint in the reference
-      (fls_multi_file_info.cpp:57-68); Spark plans from file statistics, so
-      at the path level this is accepted-and-ignored — the catalog-level
-      realization is ``catalog.install_stats`` (ANALYZE-installed row counts
-      + column stats that the CBO plans from; see
-      tests/test_plans.py::test_installed_stats_flip_join_strategy).
+    - ``explicit_cardinality``: the reference's per-read planner hint
+      (fls_multi_file_info.cpp:152-164 overrides the scan's estimated
+      cardinality for join planning). Realized by translating the hinted
+      row count into a size estimate (× actual bytes-per-row from the
+      parquet footers) and attaching Spark's broadcast hint when it falls
+      under the broadcast threshold — the hint then flips join strategy
+      exactly as in the reference (tests/test_plans.py::
+      test_explicit_cardinality_flips_join_strategy). Single-path reads
+      only; multi-path reads fall back to file statistics (the catalog-wide
+      ANALYZE/CBO mechanism is ``catalog.install_stats``).
     - ``promote_types``: apply the reference's cross-source type-promotion
       rules (schema_builder.cpp:132-172) when unioning heterogeneous files.
     """
     if isinstance(paths, str):
         paths = [paths]
     paths = list(paths)
-    _ = explicit_cardinality  # planner hint: Spark derives cardinality from file stats
-
     reader = spark.read
     if union_by_name:
         reader = reader.option("mergeSchema", "true")
@@ -72,11 +74,56 @@ def read_fls(
     if promote_types and len(paths) > 1:
         frames = [spark.read.parquet(p) for p in paths]
         df = promote_and_align(frames)
+    elif explicit_cardinality is not None and len(paths) == 1:
+        df = _scan_with_cardinality_hint(spark, paths[0], int(explicit_cardinality))
     else:
         df = reader.parquet(*paths)
 
     if file_row_number:
         df = df.select("*", F.col("_metadata.row_index").alias("file_row_number"))
+    return df
+
+
+def _scan_with_cardinality_hint(
+    spark: SparkSession, path: str, n_rows: int
+) -> DataFrame:
+    """Realize the reference's per-read ``explicit_cardinality`` hint
+    (fls_multi_file_info.cpp:152-164: the option value replaces the scan's
+    own cardinality estimate when the planner sizes joins).
+
+    Spark has no public API to override a scan's statistics per-read (the
+    catalog-statistics route is ANALYZE-only on the in-memory catalog), but
+    the hint's planner-visible EFFECT — "this scan is small enough to be a
+    broadcast build side even though its files are big" — has a first-class
+    public twin: the broadcast join hint. So the option is translated into
+    a size estimate (hinted rows × actual bytes-per-row from the parquet
+    footers, read driver-side metadata-only — the same footer walk the
+    reference does before applying its override) and, when that estimate
+    falls under ``spark.sql.autoBroadcastJoinThreshold``, the returned
+    DataFrame carries ``hint("broadcast")``. Hinted-large scans return
+    unhinted (the planner's file-size estimate already keeps them on the
+    shuffle path). Results are never affected — only join strategy, exactly
+    the reference semantics. The catalog-wide (ANALYZE-backed, CBO) stats
+    mechanism is ``catalog.install_stats``."""
+    import os
+
+    import pyarrow.dataset as _ds
+
+    dataset = _ds.dataset(path, format="parquet")
+    files = list(dataset.files)
+    actual_rows = sum(f.metadata.num_rows for f in dataset.get_fragments())
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    avg = (total_bytes / actual_rows) if actual_rows else 64.0
+    hinted_bytes = max(1, int(n_rows * avg))
+
+    df = spark.read.parquet(path)
+    try:
+        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        threshold = int(raw.lower().rstrip("b"))
+    except Exception:
+        threshold = 10 * 1024 * 1024
+    if 0 < hinted_bytes <= threshold:
+        df = df.hint("broadcast")
     return df
 
 

@@ -273,3 +273,41 @@ def test_installed_stats_flip_join_strategy(spark):
     assert "SortMergeJoin" in no_cbo and "BroadcastHashJoin" not in no_cbo
     assert "SortMergeJoin" in cbo_no_stats and "BroadcastHashJoin" not in cbo_no_stats
     assert "BroadcastHashJoin" in cbo_stats and "SortMergeJoin" not in cbo_stats
+
+
+def test_explicit_cardinality_flips_join_strategy(spark):
+    """The reference's per-read explicit_cardinality hint
+    (fls_multi_file_info.cpp:152-164) realized end-to-end: a read_fls scan
+    carrying the hint plans joins from the HINTED cardinality, not the
+    file's size. Same file, same join, same thresholds — without the hint
+    the build side's file size exceeds the broadcast threshold (SMJ); with
+    explicit_cardinality=5 the rescaled statistics fall below it (BHJ)."""
+    from duckdb_fastlanes_spark.io.fls import read_fls
+
+    path = f"{SF_DIR}/customer.parquet"
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        plain = read_fls(spark, path)
+        hinted = read_fls(spark, path, explicit_cardinality=5)
+
+        def plan(c):
+            j = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_name")
+            return explain_str(j, "simple")
+
+        p_plain, p_hinted = plan(plain), plan(hinted)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "SortMergeJoin" in p_plain and "BroadcastHashJoin" not in p_plain
+    assert "BroadcastHashJoin" in p_hinted and "SortMergeJoin" not in p_hinted
+    # the hint changes PLANNING only, never results
+    assert hinted.count() == plain.count()
