@@ -168,10 +168,13 @@ def _register_query() -> None:
     def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
         workdir = tempfile.mkdtemp(prefix="dfs_stateful_")
-        staged = f"{workdir}/staged"
-        ev.write.mode("overwrite").parquet(staged)
+        from duckdb_fastlanes_spark.streaming.events import (
+            drain_to_parquet,
+            staged_input,
+        )
+
+        staged = staged_input(ev, sf_dir, "stateful_sessions")
         stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
-        from duckdb_fastlanes_spark.streaming.events import drain_to_parquet
 
         out = drain_to_parquet(stream_sessionize(stream), workdir, "sessions_out")
         out = out.orderBy("user_id", "session_seq").localCheckpoint(eager=True)
