@@ -52,6 +52,13 @@ REPRESENTATIVE = [
     "window_frame_exclude",  # EXCLUDE emulation: frame membership rides a
     # total (month, id) order, never the scan order
     "window_filtered_agg",  # CASE-guarded running sums on a total order
+    "dedup_ngram_jaccard",  # r3 df-cap: the kept-shingle set (df <= CAP)
+    # hashes content, so survivor pairs must not move with file layout
+    "dedup_containment",  # same capped join, asymmetric score
+    "window_distribution_grouped",  # r3 grouped percent_rank/cume_dist:
+    # peer groups ride (customer, value, id) total order, not scan order
+    "fls_native_prune_scan",  # r4 native format: zone-map pruning +
+    # partition-local encode must give one answer for any writer layout
 ]
 
 
