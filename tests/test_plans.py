@@ -311,3 +311,28 @@ def test_explicit_cardinality_flips_join_strategy(spark):
     assert "BroadcastHashJoin" in p_hinted and "SortMergeJoin" not in p_hinted
     # the hint changes PLANNING only, never results
     assert hinted.count() == plain.count()
+
+
+def test_wedge_sampling_before_shuffle(spark):
+    """The r3 degree-capped wedge path must SAMPLE before it SHUFFLES: the
+    md5 hash-uniform keep predicate (q = CAP/deg) has to sit below the
+    hashpartitioning(dst) exchanges that feed the wedge self-join, so only
+    kept edges — ~min(deg, CAP) per neighbor — ever cross the network. If
+    the filter migrated above the exchange (or into the post-join stage),
+    a deg-10^5 hub would shuffle 5x10^9 raw wedges at scale."""
+    from duckdb_fastlanes_spark.registry import queries
+
+    df = queries()["graph_link_prediction"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # the wedge join is keyed on dst with the s1<s2 dedup condition
+    assert re.search(r"SortMergeJoin \[dst#\d+L\], \[dst#\d+L\], Inner, \(src", plan)
+    # every dst-keyed exchange has the sampling predicate BELOW it (child
+    # side): the md5 keep-test runs before rows reach the shuffle writer
+    sampler = "conv(substring(md5("
+    idxs = [m.start() for m in re.finditer(r"Exchange hashpartitioning\(dst#", plan)]
+    assert len(idxs) >= 2  # both self-join legs shuffle the SAMPLED edges
+    for i in idxs:
+        assert sampler in plan[i:], "sampling filter must sit below the wedge exchange"
+    # degree lookup rides a broadcast, never a shuffle of the edge stream
+    assert "BroadcastExchange" in plan
