@@ -346,12 +346,26 @@ def _read_vec_header(buf: memoryview, p: int) -> tuple[int, int, np.ndarray | No
     return enc, n, mask, p
 
 
+def _str_array_from_offsets(ends: np.ndarray, blob: bytes) -> pa.Array:
+    """Zero-copy Arrow utf8 array from (end-offset uint32 array, byte blob)
+    — the dictionary_kernel.hpp offsets walk done buffer-wise: Arrow's
+    variable-length layout IS (offsets with leading 0, data), so the stored
+    segment maps onto it without per-string Python work."""
+    n = len(ends)
+    offsets = np.empty(n + 1, dtype=np.int32)
+    offsets[0] = 0
+    offsets[1:] = ends
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)
+    )
+
+
 def _decode_chunk(buf: memoryview, ltype: str, n_rows: int) -> pa.Array:
     """Decode one column chunk back to an Arrow array of the logical type."""
     p = 0
     (has_dict,) = struct.unpack_from("<B", buf, p)
     p += 1
-    dict_keys: list[bytes] | None = None
+    dict_arr: pa.Array | None = None
     if has_dict:
         (n_keys,) = struct.unpack_from("<I", buf, p)
         p += 4
@@ -359,38 +373,51 @@ def _decode_chunk(buf: memoryview, ltype: str, n_rows: int) -> pa.Array:
         p += 4 * n_keys
         (blob_len,) = struct.unpack_from("<Q", buf, p)
         p += 8
-        dict_keys = K.strings_from_offsets(ends, bytes(buf[p : p + blob_len]))
+        dict_arr = _str_array_from_offsets(ends, bytes(buf[p : p + blob_len]))
         p += blob_len
 
     int_backed = ltype != "str" and _TYPES[ltype][1]
     out_int: list[np.ndarray] = []
-    out_str: list[list] = []
+    out_str: list[pa.Array] = []
     masks: list[np.ndarray | None] = []
+    lens: list[int] = []
     got = 0
     while got < n_rows:
         enc, n, mask, p = _read_vec_header(buf, p)
         masks.append(mask)
+        lens.append(n)
         if ltype == "str":
+            # every branch yields a vectorized Arrow array — dictionary
+            # gathers and offset walks run in Arrow C++, not Python loops
             if enc == ENC_CONSTANT:
                 (klen,) = struct.unpack_from("<I", buf, p)
                 p += 4
                 k = bytes(buf[p : p + klen])
                 p += klen
-                out_str.append([k] * n)
+                const_dict = pa.array([k.decode("utf-8")], pa.string())
+                out_str.append(
+                    pa.DictionaryArray.from_arrays(
+                        pa.array(np.zeros(n, dtype=np.int32)), const_dict
+                    ).cast(pa.string())
+                )
             elif enc == ENC_DICT:
                 (w,) = struct.unpack_from("<B", buf, p)
                 p += 1
                 nb = ((n * w + 63) // 64) * 8 if w else 0
                 codes = K.unpack_bits(bytes(buf[p : p + nb]), w, n)
                 p += nb
-                out_str.append([dict_keys[int(c)] for c in codes])
+                out_str.append(
+                    pa.DictionaryArray.from_arrays(
+                        pa.array(codes.astype(np.int32)), dict_arr
+                    ).cast(pa.string())
+                )
             else:  # ENC_UNCOMP
                 ends = np.frombuffer(buf, dtype=np.uint32, count=n, offset=p)
                 p += 4 * n
                 (blob_len,) = struct.unpack_from("<Q", buf, p)
                 p += 8
                 out_str.append(
-                    K.strings_from_offsets(ends, bytes(buf[p : p + blob_len]))
+                    _str_array_from_offsets(ends, bytes(buf[p : p + blob_len]))
                 )
                 p += blob_len
         elif int_backed:
@@ -442,21 +469,22 @@ def _decode_chunk(buf: memoryview, ltype: str, n_rows: int) -> pa.Array:
     if any(m is not None for m in masks):
         parts = [
             m if m is not None else np.ones(ln, dtype=bool)
-            for m, ln in zip(
-                masks,
-                [len(x) for x in (out_str if ltype == "str" else out_int)],
-            )
+            for m, ln in zip(masks, lens)
         ]
         valid = np.concatenate(parts)
 
     atype = _TYPES[ltype][0]
     if ltype == "str":
-        flat = [s for vec in out_str for s in vec]
-        py = [
-            None if (valid is not None and not valid[i]) else flat[i].decode("utf-8")
-            for i in range(len(flat))
-        ]
-        return pa.array(py, type=pa.string())
+        if not out_str:
+            return pa.array([], pa.string())
+        flat = pa.concat_arrays(out_str) if len(out_str) != 1 else out_str[0]
+        if valid is not None:
+            import pyarrow.compute as pc
+
+            flat = pc.if_else(
+                pa.array(valid), flat, pa.scalar(None, pa.string())
+            )
+        return flat
     vals = np.concatenate(out_int) if out_int else np.zeros(0)
     if ltype in ("float32", "float64"):
         arr = pa.array(vals, type=pa.float64(), mask=None if valid is None else ~valid)
