@@ -104,7 +104,27 @@ def _shingle_sets(d: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_rows_capped(d: DataFrame) -> DataFrame:
+def _pin_merge(df: DataFrame, sf_dir: str) -> DataFrame:
+    """Sort-merge hint for corpus-sized join sides, applied above the
+    small-input threshold only.
+
+    Above ``SMALL_INPUT_BYTES`` decoded the session runs the default path
+    (AQE on) and AQE's compressed-shuffle estimate flips corpus-sized
+    self-joins to broadcasts — measured at the 100× cell the broadcast
+    turned the ngram family 6 s → 15-25 s and 3× worse at 1000×, and at
+    100 TB broadcasting a shingle/band/embedding stream is impossible
+    outright. Below the threshold AQE is off, the static planner sizes
+    these joins from raw file bytes (correctly small), and the broadcast
+    IS the fast plan — so the pin activates exactly with AQE, on the same
+    gauge (`session.tune_for_input`)."""
+    from duckdb_fastlanes_spark.session import SMALL_INPUT_BYTES, _uncompressed_bytes
+
+    if _uncompressed_bytes(sf_dir) >= SMALL_INPUT_BYTES:
+        return df.hint("merge")
+    return df
+
+
+def _shingle_rows_capped(d: DataFrame, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) with stop-shingles removed: df computed over the
     distinct exploded rows, shingles with df > SHINGLE_DF_CAP dropped. The
     df aggregation and the kept-shingle semi-join both hash-partition on
@@ -119,7 +139,11 @@ def _shingle_rows_capped(d: DataFrame) -> DataFrame:
         .filter(F.col("df") <= SHINGLE_DF_CAP)
         .select("shingle")
     )
-    return rows.join(kept, "shingle").select("doc_id", "shingle")
+    # the kept-vocabulary table is DISTINCT-SHINGLE-sized and grows with
+    # the corpus — pinned to SMJ above the small-input threshold (see
+    # _pin_merge); both sides hash-partition on shingle, which is also the
+    # downstream pair-join key, so the exchanges chain.
+    return rows.join(_pin_merge(kept, sf_dir), "shingle").select("doc_id", "shingle")
 
 
 #: DuckDB equivalents of the helpers above (1-based lists, same regexes)
@@ -198,9 +222,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on shingle to count intersections (cost ≤ CAP × Σdf, linear),
     then |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold over the kept sets."""
     d = table(spark, sf_dir, "documents")
-    exploded = _shingle_rows_capped(d)
+    exploded = _shingle_rows_capped(d, sf_dir)
     a = exploded.alias("a")
-    b = exploded.alias("b")
+    # both sides of the pair self-join are the full exploded shingle
+    # stream — corpus-sized, pinned to SMJ above the threshold (_pin_merge)
+    b = _pin_merge(exploded.alias("b"), sf_dir)
     pair_inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -317,7 +343,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = per_doc.selectExpr(
         "doc_id", f"posexplode(array({bands_sql})) AS (band_id, band_key)"
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
+    # both sides of the band self-join are the full signature stream
+    # (docs × n_bands rows) — corpus-sized; without the pin AQE flips it to
+    # a broadcast at mid scale (+36% at the 1000× cell). Gated like the
+    # others (_pin_merge).
+    a, b = sigs.alias("a"), _pin_merge(sigs.alias("b"), sf_dir)
     candidates = (
         a.join(
             b,
@@ -457,7 +487,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     ).withColumn("nrm", norm(F.col("e")))
-    a, b = emb.alias("a"), emb.alias("b")
+    # the label-blocked pairwise join self-joins the full embedding
+    # store — corpus-sized both sides, pinned above the threshold
+    a, b = emb.alias("a"), _pin_merge(emb.alias("b"), sf_dir)
 
     cos = dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
@@ -638,8 +670,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal. Same stop-shingle-capped bucket join as the Jaccard path
     (df ≤ SHINGLE_DF_CAP ⇒ pair work ≤ CAP × Σdf, linear in corpus size)."""
     d = table(spark, sf_dir, "documents")
-    exploded = _shingle_rows_capped(d)
-    a, b = exploded.alias("a"), exploded.alias("b")
+    exploded = _shingle_rows_capped(d, sf_dir)
+    # pinned self-join: see dedup_ngram_jaccard
+    a, b = exploded.alias("a"), _pin_merge(exploded.alias("b"), sf_dir)
     pair_inter = (
         a.join(
             b,
