@@ -215,6 +215,15 @@ def main() -> None:
         "machine DuckDB cannot scale out at all, while every plan here",
         "partitions (plan audit: PLANS_r4.md, no cartesians, broadcasts on",
         "dim sides, key-local aggregation before every shuffle).",
+        "",
+        "Measurement noise: the 1000× cells are single timed runs on a",
+        "shared VM whose available CPU swings minute-to-minute — across",
+        "three identical back-to-back experiment runs the SAME query/config",
+        "moved up to 2× on BOTH engines (e.g. DuckDB's ngram 1000× cell:",
+        "108 → 76 → 51 s). Read the growth columns (min-of-2 cells,",
+        "geometric mean per decade), not a single 1000× ratio, as the",
+        "scale signal; every growth factor stays below ×10 per 10× —",
+        "sub-quadratic across three decades, which is the claim under test.",
     ]
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
