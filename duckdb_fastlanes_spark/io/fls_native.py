@@ -579,7 +579,11 @@ def write_fls_native(
             )
             return
         tbl = pa.Table.from_batches(rows)
-        out = os.path.join(path, f"part-{pid:05d}.fls")
+        # unique suffix so mode="append" generations never collide on
+        # partition id (overwrite mode clears the directory anyway)
+        import uuid
+
+        out = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.fls")
         write_table(tbl, out, row_group_size=row_group_size)
         yield pa.RecordBatch.from_arrays(
             [pa.array([out]), pa.array([tbl.num_rows], pa.int64())], schema=summary
@@ -588,29 +592,77 @@ def write_fls_native(
     df.mapInArrow(encode_partition, "file string, rows long").collect()
 
 
+#: logical-type promotion lattice — the reference's SchemaBuilder::PromoteType
+#: (src/reader/schema_builder.cpp:132-243) over fls_native's logical types:
+#: int widening by rank, float widening, int⊔float→float64, ⊔str→str,
+#: date32⊔timestamp_us→timestamp_us, bool⊔int→int
+_INT_ORDER = ["bool", "int8", "int16", "int32", "int64"]
+
+
+def promote_ltype(a: str, b: str) -> str:
+    if a == b:
+        return a
+    if "str" in (a, b):
+        return "str"
+    if a in _INT_ORDER and b in _INT_ORDER:
+        return a if _INT_ORDER.index(a) >= _INT_ORDER.index(b) else b
+    floats = {"float32", "float64"}
+    if a in floats and b in floats:
+        return "float64"
+    if (a in _INT_ORDER and b in floats) or (a in floats and b in _INT_ORDER):
+        return "float64"
+    if {a, b} == {"date32", "timestamp_us"}:
+        return "timestamp_us"
+    raise TypeError(f"fls_native: cannot promote {a} ⊔ {b}")
+
+
+def _union_schema(footers: list[dict]) -> list[tuple[str, str]]:
+    """Union-by-name + promotion over file schemas, in first-seen order."""
+    order: list[str] = []
+    types: dict[str, str] = {}
+    for ftr in footers:
+        for c in ftr["schema"]:
+            n, t = c["name"], c["type"]
+            if n not in types:
+                order.append(n)
+                types[n] = t
+            else:
+                types[n] = promote_ltype(types[n], t)
+    return [(n, types[n]) for n in order]
+
+
 def read_fls_native(
     spark,
     path: str,
     columns: Sequence[str] | None = None,
     predicate: Sequence[Predicate] = (),
+    union_by_name: bool = False,
 ):
     """Distributed read: parallelize the file list, decode per task.
 
     ``columns`` = projection pushdown (only those chunks are decoded);
     ``predicate`` = zone-map row-group pruning (conservative; Spark-side
-    filters still apply afterwards, same division of labor as Parquet)."""
+    filters still apply afterwards, same division of labor as Parquet);
+    ``union_by_name`` = align heterogeneous file schemas by column name
+    with the reference's type-promotion rules (A2/A3,
+    fls_multi_file_info.cpp:70-82 + schema_builder.cpp:132-243): missing
+    columns NULL-fill, narrower types widen per the promotion lattice.
+    Without it the first file's schema is authoritative (files with a
+    different schema fail decode, same as the reference's strict mode)."""
     files = sorted(
         os.path.join(path, fn) for fn in os.listdir(path) if fn.endswith(".fls")
     )
     if not files:
         raise FileNotFoundError(f"no .fls files under {path}")
-    footer = read_footer(files[0])
-    ltypes = {c["name"]: c["type"] for c in footer["schema"]}
-    want = list(columns) if columns is not None else [c["name"] for c in footer["schema"]]
+    if union_by_name:
+        logical = _union_schema([read_footer(f) for f in files])
+    else:
+        footer = read_footer(files[0])
+        logical = [(c["name"], c["type"]) for c in footer["schema"]]
+    ltypes = dict(logical)
+    want = list(columns) if columns is not None else [n for n, _ in logical]
     out_schema = arrow_schema([(n, ltypes[n]) for n in want])
-    ddl = ", ".join(
-        f"`{n}` {_SPARK_DDL[ltypes[n]]}" for n in want
-    )
+    ddl = ", ".join(f"`{n}` {_SPARK_DDL[ltypes[n]]}" for n in want)
     preds = list(predicate)
     want_t = tuple(want)
 
@@ -619,12 +671,30 @@ def read_fls_native(
 
         for b in batches:
             for fp in b.column(0).to_pylist():
-                yield from _rf(fp, columns=want_t, predicate=preds)
+                if not union_by_name:
+                    yield from _rf(fp, columns=want_t, predicate=preds)
+                    continue
+                # per-file: decode the columns the file has, widen to the
+                # promoted type, NULL-fill the absent ones
+                have = {c["name"] for c in read_footer(fp)["schema"]}
+                cols = tuple(n for n in want_t if n in have)
+                for rb in _rf(fp, columns=cols, predicate=preds):
+                    n_rows = rb.num_rows
+                    arrays = []
+                    for name in want_t:
+                        t = out_schema.field(name).type
+                        if name in have:
+                            arr = rb.column(cols.index(name))
+                            arrays.append(
+                                arr if arr.type == t else arr.cast(t)
+                            )
+                        else:
+                            arrays.append(pa.nulls(n_rows, t))
+                    yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     files_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
         min(len(files), spark.sparkContext.defaultParallelism)
     )
-    _ = out_schema  # documented: decode yields exactly this schema
     return files_df.mapInArrow(decode, ddl)
 
 

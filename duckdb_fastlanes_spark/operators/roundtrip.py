@@ -250,3 +250,59 @@ def fls_native_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("min_key"),
         F.max("l_orderkey").alias("max_key"),
     )
+
+
+@register(
+    "fls_native_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT coalesce(o_orderpriority, '<missing>') AS priority,
+           count(*) AS n,
+           CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_cents,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM unioned
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def fls_native_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the NATIVE format (A2/A3 parity for fls_native,
+    fls_multi_file_info.cpp:70-82 + schema_builder.cpp:132-243): generation
+    1 files carry (o_orderkey BIGINT, o_totalprice DOUBLE) with the key
+    narrowed to INT (type-promotion witness), generation 2 adds
+    o_orderpriority; reading the mixed directory with union_by_name
+    NULL-fills the missing column and widens INT⊔BIGINT per the promotion
+    lattice. The aggregate pins NULL-fill, widening, and value fidelity in
+    one hash-checked row set."""
+    from duckdb_fastlanes_spark.io.fls_native import (
+        read_fls_native,
+        write_fls_native,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.gettempdir(), "dfs_flsnative_evo")
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"), "o_totalprice"
+    )
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    write_fls_native(gen1, out, mode="overwrite")
+    write_fls_native(gen2, out, mode="append")
+    evolved = read_fls_native(spark, out, union_by_name=True)
+    return (
+        evolved.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<missing>")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("revenue_cents"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("priority")
+    )

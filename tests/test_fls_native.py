@@ -248,3 +248,42 @@ def test_spark_projection_and_predicate(spark, tmp_path):
     ).collect()[0]
     assert got["n"] == exp["n"]
     assert got["s"] == pytest.approx(exp["s"], rel=1e-12)
+
+
+def test_promote_ltype_lattice():
+    from duckdb_fastlanes_spark.io.fls_native import promote_ltype
+
+    assert promote_ltype("int8", "int64") == "int64"
+    assert promote_ltype("bool", "int16") == "int16"
+    assert promote_ltype("int32", "float32") == "float64"
+    assert promote_ltype("float32", "float64") == "float64"
+    assert promote_ltype("int64", "str") == "str"
+    assert promote_ltype("date32", "timestamp_us") == "timestamp_us"
+    with pytest.raises(TypeError):
+        promote_ltype("timestamp_us", "int64")
+
+
+def test_spark_union_by_name_promotion(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = str(tmp_path / "evo")
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"), "o_totalprice"
+    )
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    write_fls_native(gen1, out, mode="overwrite")
+    write_fls_native(gen2, out, mode="append")
+    ev = read_fls_native(spark, out, union_by_name=True)
+    # promoted: int32 ⊔ int64 → bigint; missing column nullable string
+    assert dict(ev.dtypes)["o_orderkey"] == "bigint"
+    assert dict(ev.dtypes)["o_orderpriority"] == "string"
+    assert ev.count() == o.count()
+    n_missing = ev.filter(F.col("o_orderpriority").isNull()).count()
+    assert n_missing == gen1.count()
+    # value fidelity through the widening
+    got = ev.agg(F.sum("o_orderkey")).collect()[0][0]
+    exp = o.agg(F.sum("o_orderkey")).collect()[0][0]
+    assert got == exp
