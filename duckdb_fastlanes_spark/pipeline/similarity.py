@@ -719,3 +719,128 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picked, "step INT, vec_id BIGINT, mmr_score DOUBLE"
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------- SRP-LSH ANN
+#: sign-random-projection configuration: P hyperplanes over the 64-dim
+#: embeddings; plane components are deterministic ±1 derived from md5 so
+#: both engines use bit-identical planes (same device as the sampling
+#: hash-uniforms). Multi-probe: query bucket + all Hamming≤2 neighbors.
+SRP_PLANES = 8
+SRP_DIM = 64
+
+
+def _srp_signs(p: int) -> list[int]:
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16) < 8 else -1
+        for i in range(SRP_DIM)
+    ]
+
+
+def _srp_sig_spark() -> str:
+    bits = []
+    for p in range(SRP_PLANES):
+        arr = ", ".join(f"{s}D" for s in _srp_signs(p))
+        bits.append(
+            f"IF(aggregate(zip_with(e, array({arr}), (x, s) -> x * s), 0D,"
+            f" (a, v) -> a + v) >= 0, '1', '0')"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _srp_sig_duck() -> str:
+    bits = []
+    for p in range(SRP_PLANES):
+        arr = ", ".join(str(s) for s in _srp_signs(p))
+        bits.append(
+            f"CASE WHEN list_inner_product(e, [{arr}]) >= 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+def _flip_expr(k: str, p: int) -> str:
+    """SQL (both dialects): ``k`` with 1-based bit ``p`` flipped."""
+    return (
+        f"concat(substring({k}, 1, {p - 1}),"
+        f" IF(substring({k}, {p}, 1) = '1', '0', '1'),"
+        f" substring({k}, {p + 1}, {SRP_PLANES - p}))"
+    )
+
+
+def _flip_duck(k: str, p: int) -> str:
+    return (
+        f"substr({k}, 1, {p - 1}) ||"
+        f" (CASE WHEN substr({k}, {p}, 1) = '1' THEN '0' ELSE '1' END) ||"
+        f" substr({k}, {p + 1}, {SRP_PLANES - p})"
+    )
+
+
+def _probe_list(flip) -> list[str]:
+    """Probe-key expressions over a column named qsig: Hamming 0, 1, 2."""
+    probes = ["qsig"]
+    probes += [flip("qsig", p) for p in range(1, SRP_PLANES + 1)]
+    for p1 in range(1, SRP_PLANES + 1):
+        for p2 in range(p1 + 1, SRP_PLANES + 1):
+            probes.append(flip(flip("qsig", p1), p2))
+    return probes
+
+
+@register(
+    "sim_srp_lsh_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sigs AS (SELECT vec_id, e, {_srp_sig_duck()} AS sig FROM v),
+    q AS (SELECT e AS qe, sig AS qsig FROM sigs WHERE vec_id = {QUERY_VEC_ID}),
+    probes AS (
+        SELECT DISTINCT unnest([{", ".join(_probe_list(_flip_duck))}]) AS pk
+        FROM q
+    )
+    SELECT s.vec_id, round(list_cosine_similarity(s.e, q.qe), 4) AS cosine
+    FROM sigs s JOIN probes ON s.sig = probes.pk, q
+    WHERE s.vec_id <> {QUERY_VEC_ID}
+    ORDER BY list_cosine_similarity(s.e, q.qe) DESC, s.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate nearest neighbors: each vector hashes to an
+    {SRP_PLANES}-bit signature (sign of the dot product against
+    {SRP_PLANES} fixed ±1 hyperplanes — the random-hyperplane LSH family,
+    where P(bit match) = 1 − angle/π), candidates are the query's bucket
+    plus every Hamming≤2 neighbor bucket, and only candidates get the
+    exact cosine + top-k.
+
+    Scale shape: the signature is a row-local projection (no shuffle);
+    bucket lookup is an equi-join of the corpus signatures against a
+    37-row broadcast probe list, so the search touches ~37/2^{SRP_PLANES}
+    of the data regardless of corpus size — the LSH-bucketed complement
+    of the IVF cell probe (sim_ivf_topk), same as the dedup family's
+    band-bucket join. Planes are md5-derived literals, bit-identical on
+    both engines."""
+    v = _doubled(table(spark, sf_dir, "embeddings"))
+    sigs = v.selectExpr("vec_id", "e", f"{_srp_sig_spark()} AS sig")
+    q = F.broadcast(
+        sigs.where(f"vec_id = {QUERY_VEC_ID}").selectExpr("e AS qe", "sig AS qsig")
+    )
+    probes = F.broadcast(
+        q.selectExpr(
+            "qe",
+            f"explode(array_distinct(array({', '.join(_probe_list(_flip_expr))})))"
+            " AS pk",
+        )
+    )
+    return (
+        sigs.where(f"vec_id <> {QUERY_VEC_ID}")
+        .join(probes, F.col("sig") == F.col("pk"))
+        .selectExpr(
+            "vec_id",
+            "aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+            " / (sqrt(aggregate(e, 0D, (a, x) -> a + x * x))"
+            " * sqrt(aggregate(qe, 0D, (a, x) -> a + x * x))) AS _cos",
+        )
+        .orderBy(F.col("_cos").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .selectExpr("vec_id", "round(_cos, 4) AS cosine")
+    )

@@ -18,3 +18,25 @@ def test_approx_sketches_within_error_envelope(spark):
         )
         # percentile_approx with accuracy=10k is near-exact at test scale
         assert abs(r["approx_p50"] - r["exact_p50"]) <= 0.05 * r["exact_p50"]
+
+
+def test_srp_lsh_invariants(spark):
+    """SRP-LSH: exact top-k of the probed buckets, deterministic, and with
+    non-trivial overlap vs the exhaustive answer. The corpus is random
+    gaussian vectors — every pairwise cosine sits near 0, the regime where
+    hyperplane LSH carries the least signal — so the pinned floor is low;
+    on clustered real embeddings P(bit match) = 1 − θ/π concentrates
+    buckets and recall rises. The oracle already pins exactness of the
+    candidates' cosines; this pins the ANN quality floor."""
+    from duckdb_fastlanes_spark.registry import queries
+
+    from tests.conftest import SF_DIR
+
+    qs = queries()
+    exact = [r.vec_id for r in qs["sim_bruteforce_topk"](spark, SF_DIR).collect()]
+    srp1 = [(r.vec_id, r.cosine) for r in qs["sim_srp_lsh_topk"](spark, SF_DIR).collect()]
+    srp2 = [(r.vec_id, r.cosine) for r in qs["sim_srp_lsh_topk"](spark, SF_DIR).collect()]
+    assert srp1 == srp2  # md5-derived planes: fully deterministic
+    assert len(srp1) == 10
+    recall = len(set(exact) & {v for v, _ in srp1}) / len(exact)
+    assert recall >= 0.1
