@@ -51,6 +51,7 @@ QUERIES = [
     "dedup_containment",  # same capped join, asymmetric score
     "dedup_simhash",  # bit-math signature + bucket join
     "sim_ivf_topk",  # bucketed ANN (centroid cell probe)
+    "sim_srp_lsh_topk",  # LSH-bucketed ANN (hyperplane signature probe)
     "text_quality_score",  # regex-heavy CPU scan
     "events_max_concurrency",  # sweep-line window over every event
     "embedding_dim_stats",  # vector explode (64× row expansion)
@@ -66,6 +67,7 @@ DOC_QUERIES = {
     "dedup_containment",
     "dedup_simhash",
     "sim_ivf_topk",
+    "sim_srp_lsh_topk",
     "text_quality_score",
     "events_max_concurrency",
     "embedding_dim_stats",
