@@ -116,21 +116,22 @@ def _pin_merge(df: DataFrame, sf_dir: str) -> DataFrame:
     outright. Below the threshold AQE is off, the static planner sizes
     these joins from raw file bytes (correctly small), and the broadcast
     IS the fast plan — so the pin activates exactly with AQE, on the same
-    gauge (`session.tune_for_input`)."""
-    from duckdb_fastlanes_spark.session import SMALL_INPUT_BYTES, _uncompressed_bytes
+    gauge (`session.input_gauge_bytes`, the identical footer-or-filesize
+    fallback ``tune_for_input`` reads — unreadable footers therefore flip
+    BOTH the AQE gate and this pin together, never one without the other)."""
+    from duckdb_fastlanes_spark.session import SMALL_INPUT_BYTES, input_gauge_bytes
 
-    if _uncompressed_bytes(sf_dir) >= SMALL_INPUT_BYTES:
+    if input_gauge_bytes(sf_dir) >= SMALL_INPUT_BYTES:
         return df.hint("merge")
     return df
 
 
 def _shingle_rows_capped(d: DataFrame, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) with stop-shingles removed: df computed over the
+    """(doc_id, shingle, df) with stop-shingles removed: df computed over the
     distinct exploded rows, shingles with df > SHINGLE_DF_CAP dropped. The
-    df aggregation and the kept-shingle semi-join both hash-partition on
-    shingle — the same key the downstream pair self-join uses, so AQE can
-    chain the exchanges; the extra pass is one narrow aggregate, a constant
-    factor, while the cap turns the worst-case pair join from Σ df² (one
+    df column rides along because the prefix-filter ordering downstream
+    (`_prefix_doc_sets`) sorts each doc's shingles by global df — rare
+    shingles first. The cap turns the worst-case pair join from Σ df² (one
     hot shingle → quadratic) into ≤ CAP × Σ df (linear)."""
     from pyspark.sql.window import Window
 
@@ -148,8 +149,70 @@ def _shingle_rows_capped(d: DataFrame, sf_dir: str) -> DataFrame:
     return (
         rows.withColumn("df", F.count(F.lit(1)).over(w))
         .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "df")
     )
+
+
+def _prefix_doc_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle sets ordered by ascending global df (rarest first):
+    ``(doc_id, sh array<string>, n_sh)`` — the shared input of the
+    AllPairs/PPJoin prefix-filtered pairwise paths (Bayardo et al., WWW'07;
+    Xiao et al., PPJoin).
+
+    One doc-keyed aggregate feeds BOTH the prefix candidate generation
+    (explode of a slice) and the exact verify sets (array_intersect), so it
+    is persisted via managed_persist exactly like dedup_minhash_lsh's
+    per_doc — the bench drains it between timed runs. The (df, shingle)
+    struct sort makes the prefix DETERMINISTIC and maximally selective:
+    a doc's prefix picks its rarest shingles, whose join fan-out is by
+    construction the smallest in the corpus."""
+    from pyspark import StorageLevel
+
+    from duckdb_fastlanes_spark.bench_support import managed_persist
+
+    d = table(spark, sf_dir, "documents")
+    kept = _shingle_rows_capped(d, sf_dir)
+    per_doc = (
+        kept.groupBy("doc_id")
+        .agg(F.expr("array_sort(collect_list(struct(df, shingle))) AS ordered"))
+        .selectExpr(
+            "doc_id",
+            "transform(ordered, x -> x.shingle) AS sh",
+            "size(ordered) AS n_sh",
+        )
+    )
+    return managed_persist(per_doc, StorageLevel.MEMORY_AND_DISK)
+
+
+def _prefix_rows(per_doc: DataFrame, threshold: float) -> DataFrame:
+    """Exploded PREFIX shingles: the first ``n - ceil(t*n) + 1`` of each
+    doc's df-ordered shingles. Any pair with overlap ≥ ceil(t*n) must share
+    a shingle inside this prefix (pigeonhole over the ordered set), so a
+    self-join on prefix rows is a LOSSLESS candidate generator while
+    feeding only ~(1-t) of the shingle stream — and the rarest part of it —
+    into the join."""
+    return per_doc.selectExpr(
+        "doc_id",
+        "n_sh",
+        f"explode(slice(sh, 1, cast(size(sh) - ceil({threshold} * size(sh)) + 1 AS INT)))"
+        " AS shingle",
+    )
+
+
+def _verify_sets(per_doc: DataFrame, sf_dir: str) -> DataFrame:
+    """The (doc_id, sh, n_sh) verify side; broadcast below the same small-
+    corpus gate dedup_minhash_lsh uses so tiny runs skip the shuffle."""
+    import os
+
+    sets = per_doc.select("doc_id", "sh", "n_sh")
+    try:
+        small = (
+            os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+            < 256 * 1024 * 1024
+        )
+    except OSError:
+        small = False
+    return F.broadcast(sets) if small else sets
 
 
 #: DuckDB equivalents of the helpers above (1-based lists, same regexes)
@@ -166,9 +229,31 @@ _ORACLE_CAPPED = f"""
         SELECT shingle, count(*) AS df FROM exploded GROUP BY 1
     ),
     kept AS (
-        SELECT e.doc_id, e.shingle
+        SELECT e.doc_id, e.shingle, df.df
         FROM exploded e JOIN df USING (shingle)
         WHERE df.df <= {SHINGLE_DF_CAP}
+    )"""
+
+
+def _oracle_prefix_ctes(threshold: float) -> str:
+    """Oracle twin of _prefix_doc_sets/_prefix_rows: df-ordered per-doc
+    ranking, the ``n - ceil(t*n) + 1`` prefix, and the list() verify sets —
+    mirrored so the DuckDB side of the benchmark runs the same AllPairs
+    prefix pruning the Spark plan does (expects a prior CTE ``kept``)."""
+    return f"""
+    ranked AS (
+        SELECT doc_id, shingle,
+               row_number() OVER (PARTITION BY doc_id ORDER BY df, shingle) AS pos,
+               count(*) OVER (PARTITION BY doc_id) AS n_sh
+        FROM kept
+    ),
+    prefix AS (
+        SELECT doc_id, shingle, n_sh FROM ranked
+        WHERE pos <= n_sh - CAST(ceil({threshold} * n_sh) AS BIGINT) + 1
+    ),
+    sets AS (
+        SELECT doc_id, list(shingle) AS sh, count(*) AS n_sh
+        FROM kept GROUP BY 1
     )"""
 
 
@@ -206,45 +291,67 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     exploded AS (
         SELECT doc_id, unnest(shingles) AS shingle FROM shingled
-    ),{_ORACLE_CAPPED},
-    pair_inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1)
+    ),{_ORACLE_CAPPED},{_oracle_prefix_ctes(JACCARD_THRESHOLD)},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a JOIN prefix b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         AND a.n_sh >= {JACCARD_THRESHOLD} * b.n_sh
+         AND b.n_sh >= {JACCARD_THRESHOLD} * a.n_sh
+    )
     SELECT doc_a, doc_b,
-           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
-    FROM pair_inter p
-    JOIN sizes sa ON sa.doc_id = p.doc_a
-    JOIN sizes sb ON sb.doc_id = p.doc_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+    FROM cand
+    JOIN sets sa ON sa.doc_id = doc_a
+    JOIN sets sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))) >= {JACCARD_THRESHOLD}
     ORDER BY doc_a, doc_b
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard near-dup: explode distinct 3-gram shingles, drop
-    stop-shingles (df > SHINGLE_DF_CAP — see the constant's scale note),
-    self-join on shingle to count intersections (cost ≤ CAP × Σdf, linear),
-    then |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold over the kept sets."""
-    d = table(spark, sf_dir, "documents")
-    exploded = _shingle_rows_capped(d, sf_dir)
-    a = exploded.alias("a")
-    # both sides of the pair self-join are the full exploded shingle
-    # stream — corpus-sized, pinned to SMJ above the threshold (_pin_merge)
-    b = _pin_merge(exploded.alias("b"), sf_dir)
-    pair_inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    """N-gram Jaccard near-dup with AllPairs prefix filtering: explode
+    distinct 3-gram shingles, drop stop-shingles (df > SHINGLE_DF_CAP), sort
+    each doc's survivors by global df, and self-join ONLY each doc's first
+    ``n - ceil(t*n) + 1`` (rarest) shingles — J(A,B) ≥ t forces overlap
+    ≥ ceil(t·|A|) and ≥ ceil(t·|B|), so by pigeonhole every qualifying pair
+    still collides inside both prefixes (zero recall loss; Bayardo et al.
+    WWW'07 / PPJoin). A length filter (t·|A| ≤ |B| ≤ |A|/t, implied by
+    J ≥ t) prunes cross-size candidates in the join itself. Exact
+    |A∩B| / (|A|+|B|-|A∩B|) ≥ t verify runs on candidates only, via
+    array_intersect over the persisted per-doc sets. vs the full shingle
+    self-join this feeds ~(1-t) of the stream — and its rarest, lowest-
+    fan-out part — into the pair join: the candidate stream shrinks 5-10×
+    while the verify cost is per-candidate, not per-shared-shingle."""
+    per_doc = _prefix_doc_sets(spark, sf_dir)
+    pre = _prefix_rows(per_doc, JACCARD_THRESHOLD)
+    a = pre.alias("a")
+    # both sides of the prefix self-join are corpus-sized streams — pinned
+    # to SMJ above the input gauge (_pin_merge), like the other self-joins
+    b = _pin_merge(pre.alias("b"), sf_dir)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") >= JACCARD_THRESHOLD * F.col("b.n_sh"))
+            & (F.col("b.n_sh") >= JACCARD_THRESHOLD * F.col("a.n_sh")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        # dedup candidates BEFORE the verify join — a pair sharing k prefix
+        # shingles would otherwise be verified k times
+        .distinct()
     )
-    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    jac = F.col("n_inter").cast("double") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+    sets = _verify_sets(per_doc, sf_dir)
+    inter = "size(array_intersect(sa.sh, sb.sh))"
+    jac_sql = f"cast({inter} AS DOUBLE) / (sa.n_sh + sb.n_sh - {inter})"
     return (
-        pair_inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        cand.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .selectExpr("doc_a", "doc_b", f"{jac_sql} AS jac")
+        .where(f"jac >= {JACCARD_THRESHOLD}")
+        .selectExpr("doc_a", "doc_b", "round(jac, 4) AS jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
@@ -649,20 +756,24 @@ CONTAINMENT_THRESHOLD = 0.8
     ),
     exploded AS (
         SELECT doc_id, unnest(shingles) AS shingle FROM shingled
-    ),{_ORACLE_CAPPED},
-    pair_inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1)
+    ),{_ORACLE_CAPPED},{_oracle_prefix_ctes(CONTAINMENT_THRESHOLD)},
+    cand AS (
+        SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                        greatest(a.doc_id, b.doc_id) AS doc_b
+        FROM ranked a JOIN prefix b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+         AND a.n_sh >= b.n_sh
+    )
     SELECT doc_a, doc_b,
-           round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4) AS containment,
-           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
-    FROM pair_inter p
-    JOIN sizes sa ON sa.doc_id = p.doc_a
-    JOIN sizes sb ON sb.doc_id = p.doc_b
-    WHERE CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= {CONTAINMENT_THRESHOLD}
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / least(sa.n_sh, sb.n_sh), 4) AS containment,
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+    FROM cand
+    JOIN sets sa ON sa.doc_id = doc_a
+    JOIN sets sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / least(sa.n_sh, sb.n_sh) >= {CONTAINMENT_THRESHOLD}
     ORDER BY doc_a, doc_b
     """,
 )
@@ -673,35 +784,47 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment while its Jaccard can be arbitrarily small, so a
     Jaccard-only pipeline ships the duplicate text anyway. Reported with
     Jaccard side by side — the gap between the two columns IS the excerpt
-    signal. Same stop-shingle-capped bucket join as the Jaccard path
-    (df ≤ SHINGLE_DF_CAP ⇒ pair work ≤ CAP × Σdf, linear in corpus size)."""
-    d = table(spark, sf_dir, "documents")
-    exploded = _shingle_rows_capped(d, sf_dir)
+    signal.
+
+    Prefix filtering here is ONE-SIDED: containment ≥ c only bounds the
+    overlap from the SMALLER doc (|A∩B| ≥ ceil(c·min)), so the smaller
+    side's df-ordered prefix of ``n - ceil(c·n) + 1`` shingles must collide
+    with SOME shingle of the larger doc — join full rows (larger, |a| ≥ |b|)
+    against prefix rows (smaller). At c=0.8 the prefix side is ~20% of the
+    shingle stream, so the pair join work drops ~5× with zero recall loss;
+    exact verify on candidates only, as in the Jaccard path."""
+    per_doc = _prefix_doc_sets(spark, sf_dir)
+    full = per_doc.selectExpr("doc_id", "n_sh", "explode(sh) AS shingle")
+    pre = _prefix_rows(per_doc, CONTAINMENT_THRESHOLD)
     # pinned self-join: see dedup_ngram_jaccard
-    a, b = exploded.alias("a"), _pin_merge(exploded.alias("b"), sf_dir)
-    pair_inter = (
+    a, b = full.alias("a"), _pin_merge(pre.alias("b"), sf_dir)
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("a.n_sh") >= F.col("b.n_sh")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .selectExpr(
+            "least(a.doc_id, b.doc_id) AS doc_a",
+            "greatest(a.doc_id, b.doc_id) AS doc_b",
+        )
+        .distinct()
     )
-    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    cont = F.col("n_inter").cast("double") / F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
-    )
+    sets = _verify_sets(per_doc, sf_dir)
+    inter = "size(array_intersect(sa.sh, sb.sh))"
+    cont_sql = f"cast({inter} AS DOUBLE) / least(sa.n_sh, sb.n_sh)"
+    jac_sql = f"cast({inter} AS DOUBLE) / (sa.n_sh + sb.n_sh - {inter})"
     return (
-        pair_inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(cont >= CONTAINMENT_THRESHOLD)
-        .select(
+        cand.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .selectExpr("doc_a", "doc_b", f"{cont_sql} AS cont", f"{jac_sql} AS jac")
+        .where(f"cont >= {CONTAINMENT_THRESHOLD}")
+        .selectExpr(
             "doc_a",
             "doc_b",
-            F.round(cont, 4).alias("containment"),
-            F.round(jac, 4).alias("jaccard"),
+            "round(cont, 4) AS containment",
+            "round(jac, 4) AS jaccard",
         )
         .orderBy("doc_a", "doc_b")
     )

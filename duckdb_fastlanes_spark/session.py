@@ -124,6 +124,24 @@ def _uncompressed_bytes(data_dir: str) -> int:
         return 0
 
 
+def input_gauge_bytes(data_dir: str) -> int:
+    """THE input-size gauge: decoded parquet bytes from footers, falling back
+    to on-disk bytes when footers are unreadable. Shared by ``tune_for_input``
+    (the AQE on/off gate) and operator-level AQE pins (``dedup._pin_merge``)
+    so both flip on exactly the same number — a corpus with unreadable
+    footers must not end up on the AQE-on default path without the merge
+    pin that guards it against the broadcast pathology."""
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(data_dir, f))
+            for f in os.listdir(data_dir)
+            if os.path.isfile(os.path.join(data_dir, f))
+        )
+    except OSError:
+        total = 0
+    return _uncompressed_bytes(data_dir) or total
+
+
 def tune_for_input(spark: SparkSession, data_dir: str) -> None:
     """Adapt session conf to the catalog's input size (runtime-settable confs
     only; call any time, cheap enough to call per run).
@@ -165,7 +183,7 @@ def tune_for_input(spark: SparkSession, data_dir: str) -> None:
     # splitting and partition coalescing start paying (measured at the
     # 1000× SCALE cell: ngram dedup 107 s fast-path vs 88 s default path).
     # Parquet footers carry uncompressed sizes — a driver-side metadata read.
-    uncompressed = _uncompressed_bytes(data_dir) or total
+    uncompressed = input_gauge_bytes(data_dir)
     if uncompressed < SMALL_INPUT_BYTES:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         spark.conf.set("spark.sql.adaptive.enabled", "false")
