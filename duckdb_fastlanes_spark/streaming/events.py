@@ -32,12 +32,17 @@ def staged_input(
     ingest/optimize_layout step: land the feed once, run the pipeline many
     times) — re-writing byte-identical files on every invocation was pure
     drain overhead (~0.3-0.5 s per query per run). The fingerprint covers
-    every source parquet's (name, size, mtime), so regenerated testdata
-    re-stages automatically. Checkpoints, sinks, and state stores are NOT
-    memoized — every run streams from scratch."""
+    every source parquet's (name, size, mtime) AND the staged frame's own
+    derivation (schema DDL + its logical plan with ephemeral expression ids
+    stripped), so BOTH regenerated testdata and an edited query definition
+    (a new filter, a changed select list) re-stage automatically — without
+    the plan term, editing a query would silently replay stale staged rows
+    until the testdata itself changed. Checkpoints, sinks, and state stores
+    are NOT memoized — every run streams from scratch."""
     import hashlib
     import json
     import os
+    import re
     import tempfile
 
     stat = []
@@ -46,8 +51,15 @@ def staged_input(
         if os.path.isfile(p):
             st = os.stat(p)
             stat.append((f, st.st_size, int(st.st_mtime)))
+    # expression ids (#123) change on every DataFrame construction; strip
+    # them so the SAME derivation memoizes across calls while any real
+    # change (literal, column, operator) still flips the key
+    plan = re.sub(r"#\d+", "#", df._jdf.queryExecution().logical().toString())
     key = hashlib.md5(
-        json.dumps([os.path.abspath(sf_dir), name, partitions, stat]).encode()
+        json.dumps(
+            [os.path.abspath(sf_dir), name, partitions, stat,
+             df.schema.simpleString(), plan]
+        ).encode()
     ).hexdigest()[:16]
     root = os.path.join(
         tempfile.gettempdir(), "dfs_staged_inputs", f"{name}_{key}"

@@ -59,6 +59,12 @@ REPRESENTATIVE = [
     # peer groups ride (customer, value, id) total order, not scan order
     "fls_native_prune_scan",  # r4 native format: zone-map pruning +
     # partition-local encode must give one answer for any writer layout
+    "fls_native_roundtrip",  # full encode/decode equality must hold for any
+    # writer partitioning (per-partition 1024-vector framing differs)
+    "fls_native_schema_evolution",  # union_by_name + promotion over files
+    # written from different layouts must resolve one merged schema
+    "sim_srp_lsh_topk",  # r5 signature-clustered index: probe top-k must be
+    # identical whether the index was built from one file or many
 ]
 
 
