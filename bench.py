@@ -45,7 +45,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from duckdb_fastlanes_spark import get_spark, registry
-from duckdb_fastlanes_spark.bench_support import drain_persists
+from duckdb_fastlanes_spark.bench_support import drain_persists, reset_drains
+
+#: stamped into every artifact so cross-round diffs are like-for-like:
+#: v1 (≤ r3) allowed repeated timed runs to reuse persisted intermediates;
+#: v2 (r4) drains tracked persists between every timed run in every mode;
+#: v3 (r5) additionally excludes drain-style/checkpointing queries from the
+#: prepared discipline and adds the concurrent workload mode to --all.
+PROTOCOL = "drain-persists-v3"
 
 HEADLINE = [
     "tpch_q1",
@@ -93,16 +100,25 @@ def bench_query_constructed(fn, spark, sf_dir: str, n_timed: int = N_TIMED) -> f
 def bench_query_prepared(fn, spark, sf_dir: str, n_timed: int = N_TIMED) -> float | None:
     """Min-of-N re-execution wall time of a plan built once (see module
     docstring for exactly what is and is not inside the timer). Returns
-    None when the query persists an intermediate — a reused handle would
-    re-read the materialization instead of recomputing it, so such
-    queries have no honest prepared number; callers fall back to the
-    constructed number."""
+    None when the query has no honest prepared number and the caller must
+    fall back to the constructed discipline:
+
+    - it persists an intermediate (a reused handle would re-read the
+      materialization instead of recomputing it),
+    - a streaming drain / foreachBatch upsert executed at construction
+      (the handle is a batch read of the already-written sink output), or
+    - the handle's plan contains a LogicalRDD — a localCheckpoint
+      materialized at construction (graph iterations, drained streams), so
+      re-execution would reuse construct-time work the DuckDB denominator
+      recomputes per run."""
     drain_persists()
+    reset_drains()
     df = fn(spark, sf_dir)
-    if drain_persists() > 0:
-        # the query registered a persist at construction; we just dropped
-        # it, and the prepared handle's physical plan still references the
-        # cache node — no honest prepared timing exists for this shape
+    if drain_persists() > 0 or reset_drains() > 0:
+        # the query persisted or drained at construction; the prepared
+        # handle would reuse that work — no honest prepared timing exists
+        return None
+    if "LogicalRDD" in df._jdf.queryExecution().optimizedPlan().toString():
         return None
     df.toArrow()  # warm-up
 
@@ -157,7 +173,9 @@ def main() -> None:
     # Interleaving gives both engines the same conditions per query, so the
     # RATIO stays honest even when the absolute wall times are inflated.
     con = None
+    con_native = None
     base: dict[str, float] = {}
+    base_native: dict[str, float] = {}
     try:
         import duckdb
 
@@ -170,8 +188,27 @@ def main() -> None:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
+        if not all_mode:
+            # SYMMETRIC warm denominator: Spark's warm_cache pins the staged
+            # catalog into its in-memory columnar cache, while the parquet-
+            # view baseline re-decodes ZSTD parquet per run. This second
+            # connection ingests the catalog into DuckDB NATIVE tables
+            # (untimed, once — the same ingest-once-query-many framing as
+            # optimize_layout/warm_cache and the reference's own
+            # CREATE TABLE AS in test/sql/simple.test:34), so BOTH engines
+            # query their own optimized in-memory layout and the
+            # ratio_vs_baseline_native numbers are cache-for-cache.
+            con_native = duckdb.connect()
+            for t in (
+                "region nation customer supplier part orders lineitem "
+                "events documents embeddings"
+            ).split():
+                con_native.execute(
+                    f"CREATE TABLE {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                )
     except Exception:
         con = None  # baseline block is informational; never fail the bench
+        con_native = None
 
     n_timed = 1 if all_mode else N_TIMED
     prep_times: dict[str, float] = {}
@@ -199,6 +236,18 @@ def main() -> None:
                     )
                 except Exception:
                     pass
+                if con_native is not None:
+                    try:
+                        con_native.execute(sql).fetchall()
+                        base_native[name] = round(
+                            min(
+                                _timed(lambda: con_native.execute(sql).fetchall())
+                                for _ in range(n_timed)
+                            ),
+                            3,
+                        )
+                    except Exception:
+                        pass
 
     times = cons_times if all_mode else prep_times
     total = round(sum(times.values()), 3)
@@ -208,6 +257,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "protocol": PROTOCOL,
     }
     if not all_mode:
         payload["queries_constructed"] = cons_times
@@ -222,6 +272,16 @@ def main() -> None:
             payload["ratio_vs_baseline_constructed"] = round(
                 sum(cons_times[q] for q in base) / payload["baseline_total"], 2
             )
+    if base_native:
+        payload["baseline_native_queries"] = base_native
+        payload["baseline_native_total"] = round(sum(base_native.values()), 3)
+        nat = payload["baseline_native_total"]
+        payload["ratio_vs_baseline_native_prepared"] = round(
+            sum(times[q] for q in base_native) / nat, 2
+        )
+        payload["ratio_vs_baseline_native_constructed"] = round(
+            sum(cons_times[q] for q in base_native) / nat, 2
+        )
     if not all_mode:
         # the irreducible per-query cost of this engine on this host: a
         # 1-row job through the same build+schedule+Arrow-fetch path. Any
@@ -231,45 +291,63 @@ def main() -> None:
         payload["spark_floor"] = round(
             min(_timed(lambda: spark.range(1).toArrow()) for _ in range(N_TIMED)), 3
         )
-        # The deployment-realistic mode: the 12 headline queries submitted
-        # CONCURRENTLY, one FAIR-scheduler pool per query (session.py sets
-        # spark.scheduler.mode=FAIR), so independent jobs share the 32
-        # executor slots fairly and the driver-side planning/fetch of one
-        # query overlaps the execution of the others — exactly how a
-        # warehouse runs a workload batch, and the honest amortization of
-        # Spark's ~40-50 ms per-query job floor that the sequential mode
-        # pays 12 times. DuckDB's baseline_total is the same 12-query batch
-        # on its single process, where one query already saturates all
-        # cores, so batch wall ≈ sequential sum and the comparison stays
-        # apples-to-apples at the WORKLOAD level: time to answer all 12.
-        # Each repeat rebuilds the handles AFTER draining tracked persists,
-        # so no repeat reuses a previous repeat's materialized intermediate
-        # (within one repeat the persist materializes once and both of its
-        # consumers share it — the intended batch semantics).
-        import concurrent.futures as cf
+    # The deployment-realistic mode, run for BOTH the headline set and the
+    # full registry (--all): every query in the batch submitted
+    # CONCURRENTLY, one FAIR-scheduler pool per query (session.py sets
+    # spark.scheduler.mode=FAIR), so independent jobs share the 32
+    # executor slots fairly and the driver-side planning/fetch of one
+    # query overlaps the execution of the others — exactly how a
+    # warehouse runs a workload batch, and the honest amortization of
+    # Spark's per-query job floor that the sequential mode pays N times.
+    # DuckDB's baseline_total is the same batch on its single process,
+    # where one query already saturates all cores, so batch wall ≈
+    # sequential sum and the comparison stays apples-to-apples at the
+    # WORKLOAD level: time to answer all N. CONSTRUCTION runs inside each
+    # worker (constructed-concurrent discipline) — drain-style streaming
+    # queries therefore do their drain inside the timed region, and no
+    # handle is built outside the timer. Tracked persists are drained
+    # between repeats, never within one (within a repeat a persisted
+    # intermediate materializes once and its consumers share it — the
+    # intended batch semantics).
+    import concurrent.futures as cf
 
-        def one(prepared: dict, name: str) -> None:
-            sc = spark.sparkContext
-            sc.setLocalProperty("spark.scheduler.pool", f"bench_{name}")
-            try:
-                prepared[name].toArrow()
-            finally:
-                sc.setLocalProperty("spark.scheduler.pool", None)
+    conc_names = list(names)
+    conc_failed: list[str] = []
 
-        makespans = []
-        for _ in range(3):
-            drain_persists()
-            prepared = {name: qs[name](spark, sf_dir) for name in HEADLINE}
-            t0 = time.perf_counter()
-            with cf.ThreadPoolExecutor(max_workers=len(HEADLINE)) as ex:
-                list(ex.map(lambda n: one(prepared, n), HEADLINE))
-            makespans.append(time.perf_counter() - t0)
+    def run_one(name: str) -> None:
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", f"bench_{name}")
+        try:
+            qs[name](spark, sf_dir).toArrow()
+        except Exception:
+            conc_failed.append(name)
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    makespans = []
+    for _ in range(2 if all_mode else 3):
         drain_persists()
-        payload["concurrent_wall"] = round(min(makespans), 3)
-        if base:
-            payload["ratio_vs_baseline_concurrent"] = round(
-                payload["concurrent_wall"] / payload["baseline_total"], 2
-            )
+        t0 = time.perf_counter()
+        with cf.ThreadPoolExecutor(
+            max_workers=min(16, len(conc_names))
+        ) as ex:
+            list(ex.map(run_one, conc_names))
+        makespans.append(time.perf_counter() - t0)
+    drain_persists()
+    payload["concurrent_wall"] = round(min(makespans), 3)
+    if conc_failed:
+        payload["concurrent_failed"] = sorted(set(conc_failed))
+    if base:
+        # numerator covers EVERY query in the batch (including the few
+        # with no SQL oracle); denominator only the oracle-covered ones —
+        # the bias runs against Spark, never for it
+        payload["ratio_vs_baseline_concurrent"] = round(
+            payload["concurrent_wall"] / payload["baseline_total"], 2
+        )
+    if base_native:
+        payload["ratio_vs_baseline_native_concurrent"] = round(
+            payload["concurrent_wall"] / payload["baseline_native_total"], 2
+        )
     print(json.dumps(payload))
 
 

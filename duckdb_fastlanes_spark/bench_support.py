@@ -29,6 +29,31 @@ from pyspark.sql import DataFrame
 # idempotent) and order does not matter.
 _TRACKED: list[DataFrame] = []
 
+# Streaming-drain executions since the last reset. A drain-style query
+# (availableNow drain / foreachBatch upsert) does ALL its work at
+# DataFrame CONSTRUCTION and returns a handle over the already-written
+# sink output — a "prepared" re-execution of that handle would time a
+# batch read of precomputed results against a DuckDB baseline that
+# recomputes the query per run. The bench uses this counter the same way
+# it uses the persist tracker: fired-at-construction ⇒ no honest prepared
+# number ⇒ fall back to the constructed discipline.
+_DRAINS: int = 0
+
+
+def note_drain() -> None:
+    """Record that a streaming drain executed (called by the drain paths
+    in streaming/events.py and any other construct-time executors)."""
+    global _DRAINS
+    _DRAINS += 1
+
+
+def reset_drains() -> int:
+    """Zero the drain counter; returns how many drains had fired."""
+    global _DRAINS
+    n = _DRAINS
+    _DRAINS = 0
+    return n
+
 
 def managed_persist(df: DataFrame, storage_level=None) -> DataFrame:
     """``df.persist(level)`` + register the handle for ``drain_persists``."""

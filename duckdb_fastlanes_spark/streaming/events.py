@@ -84,6 +84,8 @@ def drain_to_parquet(stream_df: DataFrame, workdir: str, name: str = "out") -> D
     table, so the drain itself scales with the cluster, not the driver.
     The read-back uses the stream's own schema (no inference) so an empty
     result is still well-typed."""
+    from duckdb_fastlanes_spark.bench_support import note_drain
+
     outdir = f"{workdir}/{name}"
     q = (
         stream_df.writeStream.format("parquet")
@@ -94,6 +96,7 @@ def drain_to_parquet(stream_df: DataFrame, workdir: str, name: str = "out") -> D
         .start()
     )
     q.awaitTermination(180)
+    note_drain()  # work happened HERE — no honest prepared re-execution exists
     return stream_df.sparkSession.read.schema(stream_df.schema).parquet(outdir)
 
 
@@ -467,6 +470,9 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(180)
+    from duckdb_fastlanes_spark.bench_support import note_drain
+
+    note_drain()  # upserts ran at construction; the return is a snapshot read
     return (
         cow.read_table(spark, snapshot_root)
         .select(
