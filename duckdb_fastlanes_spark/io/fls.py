@@ -75,7 +75,9 @@ def read_fls(
         frames = [spark.read.parquet(p) for p in paths]
         df = promote_and_align(frames)
     elif explicit_cardinality is not None and len(paths) == 1:
-        df = _scan_with_cardinality_hint(spark, paths[0], int(explicit_cardinality))
+        df = _scan_with_cardinality_hint(
+            spark, paths[0], int(explicit_cardinality), union_by_name=union_by_name
+        )
     else:
         df = reader.parquet(*paths)
 
@@ -85,7 +87,7 @@ def read_fls(
 
 
 def _scan_with_cardinality_hint(
-    spark: SparkSession, path: str, n_rows: int
+    spark: SparkSession, path: str, n_rows: int, *, union_by_name: bool = False
 ) -> DataFrame:
     """Realize the reference's per-read ``explicit_cardinality`` hint
     (fls_multi_file_info.cpp:152-164: the option value replaces the scan's
@@ -116,7 +118,14 @@ def _scan_with_cardinality_hint(
     avg = (total_bytes / actual_rows) if actual_rows else 64.0
     hinted_bytes = max(1, int(n_rows * avg))
 
-    df = spark.read.parquet(path)
+    # the reference applies explicit_cardinality and union_by_name
+    # INDEPENDENTLY (fls_multi_file_info.cpp options) — a directory of
+    # mixed-schema files must keep mergeSchema even on the hinted path,
+    # or columns absent from the footer-sampled schema silently vanish
+    reader = spark.read
+    if union_by_name:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     try:
         raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         threshold = int(raw.lower().rstrip("b"))

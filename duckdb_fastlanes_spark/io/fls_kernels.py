@@ -174,6 +174,11 @@ def alp_encode(
     bad = np.isnan(t) | np.isnan(v) | ~np.isfinite(v)
     # NaN input encodes exactly only via exception (NaN != NaN)
     bad |= np.isnan(v)
+    # -0.0 == 0.0 passes the exactness check but would decode as +0.0,
+    # losing the IEEE-754 sign bit — route it through the exception path
+    # so the roundtrip stays BYTE-exact, not merely value-equal (matters
+    # for hash/fingerprint parity on float columns)
+    bad |= (v == 0) & np.signbit(v)
     exc_pos = np.flatnonzero(bad)
     exc_vals = v[exc_pos]
     fill = 0.0

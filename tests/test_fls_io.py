@@ -112,6 +112,21 @@ def test_explicit_cardinality_is_accepted(spark, tmp_path):
     assert read_fls(spark, out, explicit_cardinality=100).count() == 7
 
 
+def test_explicit_cardinality_keeps_union_by_name(spark, tmp_path):
+    """The reference applies explicit_cardinality and union_by_name
+    INDEPENDENTLY (fls_multi_file_info.cpp options): a mixed-schema
+    directory read with both set must not lose columns absent from the
+    footer-sampled schema."""
+    root = str(tmp_path / "mixed")
+    spark.range(0, 5).select(F.col("id")).write.parquet(root)
+    spark.range(5, 10).select(
+        F.col("id"), F.lit("y").alias("tag")
+    ).write.mode("append").parquet(root)
+    df = read_fls(spark, root, union_by_name=True, explicit_cardinality=100)
+    assert set(df.columns) == {"id", "tag"}
+    assert df.count() == 10
+
+
 class TestSchemaPromotion:
     """PromoteType lattice (reference schema_builder.cpp:132-172)."""
 

@@ -78,6 +78,17 @@ def test_alp_roundtrip_with_exceptions(vals):
     assert np.array_equal(out, v, equal_nan=True)
 
 
+def test_alp_negative_zero_byte_exact():
+    """-0.0 == 0.0 passes the exactness check, but decoding integer 0 gives
+    +0.0 — the sign bit must survive via the exception path so the
+    roundtrip is BYTE-exact, not merely value-equal."""
+    v = np.array([-0.0, 0.0, 1.25, -0.0], dtype=np.float64)
+    e, f = K.alp_choose(v)
+    ints, ep, ev = K.alp_encode(v, e, f)
+    out = K.alp_decode(ints, e, f, ep, ev)
+    assert out.tobytes() == v.tobytes()  # bit-exact, sign of zero included
+
+
 def test_rle_index_mapped_contract():
     # decode contract of rle_map_kernel.hpp: arr[i] == run_values[idxs[i]]
     a = np.repeat(np.array([7, -3, 7, 9], dtype=np.int64), [5, 1, 3, 7])
