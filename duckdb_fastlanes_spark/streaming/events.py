@@ -300,7 +300,16 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~watermark+interval per side instead of buffering both streams forever
     — the property that makes this viable on an unbounded 100 TB/day feed.
     Drained with availableNow the result equals the batch interval join,
-    which is the oracle."""
+    which is the oracle.
+
+    The drain runs on a CLONED session (shared SparkContext, isolated SQL
+    conf) with ``noDataMicroBatches`` disabled: an append-mode INNER join
+    emits every result in the data batch itself — the trailing empty
+    micro-batch only evicts aged state, ~0.7 s of pure drain overhead per
+    run here. The clone scopes the conf to this query (a session-wide set
+    would race the concurrent bench batch), and the flag stays ON for the
+    aggregation/timeout drains (tumbling windows, stateful sessions),
+    whose FINAL results genuinely ride the closing watermark batch."""
     import shutil
     import tempfile
 
@@ -312,9 +321,16 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for et, sub in (("view", "views"), ("click", "clicks"))
     }
-    schema = spark.read.parquet(sides["views"]).schema
+    s2 = spark.newSession()
+    # newSession starts from the context defaults, not the parent's runtime
+    # confs — carry over the input-size tuning so state-store partitioning
+    # matches the rest of the run
+    for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled"):
+        s2.conf.set(k, spark.conf.get(k))
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    schema = s2.read.parquet(sides["views"]).schema
     views = (
-        spark.readStream.schema(schema)
+        s2.readStream.schema(schema)
         .parquet(sides["views"])
         .withWatermark("ts", WATERMARK)
         .select(
@@ -324,7 +340,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     clicks = (
-        spark.readStream.schema(schema)
+        s2.readStream.schema(schema)
         .parquet(sides["clicks"])
         .withWatermark("ts", WATERMARK)
         .select(

@@ -39,8 +39,12 @@ def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--json=")]
+    json_out = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")), None
+    )
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
@@ -52,6 +56,10 @@ def main() -> int:
     qs = registry.queries()
     oracles = registry.oracles()
     n_pass = n_fail = 0
+    # --json=<path>: also emit a machine-readable artifact (same per-query
+    # shape as the driver's CORRECTNESS_r{N}.json) so the full-sweep claim
+    # is a committed file, not a rerun
+    report: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -64,10 +72,15 @@ def main() -> int:
             print(f"FAIL {name}: spark error")
             traceback.print_exc(limit=4)
             n_fail += 1
+            report[name] = {"status": "spark_error"}
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
+            report[name] = {
+                "status": "rows_only", "n_rows": len(srows),
+                "seconds": round(time.time() - t0, 1),
+            }
             continue
         try:
             rel = con.execute(oracles[name])
@@ -77,6 +90,7 @@ def main() -> int:
             print(f"FAIL {name}: oracle error")
             traceback.print_exc(limit=4)
             n_fail += 1
+            report[name] = {"status": "oracle_error"}
             continue
         problems = []
         if sorted(scols) != sorted(ocols):
@@ -90,13 +104,32 @@ def main() -> int:
                 diff = [i for i, (x, y) in enumerate(zip(sn, on)) if x != y][:3]
                 examples = [(sn[i], on[i]) for i in diff]
                 problems.append(f"values differ; first diffs {examples}")
+        report[name] = {
+            "status": "fail" if problems else "pass",
+            "rows_match": len(srows) == len(orows),
+            "schema_match": sorted(scols) == sorted(ocols),
+            "values_match": not problems,
+            "n_rows": len(srows),
+            "seconds": round(time.time() - t0, 1),
+        }
         if problems:
             n_fail += 1
+            report[name]["problems"] = problems
             print(f"FAIL {name}: " + " | ".join(problems))
         else:
             n_pass += 1
             print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                 "queries": report},
+                fh, indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
