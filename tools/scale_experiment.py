@@ -34,9 +34,9 @@ from duckdb_fastlanes_spark import get_spark, registry
 SF_SMALL = "/root/testdata/sf0.01"
 SF_BIG = "/root/testdata/sf0.1"
 SF_HUGE = os.environ.get("SPARK_GRAFT_SCALED_DIR", "/tmp/dfs_scaled/sf1")
-#: the 1000× cell: documents/embeddings/events replicated ×100 from sf0.1
-#: (make_scaled_data.py with a table subset — the other tables stay at
-#: sf0.1 size, so only the dedup/ANN/text/streaming families run here)
+#: the 1000× cell: since r5 the FULL catalog replicated ×100 from sf0.1
+#: (60 M-row lineitem, 15 M orders, 500 k docs, 10 M events, 200 k
+#: embeddings) — the relational families run there alongside dedup/ANN
 SF_DOCS = os.environ.get("SPARK_GRAFT_SCALED10_DIR", "/tmp/dfs_scaled/sf10")
 
 #: one representative per cost shape (scan-bound, shuffle-bound, expand-bound,
@@ -58,9 +58,8 @@ QUERIES = [
     "graph_triangle_count",  # wedge join: the superlinear canary (Σ deg²)
 ]
 
-#: queries whose input tables are replicated in the 1000× cell
-#: (documents/embeddings/events only — see make_scaled_data.py tables arg);
-#: the TPC-H/graph families stay at sf0.1 size there and are skipped
+#: the doc/ANN/streaming families — tracked as their own basket in the
+#: totals line (they were the only 1000×-covered queries through r4)
 DOC_QUERIES = {
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -71,6 +70,19 @@ DOC_QUERIES = {
     "text_quality_score",
     "events_max_concurrency",
     "embedding_dim_stats",
+}
+
+#: queries that run at the 1000× cell. Since r5 the scaled corpus is the
+#: FULL catalog ×100 (make_scaled_data.py with no table subset: 60 M-row
+#: lineitem, 15 M orders, 500 k docs, 10 M events), so the relational
+#: families run there too. graph_triangle_count stays excluded — the
+#: wedge join's Σ deg² cost puts BOTH engines in multi-minute territory
+#: at 1000× without adding signal beyond its 100× growth factor.
+HUGE_QUERIES = DOC_QUERIES | {
+    "tpch_q1",
+    "tpch_q9",
+    "count_distinct",
+    "window_row_number",
 }
 
 N_TIMED = 2
@@ -121,11 +133,10 @@ def main() -> None:
         optimize_layout(spark, sf_dir)
         con = duck_con(sf_dir)
         results[label] = {}
-        # the 1000× cell replicates only documents/embeddings/events, so
-        # only the families reading those tables run there; multi-second
-        # cells are timed once (noise is relative, and the DuckDB side of
-        # the dedup family runs minutes-long there)
-        names = [q for q in QUERIES if label != "1000×" or q in DOC_QUERIES]
+        # HUGE_QUERIES run at the 1000× cell (all except the wedge-join
+        # canary); multi-second cells are timed once (noise is relative,
+        # and the DuckDB side of the dedup family runs minutes-long there)
+        names = [q for q in QUERIES if label != "1000×" or q in HUGE_QUERIES]
         n_t = 1 if label == "1000×" else N_TIMED
         for name in names:
             # constructed discipline: plan built AND executed per timed run,
@@ -153,10 +164,10 @@ def main() -> None:
         f"{N_TIMED} warm runs per cell; same protocol as bench.py). The 100× "
         "cell is the synthesized ~sf1 corpus from `tools/make_scaled_data.py` "
         "(10 disjoint key-shifted replicas of sf0.1 — run it first to include "
-        "the cell). The 1000× cell replicates only documents/embeddings/"
-        "events ×100 (make_scaled_data.py table-subset mode: 500 k docs, "
-        "10 M events, 200 k embeddings), so only the dedup/ANN/text/event "
-        "families run there (single timed run; — elsewhere).",
+        "the cell). The 1000× cell is the full catalog ×100 (60 M-row "
+        "lineitem, 15 M orders, 500 k docs, 10 M events, 200 k embeddings); "
+        "every family except the wedge-join canary runs there "
+        "(single timed run; — elsewhere).",
         "",
         "A growth factor ≪10 per 10× of data means the query is still",
         "overhead-bound — its Spark-vs-DuckDB ratio shrinks with every",
@@ -184,8 +195,8 @@ def main() -> None:
         row += f" ×{sg:.1f} | ×{dg:.1f} |"
         lines.append(row)
 
-    # totals over the cells where EVERY query ran (growth comparisons need a
-    # constant query basket; the 1000× cell covers only the doc families)
+    # totals over the cells where EVERY query ran (growth comparisons need
+    # a constant query basket; the 1000× cell skips the wedge-join canary)
     full_labels = [
         lab for lab in labels if all(n in results[lab] for n in QUERIES)
     ]
