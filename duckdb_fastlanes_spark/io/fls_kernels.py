@@ -24,6 +24,16 @@ un-vendored external FastLanes library, see fls_native.py module docstring):
   dec = enc·10^f/10^e, out-of-domain values patched positionally)
   → ``alp_encode`` / ``alp_decode``
 - Uncompressed (kernels/uncompressed_kernel.hpp) → raw little-endian
+- FSST (symbol-table string compression, ≤255 symbols of 1-8 bytes +
+  escape byte; kernels/fsst_kernel.hpp:11-59, fsst_dict_kernel.hpp:18-80;
+  published FSST scheme) → ``fsst_build_table`` / ``fsst_encode`` /
+  ``fsst_decode`` — table built by the paper's iterative greedy
+  refinement, shared per chunk like the reference's per-segment table
+- Frequency (one frequent value + exception positions/values;
+  kernels/frequency_kernel.hpp:8-69) → ``freq_encode`` / ``freq_decode``
+- SLPatch (patched FFOR: bulk-width bit-packing + exception patching;
+  kernels/slpatch_kernel.hpp:8-31) → ``slpatch_encode`` /
+  ``slpatch_decode``
 
 All functions operate on one logical vector of ``VEC_SZ`` = 1024 values
 (the reference's CFG::VEC_SZ; tail vectors are shorter). Packing is dense
@@ -195,6 +205,169 @@ def alp_decode(
     out = ints.astype(np.float64) * _F10[f] * _IF10[e]
     if len(exc_pos):
         out[exc_pos.astype(np.int64)] = exc_vals
+    return out
+
+
+# ----------------------------------------------------------------------- FSST
+#: code 255 is the escape marker (next byte is a literal), so the symbol
+#: table holds at most 255 entries of 1-8 bytes — the published FSST
+#: geometry (kernels/fsst_kernel.hpp:11-59 decodes through the same
+#: 255-symbol table + escape contract via fsst_decompress)
+FSST_ESCAPE = 255
+FSST_MAX_SYMBOLS = 255
+FSST_MAX_SYMLEN = 8
+
+
+def _fsst_pattern(table: list[bytes]):
+    """Greedy longest-match tokenizer for a symbol table: a literal
+    alternation ordered longest-first (regex alternation takes the first —
+    here longest — literal that matches at the position), with a final
+    any-byte fallback so the parse is total. Matching runs in the re
+    engine (C), not per-byte Python."""
+    import re
+
+    parts = sorted(table, key=len, reverse=True)
+    alts = b"|".join(re.escape(s) for s in parts)
+    return re.compile((alts + b"|." if alts else b"."), re.DOTALL)
+
+
+def fsst_build_table(sample: bytes, iterations: int = 4) -> list[bytes]:
+    """Build an FSST symbol table from a sample blob by the paper's
+    iterative greedy refinement: parse the sample with the current table,
+    score every emitted segment and every adjacent-segment concatenation
+    (≤ 8 bytes) by apparent gain = count × length, keep the top 255.
+    Deterministic (ties broken by symbol bytes)."""
+    from collections import Counter
+
+    table: list[bytes] = []
+    if not sample:
+        return table
+    for _ in range(iterations):
+        segs = [m.group() for m in _fsst_pattern(table).finditer(sample)]
+        gains = Counter()
+        for s in segs:
+            gains[s] += len(s)
+        for a, b in zip(segs, segs[1:]):
+            ab = a + b
+            if len(ab) <= FSST_MAX_SYMLEN:
+                gains[ab] += len(ab)
+        ranked = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
+        table = [s for s, _ in ranked[:FSST_MAX_SYMBOLS]]
+    return table
+
+
+def fsst_encode(blob: bytes, table: list[bytes], pat=None) -> bytes:
+    """Encode one byte string: greedy longest-match against the table →
+    one code byte per symbol; bytes not in the table are emitted as
+    (escape, literal) pairs. Pass ``pat`` (from :func:`_fsst_pattern`) to
+    amortize the tokenizer across many strings."""
+    if pat is None:
+        pat = _fsst_pattern(table)
+    idx = {s: i for i, s in enumerate(table)}
+    out = bytearray()
+    for m in pat.finditer(blob):
+        s = m.group()
+        i = idx.get(s)
+        if i is None:
+            out.append(FSST_ESCAPE)
+            out += s
+        else:
+            out.append(i)
+    return bytes(out)
+
+
+def fsst_decode(code: bytes, table: list[bytes]) -> bytes:
+    """Inverse of :func:`fsst_encode`. Escape-free stretches decode as a
+    bulk table gather (list __getitem__ + join — no per-symbol Python
+    branching); escapes are handled by jumping between them. Decoding a
+    concatenation of per-string encodings yields the concatenation of the
+    strings (escape pairs never span string boundaries), which is how the
+    chunk decoder runs one pass per vector."""
+    esc = b"%c" % FSST_ESCAPE
+    get = table.__getitem__
+    pos, parts = 0, []
+    while True:
+        e = code.find(esc, pos)
+        if e < 0:
+            parts.append(b"".join(map(get, code[pos:])))
+            break
+        parts.append(b"".join(map(get, code[pos:e])))
+        parts.append(code[e + 1 : e + 2])
+        pos = e + 2
+    return b"".join(parts)
+
+
+# ------------------------------------------------------------------ frequency
+def freq_encode(arr: np.ndarray) -> tuple[int, np.ndarray, np.ndarray]:
+    """Frequency encoding (kernels/frequency_kernel.hpp:8-69): ONE frequent
+    value + an exception list of (position, value) for everything else.
+    Returns ``(top, exc_pos, exc_vals)``."""
+    a = arr.astype(np.int64, copy=False)
+    if len(a) == 0:
+        return 0, np.zeros(0, dtype=np.uint16), a[:0]
+    vals, cnts = np.unique(a, return_counts=True)
+    top = int(vals[int(cnts.argmax())])
+    exc_pos = np.flatnonzero(a != top)
+    return top, exc_pos.astype(np.uint16), a[exc_pos]
+
+
+def freq_decode(
+    top: int, exc_pos: np.ndarray, exc_vals: np.ndarray, n: int
+) -> np.ndarray:
+    out = np.full(n, top, dtype=np.int64)
+    if len(exc_pos):
+        out[exc_pos.astype(np.int64)] = exc_vals.astype(np.int64)
+    return out
+
+
+# -------------------------------------------------------------------- SLPatch
+def slpatch_encode(
+    arr: np.ndarray,
+) -> tuple[int, int, bytes, np.ndarray, np.ndarray]:
+    """SLPatch (kernels/slpatch_kernel.hpp:8-31): FFOR at a bit width
+    chosen for the BULK of the deltas, with out-of-width values patched
+    from an exception list after decode. The width minimizes measured
+    bytes (packed payload + 10 B per exception) over every candidate
+    width, so SLPatch is only ever emitted when patching genuinely beats
+    plain FFOR. Returns ``(base, width, payload, exc_pos, exc_vals)``;
+    exception slots in the payload hold 0."""
+    a = arr.astype(np.int64, copy=False)
+    base = int(a.min()) if len(a) else 0
+    delta = (a.astype(_U64) - _U64(base & 0xFFFFFFFFFFFFFFFF)) & _U64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    # per-value bit lengths via float log2 are unsafe near 2^53; compare
+    # against exact powers of two instead: bit_length(d) = #{k: 2^k <= d}
+    # over k = 0..63 (0 for d == 0, 64 for d >= 2^63)
+    bounds = (_U64(1) << np.arange(0, 64, dtype=_U64)).astype(_U64)
+    bl = np.searchsorted(bounds, delta, side="right").astype(np.int64)
+    hist = np.bincount(bl, minlength=65)
+    tail = np.cumsum(hist[::-1])[::-1]  # tail[w] = count(bl >= w)
+    n = len(a)
+    best_w, best_cost = 64, (n * 64 + 7) // 8
+    for w in range(64):
+        n_exc = int(tail[w + 1]) if w + 1 <= 64 else 0
+        cost = (n * w + 7) // 8 + 10 * n_exc
+        if cost < best_cost:
+            best_w, best_cost = w, cost
+    w = best_w
+    exc = bl > w
+    exc_pos = np.flatnonzero(exc)
+    payload = pack_bits(np.where(exc, _U64(0), delta), w)
+    return base, w, payload, exc_pos.astype(np.uint16), a[exc_pos]
+
+
+def slpatch_decode(
+    base: int,
+    width: int,
+    payload: bytes,
+    n: int,
+    exc_pos: np.ndarray,
+    exc_vals: np.ndarray,
+) -> np.ndarray:
+    out = ffor_decode(base, width, payload, n)
+    if len(exc_pos):
+        out[exc_pos.astype(np.int64)] = exc_vals.astype(np.int64)
     return out
 
 

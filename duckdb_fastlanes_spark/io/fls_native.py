@@ -15,8 +15,11 @@ implements that literally:
 - 1024-value vectors (CFG::VEC_SZ; fls_writer.hpp:12-22), grouped into row
   groups of N_VEC_PER_RG vectors;
 - per-vector encoding chosen by measured size: constant / FFOR / RLE /
-  dictionary / ALP / uncompressed — the same kernel family the reference
-  materializes through (src/include/reader/materializer/kernels/*.hpp);
+  frequency / SLPatch / dictionary / ALP / FSST / uncompressed — the same
+  kernel family the reference materializes through
+  (src/include/reader/materializer/kernels/*.hpp); FSST symbol tables are
+  chunk-shared (fsst_dict_kernel.hpp's Prepare-once geometry) and kept
+  only when a sampled encode shows ≥15% size win;
 - a self-describing footer with schema + per-row-group per-column segment
   offsets and min/max statistics, used for row-group pruning on read
   (row_group_filter.cpp:75-199, row_group_statistics.cpp) — serialized as
@@ -61,6 +64,9 @@ ENC_FFOR = 2
 ENC_DICT = 3
 ENC_ALP = 4
 ENC_RLE = 5
+ENC_FSST = 6
+ENC_FREQ = 7
+ENC_SLPATCH = 8
 
 ENC_NAMES = {
     ENC_CONSTANT: "constant",
@@ -69,7 +75,15 @@ ENC_NAMES = {
     ENC_DICT: "dict",
     ENC_ALP: "alp",
     ENC_RLE: "rle",
+    ENC_FSST: "fsst",
+    ENC_FREQ: "frequency",
+    ENC_SLPATCH: "slpatch",
 }
+
+#: chunk-header string modes (first byte of every column chunk)
+_STR_PLAIN = 0
+_STR_DICT = 1
+_STR_FSST = 2
 
 #: logical type name → (arrow type, int-backed?)
 _TYPES = {
@@ -122,7 +136,8 @@ def _valid_mask(arr: pa.Array) -> np.ndarray | None:
 
 
 def _encode_int_vector(v: np.ndarray, out: bytearray) -> int:
-    """Choose + write the cheapest integer encoding; returns ENC_*."""
+    """Choose + write the cheapest integer encoding by MEASURED bytes
+    (constant / RLE / frequency / SLPatch / FFOR); returns ENC_*."""
     if len(v) and (v == v[0]).all():
         out += struct.pack("<q", int(v[0]))
         return ENC_CONSTANT
@@ -132,12 +147,30 @@ def _encode_int_vector(v: np.ndarray, out: bytearray) -> int:
     iw = int(len(runs) - 1).bit_length()
     rle_cost = 2 + 8 * len(runs) + 1 + (len(v) * iw + 7) // 8
     ffor_cost = 9 + len(payload)
-    if len(runs) <= 0xFFFF and rle_cost < ffor_cost:
+    top, f_pos, f_vals = K.freq_encode(v)
+    freq_cost = 8 + 2 + 10 * len(f_pos)
+    sp_base, sp_w, sp_payload, sp_pos, sp_vals = K.slpatch_encode(v)
+    slp_cost = 9 + len(sp_payload) + 2 + 10 * len(sp_pos)
+    best = min(rle_cost if len(runs) <= 0xFFFF else 1 << 62,
+               freq_cost, slp_cost, ffor_cost)
+    if best == freq_cost and freq_cost < ffor_cost:
+        out += struct.pack("<qH", top, len(f_pos))
+        out += f_pos.astype(np.uint16).tobytes()
+        out += f_vals.astype(np.int64).tobytes()
+        return ENC_FREQ
+    if len(runs) <= 0xFFFF and best == rle_cost and rle_cost < ffor_cost:
         out += struct.pack("<H", len(runs))
         out += runs.astype(np.int64).tobytes()
         out += struct.pack("<B", iw)
         out += K.pack_bits(idxs, iw)
         return ENC_RLE
+    if best == slp_cost and slp_cost < ffor_cost and len(sp_pos):
+        out += struct.pack("<qB", sp_base, sp_w)
+        out += sp_payload
+        out += struct.pack("<H", len(sp_pos))
+        out += sp_pos.astype(np.uint16).tobytes()
+        out += sp_vals.astype(np.int64).tobytes()
+        return ENC_SLPATCH
     out += struct.pack("<qB", base, width)
     out += payload
     return ENC_FFOR
@@ -170,8 +203,30 @@ def _encode_str_chunk(
     py = col.to_pylist()
     vals = [b"" if x is None else x.encode("utf-8") for x in py]
     uniq = sorted(set(vals))
-    use_dict = len(uniq) <= max(4096, len(vals) // 4)
-    out += struct.pack("<B", 1 if use_dict else 0)
+    # a dictionary only pays when keys actually repeat — at ≥50% distinct
+    # the key blob + codes exceed the plain layout, and FSST (below) is
+    # the right tool for unique-but-compressible text
+    use_dict = len(uniq) <= max(4096, len(vals) // 4) and len(uniq) <= len(vals) // 2
+    use_fsst = False
+    fsst_table: list[bytes] = []
+    fsst_pat = None
+    if not use_dict:
+        # high-cardinality strings: try a chunk-shared FSST symbol table
+        # (fsst_dict_kernel.hpp builds the table once in Prepare and
+        # decodes per vector — same sharing geometry). The table is built
+        # from a bounded sample and kept only when the measured sample
+        # compression pays ≥15%, so incompressible chunks stay UNCOMP.
+        sample = b"".join(vals)[:65536]
+        if len(sample) >= 1024:
+            fsst_table = K.fsst_build_table(sample)
+            fsst_pat = K._fsst_pattern(fsst_table)
+            if len(K.fsst_encode(sample, fsst_table, fsst_pat)) <= 0.85 * len(
+                sample
+            ):
+                use_fsst = True
+    out += struct.pack(
+        "<B", _STR_FSST if use_fsst else (_STR_DICT if use_dict else _STR_PLAIN)
+    )
     if use_dict:
         key_to_idx = {k: i for i, k in enumerate(uniq)}
         ends, blob = K.dict_offsets_bytes(uniq)
@@ -180,6 +235,12 @@ def _encode_str_chunk(
         out += struct.pack("<Q", len(blob))
         out += blob
         codes = np.fromiter((key_to_idx[v] for v in vals), dtype=np.uint64, count=len(vals))
+    elif use_fsst:
+        ends, blob = K.dict_offsets_bytes(fsst_table)
+        out += struct.pack("<H", len(fsst_table))
+        out += ends.astype(np.uint32).tobytes()
+        out += struct.pack("<Q", len(blob))
+        out += blob
     for start in range(0, len(vals), VEC_SZ):
         vec = vals[start : start + VEC_SZ]
         n = len(vec)
@@ -198,6 +259,15 @@ def _encode_str_chunk(
                 w = int(len(uniq) - 1).bit_length()
                 body += struct.pack("<B", w)
                 body += K.pack_bits(cvec, w)
+        elif use_fsst:
+            # per-string encode, concatenated; decoded end-offsets ride
+            # along so one bulk decode per vector splits back into strings
+            enc = ENC_FSST
+            ends, _ = K.dict_offsets_bytes(vec)
+            code = b"".join(K.fsst_encode(s, fsst_table, fsst_pat) for s in vec)
+            body += ends.astype(np.uint32).tobytes()
+            body += struct.pack("<Q", len(code))
+            body += code
         else:
             enc = ENC_UNCOMP
             ends, blob = K.dict_offsets_bytes(vec)
@@ -363,10 +433,11 @@ def _str_array_from_offsets(ends: np.ndarray, blob: bytes) -> pa.Array:
 def _decode_chunk(buf: memoryview, ltype: str, n_rows: int) -> pa.Array:
     """Decode one column chunk back to an Arrow array of the logical type."""
     p = 0
-    (has_dict,) = struct.unpack_from("<B", buf, p)
+    (str_mode,) = struct.unpack_from("<B", buf, p)
     p += 1
     dict_arr: pa.Array | None = None
-    if has_dict:
+    fsst_table: list[bytes] = []
+    if str_mode == _STR_DICT:
         (n_keys,) = struct.unpack_from("<I", buf, p)
         p += 4
         ends = np.frombuffer(buf, dtype=np.uint32, count=n_keys, offset=p)
@@ -374,6 +445,15 @@ def _decode_chunk(buf: memoryview, ltype: str, n_rows: int) -> pa.Array:
         (blob_len,) = struct.unpack_from("<Q", buf, p)
         p += 8
         dict_arr = _str_array_from_offsets(ends, bytes(buf[p : p + blob_len]))
+        p += blob_len
+    elif str_mode == _STR_FSST:
+        (n_sym,) = struct.unpack_from("<H", buf, p)
+        p += 2
+        ends = np.frombuffer(buf, dtype=np.uint32, count=n_sym, offset=p)
+        p += 4 * n_sym
+        (blob_len,) = struct.unpack_from("<Q", buf, p)
+        p += 8
+        fsst_table = K.strings_from_offsets(ends, bytes(buf[p : p + blob_len]))
         p += blob_len
 
     int_backed = ltype != "str" and _TYPES[ltype][1]
@@ -411,6 +491,14 @@ def _decode_chunk(buf: memoryview, ltype: str, n_rows: int) -> pa.Array:
                         pa.array(codes.astype(np.int32)), dict_arr
                     ).cast(pa.string())
                 )
+            elif enc == ENC_FSST:
+                ends = np.frombuffer(buf, dtype=np.uint32, count=n, offset=p)
+                p += 4 * n
+                (code_len,) = struct.unpack_from("<Q", buf, p)
+                p += 8
+                blob = K.fsst_decode(bytes(buf[p : p + code_len]), fsst_table)
+                p += code_len
+                out_str.append(_str_array_from_offsets(ends, blob))
             else:  # ENC_UNCOMP
                 ends = np.frombuffer(buf, dtype=np.uint32, count=n, offset=p)
                 p += 4 * n
@@ -436,6 +524,27 @@ def _decode_chunk(buf: memoryview, ltype: str, n_rows: int) -> pa.Array:
                 idxs = K.unpack_bits(bytes(buf[p : p + nb]), w, n)
                 p += nb
                 out_int.append(K.rle_decode(runs, idxs))
+            elif enc == ENC_FREQ:
+                top, n_exc = struct.unpack_from("<qH", buf, p)
+                p += 10
+                exc_pos = np.frombuffer(buf, dtype=np.uint16, count=n_exc, offset=p)
+                p += 2 * n_exc
+                exc_vals = np.frombuffer(buf, dtype=np.int64, count=n_exc, offset=p)
+                p += 8 * n_exc
+                out_int.append(K.freq_decode(top, exc_pos, exc_vals, n))
+            elif enc == ENC_SLPATCH:
+                base, w = struct.unpack_from("<qB", buf, p)
+                p += 9
+                nb = ((n * w + 63) // 64) * 8 if w else 0
+                payload = bytes(buf[p : p + nb])
+                p += nb
+                (n_exc,) = struct.unpack_from("<H", buf, p)
+                p += 2
+                exc_pos = np.frombuffer(buf, dtype=np.uint16, count=n_exc, offset=p)
+                p += 2 * n_exc
+                exc_vals = np.frombuffer(buf, dtype=np.int64, count=n_exc, offset=p)
+                p += 8 * n_exc
+                out_int.append(K.slpatch_decode(base, w, payload, n, exc_pos, exc_vals))
             else:  # ENC_FFOR
                 base, w = struct.unpack_from("<qB", buf, p)
                 p += 9

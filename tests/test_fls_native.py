@@ -156,6 +156,141 @@ def test_encoder_selection(tmp_path):
     assert "ffor" in encs["i64"]
 
 
+@given(st.binary(min_size=0, max_size=2000))
+@settings(max_examples=50, deadline=None)
+def test_fsst_roundtrip_any_bytes(blob):
+    table = K.fsst_build_table(blob)
+    assert len(table) <= K.FSST_MAX_SYMBOLS
+    assert all(1 <= len(s) <= K.FSST_MAX_SYMLEN for s in table)
+    assert K.fsst_decode(K.fsst_encode(blob, table), table) == blob
+
+
+def test_fsst_escape_byte_payload_roundtrip():
+    # 0xff both as literal content and adjacent to symbol hits
+    blob = b"\xffabcabc\xff\xffabc"
+    table = K.fsst_build_table(b"abcabcabcabc")
+    assert K.fsst_decode(K.fsst_encode(blob, table), table) == blob
+
+
+def test_fsst_compresses_repetitive_text():
+    blob = (b"the quick brown fox jumps over the lazy dog " * 200)[:8000]
+    table = K.fsst_build_table(blob)
+    code = K.fsst_encode(blob, table)
+    assert len(code) < len(blob) // 2
+    assert K.fsst_decode(code, table) == blob
+
+
+def test_fsst_concatenated_decode_splits_by_offsets():
+    strings = [b"hello world", b"", b"world hello hello", b"\xff raw"]
+    table = K.fsst_build_table(b" ".join(strings) * 20)
+    code = b"".join(K.fsst_encode(s, table) for s in strings)
+    blob = K.fsst_decode(code, table)
+    ends = np.cumsum([len(s) for s in strings])
+    assert blob == b"".join(strings)
+    prev = 0
+    for s, e in zip(strings, ends):
+        assert blob[prev:e] == s
+        prev = e
+
+
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=1024))
+@settings(max_examples=50, deadline=None)
+def test_freq_roundtrip(vals):
+    a = np.array(vals, dtype=np.int64)
+    top, pos, exc = K.freq_encode(a)
+    assert (K.freq_decode(top, pos, exc, len(a)) == a).all()
+
+
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=1024))
+@settings(max_examples=50, deadline=None)
+def test_slpatch_roundtrip(vals):
+    a = np.array(vals, dtype=np.int64)
+    base, w, payload, pos, exc = K.slpatch_encode(a)
+    assert (K.slpatch_decode(base, w, payload, len(a), pos, exc) == a).all()
+
+
+def test_slpatch_full_int64_range():
+    a = np.array(
+        [np.iinfo(np.int64).min, np.iinfo(np.int64).max, 0, -1, 7, 7, 7],
+        dtype=np.int64,
+    )
+    base, w, payload, pos, exc = K.slpatch_encode(a)
+    assert (K.slpatch_decode(base, w, payload, len(a), pos, exc) == a).all()
+
+
+def test_slpatch_beats_ffor_on_outliers():
+    # 1020 tiny deltas + 4 huge outliers: FFOR pays 64 bits/value,
+    # SLPatch packs 4 bits + 4 exceptions
+    a = np.arange(1024, dtype=np.int64) % 16
+    a[[10, 200, 500, 900]] = 2**60
+    base, w, payload, pos, exc = K.slpatch_encode(a)
+    assert w <= 8 and len(pos) == 4
+    slp_bytes = len(payload) + 10 * len(pos)
+    _, fw, fp = K.ffor_encode(a)
+    assert slp_bytes < len(fp) // 4
+    assert (K.slpatch_decode(base, w, payload, len(a), pos, exc) == a).all()
+
+
+def test_freq_chosen_for_scattered_repeats(tmp_path):
+    # one dominant value with SCATTERED exceptions (no runs → RLE loses,
+    # 60-bit outliers → FFOR/SLPatch pay per-value width)
+    rng = np.random.default_rng(7)
+    v = np.full(4096, 42, dtype=np.int64)
+    idx = rng.choice(4096, size=60, replace=False)
+    v[idx] = rng.integers(2**59, 2**60, size=60)
+    footer = write_table(pa.table({"x": pa.array(v)}), str(tmp_path / "f.fls"), row_group_size=1024)
+    encs = set()
+    for rg in footer["row_groups"]:
+        encs |= set(rg["columns"][0]["encodings"])
+    assert "frequency" in encs
+
+
+def test_slpatch_chosen_for_outlier_deltas(tmp_path):
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, 256, size=4096).astype(np.int64)  # 8-bit bulk
+    v[rng.choice(4096, size=40, replace=False)] = 2**55  # patched tail
+    footer = write_table(pa.table({"x": pa.array(v)}), str(tmp_path / "s.fls"), row_group_size=1024)
+    encs = set()
+    for rg in footer["row_groups"]:
+        encs |= set(rg["columns"][0]["encodings"])
+    assert "slpatch" in encs
+
+
+def test_fsst_chosen_for_high_cardinality_text(tmp_path):
+    # unique-per-row strings over a shared vocabulary: dictionary is
+    # rejected (cardinality == n), FSST pays via the shared symbol table
+    words = ["lorem", "ipsum", "dolor", "sit", "amet", "consectetur"]
+    rng = np.random.default_rng(3)
+    vals = [
+        " ".join(words[j] for j in rng.integers(0, len(words), size=12))
+        + f" #{i}"
+        for i in range(8192)
+    ]
+    t = pa.table({"s": pa.array(vals, pa.string())})
+    path = str(tmp_path / "fsst.fls")
+    footer = write_table(t, path, row_group_size=4096)
+    encs = set()
+    for rg in footer["row_groups"]:
+        encs |= set(rg["columns"][0]["encodings"])
+    assert "fsst" in encs
+    t2 = pa.Table.from_batches(list(read_file(path)))
+    assert t.column("s").combine_chunks().equals(t2.column("s").combine_chunks())
+    # and the format actually shrank the payload vs raw utf-8
+    import os
+
+    raw = sum(len(s.encode()) for s in vals)
+    assert os.path.getsize(path) < raw
+
+
+def test_fsst_nulls_roundtrip(tmp_path):
+    vals = [None if i % 7 == 0 else f"payload text number {i} with shared shingles" for i in range(5000)]
+    t = pa.table({"s": pa.array(vals, pa.string())})
+    path = str(tmp_path / "fsstn.fls")
+    write_table(t, path, row_group_size=1024)
+    t2 = pa.Table.from_batches(list(read_file(path)))
+    assert t.column("s").combine_chunks().equals(t2.column("s").combine_chunks())
+
+
 def test_rle_chosen_for_long_runs(tmp_path):
     t = pa.table({"r": pa.array(np.repeat(np.int64(5), 4096))})
     # constant wins all-equal vectors; make two runs per vector instead
