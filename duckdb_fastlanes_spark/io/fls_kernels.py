@@ -144,11 +144,14 @@ _IF10 = np.power(10.0, -np.arange(_ALP_MAX_E + 1).astype(np.float64))
 
 def _alp_try(v: np.ndarray, e: int, f: int) -> np.ndarray | None:
     """Integers i with v == i * 10^f / 10^e where representable, else None."""
-    scaled = v * _F10[e] * _IF10[f]
-    # fastround trick domain: |scaled| must fit well inside 2^51
-    ok = np.isfinite(scaled) & (np.abs(scaled) < 2.0**51)
-    i = np.round(scaled)
-    exact = ok & (i * _F10[f] * _IF10[e] == v)
+    # overflow to inf is expected for large |v| at high e — those lanes are
+    # rejected by the isfinite/magnitude gate and land on the exception path
+    with np.errstate(over="ignore", invalid="ignore"):
+        scaled = v * _F10[e] * _IF10[f]
+        # fastround trick domain: |scaled| must fit well inside 2^51
+        ok = np.isfinite(scaled) & (np.abs(scaled) < 2.0**51)
+        i = np.round(scaled)
+        exact = ok & (i * _F10[f] * _IF10[e] == v)
     return np.where(exact, i, np.nan)
 
 
