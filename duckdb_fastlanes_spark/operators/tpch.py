@@ -140,19 +140,29 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """count(distinct) — expand+two-phase agg in Spark; exact, shuffle on key.
-    Single-parse SQL body (measured 0.27 → 0.20 s at sf0.1 vs the Column-tree
-    build of the identical plan)."""
+    """Exact multi-column count(distinct) as THREE independent single-pass
+    aggregates cross-joined at one row each, instead of one Expand plan.
+
+    Spark rewrites N count(DISTINCT a),(DISTINCT b) in one SELECT into an
+    Expand that replicates every input row N+1 times before the partial
+    aggregate — at the 1000× SCALE cell that is a 180 M-row stream into the
+    hash aggregate (11.4 s). Three separate aggregates each scan once and
+    dedup map-side (60 M→15 M / 60 M→2 M / metadata count), then meet in two
+    1×1-row broadcast nested-loop joins: 6.4 s at the same cell, identical
+    at sf0.1 (the extra scans read single columns; the Expand's tripled agg
+    input costs more than two extra column scans at every size). Exact,
+    shuffle only on the distinct values themselves. Single-parse SQL body
+    (measured 0.27 → 0.20 s at sf0.1 vs the Column-tree build)."""
     from duckdb_fastlanes_spark.catalog import sql_q
 
     return sql_q(
         spark,
         sf_dir,
         """
-        SELECT count(DISTINCT l_orderkey) AS distinct_orders,
-               count(DISTINCT l_partkey)  AS distinct_parts,
-               count(1)                   AS n_rows
-        FROM lineitem
+        SELECT a.distinct_orders, b.distinct_parts, c.n_rows
+        FROM (SELECT count(DISTINCT l_orderkey) AS distinct_orders FROM lineitem) a,
+             (SELECT count(DISTINCT l_partkey)  AS distinct_parts  FROM lineitem) b,
+             (SELECT count(1) AS n_rows FROM lineitem) c
         """,
     )
 

@@ -37,6 +37,27 @@ def _ts(s: str) -> F.Column:
     return F.lit(f"{s} 00:00:00").cast("timestamp")
 
 
+def _pin_shuffle_hash(df: DataFrame, sf_dir: str) -> DataFrame:
+    """Shuffle-hash hint for a FACT-SIZED join side, applied above the
+    small-input threshold only (same gauge and rationale as
+    dedup._pin_merge). Below the threshold the static planner's broadcast
+    is the fast plan and the hint would add two needless exchanges. Above
+    it, the column-pruned size ESTIMATE of a fact table (orders: two of
+    nine columns) can slip under the broadcast threshold while the actual
+    hash relation is 10-20× larger — measured at the 1000× SCALE cell,
+    broadcasting the 15 M-row orders build ran tpch_q9 at 11.3 s
+    (single-threaded driver build + GC pressure) vs 2.8 s with the build
+    distributed across shuffle partitions. Sort-merge is wrong here too:
+    SHJ skips sorting the 60 M-row probe. At cluster scale the
+    per-partition build is bounded by AQE partition sizing, exactly like
+    every other engine's partitioned hash join."""
+    from duckdb_fastlanes_spark.session import SMALL_INPUT_BYTES, input_gauge_bytes
+
+    if input_gauge_bytes(sf_dir) >= SMALL_INPUT_BYTES:
+        return df.hint("shuffle_hash")
+    return df
+
+
 #: micro-unit exact-integer money sum (see operators/tpch.py: a raw double
 #: sum's last rounded cent is summation-order-dependent and flips between
 #: engines at large group sums; 1e-6 units are lossless for <=6-dp products
@@ -382,15 +403,24 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 product-type profit, adapted: no partsupp table in the driver schema,
     so profit = discounted revenue (the supplycost term is dropped); the join
-    and group-by shape is Q9's."""
+    and group-by shape is Q9's. The part-filtered lineitem side of the
+    orders join is pinned to a distributed hash build above the input gauge
+    (_pin_shuffle_hash — the %red% filter keeps ~5% of lineitem, the
+    smallest side of that join, so it is the right build at every scale);
+    part/supplier stay with AQE, which broadcast-converts them from their
+    post-filter sizes."""
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = table(spark, sf_dir, "supplier")
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     n = F.broadcast(table(spark, sf_dir, "nation"))
     return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
+        _pin_shuffle_hash(
+            li.join(p, li.l_partkey == p.p_partkey).join(
+                s, li.l_suppkey == s.s_suppkey
+            ),
+            sf_dir,
+        )
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(n, s.s_nationkey == n.n_nationkey)
         .select(

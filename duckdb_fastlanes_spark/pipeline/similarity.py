@@ -888,24 +888,40 @@ def sim_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python with the same left-to-right IEEE summation as the Spark
     signature expression. Planes are md5-derived literals, bit-identical
     on both engines; the oracle recomputes the same buckets from scratch."""
+    import os
+
     idx = _srp_index(spark, sf_dir)
-    qe = (
-        table(spark, sf_dir, "embeddings")
-        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e")
-        .where(f"vec_id = {QUERY_VEC_ID}")
-        .select("e")
-        .head()[0]
+    # the query vector is CLIENT INPUT in a real deployment; fetching it
+    # with a Spark job (scan embeddings, filter vec_id) spent one whole
+    # job's floor (~0.3 s) on a 1-row lookup. Read it driver-side from the
+    # parquet file instead (predicate-pushed single row-group read, like
+    # the footer reads in io/fls.py) — corpus-size-independent: the filter
+    # prunes on row-group stats, decoding one group regardless of file size.
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        columns=["embedding"], filter=pads.field("vec_id") == QUERY_VEC_ID
     )
-    probes = _srp_probe_ints(_srp_sig_py(list(qe)))
-    qcol = F.array(*[F.lit(float(x)) for x in qe])
-    cand = (
-        spark.read.parquet(idx)
-        .where(F.col("sig").isin(probes))
-        .where(f"vec_id <> {QUERY_VEC_ID}")
+    qe = [float(x) for x in tbl.column(0)[0].as_py()]
+    probes = _srp_probe_ints(_srp_sig_py(qe))
+    # read ONLY the probe buckets' directories — listing all 2^SRP_PLANES
+    # partition dirs to prune 219 of them is avoidable metadata work; the
+    # probe set is known driver-side, so hand the reader just those paths
+    # (the sig column is not needed downstream). Missing dirs = empty
+    # buckets, skipped.
+    paths = [p for p in (f"{idx}/sig={s}" for s in probes) if os.path.isdir(p)]
+    cand = spark.read.parquet(*paths).where(f"vec_id <> {QUERY_VEC_ID}")
+    # one parsed SQL fragment instead of a 64-literal Column tree: plan
+    # CONSTRUCTION is py4j round-trips per Column call and this query's
+    # execution is a single sub-second job, so construction is visible
+    qarr = "array(" + ", ".join(f"{x!r}D" for x in qe) + ")"
+    cos = (
+        f"aggregate(zip_with(e, {qarr}, (p, q) -> p * q), 0D, (a, v) -> a + v)"
+        f" / (sqrt(aggregate(e, 0D, (a, v) -> a + v * v))"
+        f" * sqrt(aggregate({qarr}, 0D, (a, v) -> a + v * v)))"
     )
-    cos = _dot(F.col("e"), qcol) / (_norm(F.col("e")) * _norm(qcol))
     return (
-        cand.select("vec_id", cos.alias("_cos"))
+        cand.selectExpr("vec_id", f"{cos} AS _cos")
         .orderBy(F.col("_cos").desc(), F.col("vec_id"))
         .limit(TOP_K)
         .selectExpr("vec_id", "round(_cos, 4) AS cosine")
