@@ -236,7 +236,7 @@ def main() -> None:
         "Extrapolation: each further 10× multiplies DuckDB's wall by ~its",
         "growth factor while Spark's fixed cost stays fixed — and past one",
         "machine DuckDB cannot scale out at all, while every plan here",
-        "partitions (plan audit: PLANS_r4.md, no cartesians, broadcasts on",
+        "partitions (plan audit: PLANS_r5.md, no cartesians, broadcasts on",
         "dim sides, key-local aggregation before every shuffle).",
         "",
         "Measurement noise: the 1000× cells are single timed runs on a",
