@@ -365,3 +365,69 @@ def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "scan_bucketed_agg",
+    oracle="""
+    SELECT n_lines, count(*) AS n_orders,
+           CAST(sum(qty_cents) AS BIGINT) AS total_qty_cents
+    FROM (
+        SELECT l_orderkey,
+               count(*) AS n_lines,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+        FROM lineitem GROUP BY 1
+    )
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def scan_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free aggregation on the bucket key: grouping the bucketed
+    lineitem copy (scan_bucketed_join's staging) by ``l_orderkey`` needs NO
+    shuffle — the scan's bucket distribution already satisfies the
+    aggregate's clustering requirement, so the per-key aggregate runs
+    scan-local. The companion primitive to the exchange-free join: at
+    100 TB, any repeated per-entity rollup (per-document stats, per-user
+    sessions, per-order totals) on the table's bucket key pays its shuffle
+    once at ingest and never again. Asserted at build time: the per-key
+    aggregate's plan contains ZERO Exchange nodes. The tiny histogram
+    rollup on top shuffles its ~7-row input freely."""
+    import os
+    import shutil
+
+    from duckdb_fastlanes_spark.io.fls import write_fls_bucketed
+    from duckdb_fastlanes_spark.plans.checks import explain_str
+
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    li_t = f"dfs_li_bucketed_{tag}"
+    if not spark.catalog.tableExists(li_t):
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(os.path.join(warehouse, li_t), ignore_errors=True)
+        write_fls_bucketed(
+            table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+            li_t,
+            bucket_by=["l_orderkey"],
+            n_buckets=8,
+        )
+    per_key = (
+        spark.table(li_t)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.expr("CAST(round(l_quantity * 100) AS BIGINT)")).alias(
+                "qty_cents"
+            ),
+        )
+    )
+    if "Exchange" in explain_str(per_key, "simple"):
+        raise AssertionError(
+            "bucket-key aggregate plan contains an Exchange — bucketing not applied"
+        )
+    return (
+        per_key.groupBy("n_lines")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("qty_cents").alias("total_qty_cents"),
+        )
+        .orderBy("n_lines")
+    )

@@ -237,6 +237,64 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ivf_probe2_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < {NLIST}),
+    assigned AS (
+        SELECT v.vec_id, v.e,
+               (SELECT c.cent_id FROM cents c
+                ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cent_id
+                LIMIT 1) AS cell
+        FROM v
+    ),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = {QUERY_VEC_ID}),
+    qcells AS (
+        SELECT c.cent_id AS pc FROM cents c, q
+        ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cent_id
+        LIMIT 2
+    )
+    SELECT a.vec_id, round(list_cosine_similarity(a.e, q.qe), 4) AS cosine
+    FROM assigned a, q
+    WHERE a.cell IN (SELECT pc FROM qcells) AND a.vec_id <> {QUERY_VEC_ID}
+    ORDER BY list_cosine_similarity(a.e, q.qe) DESC, a.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_ivf_probe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2 — the recall/latency knob every production IVF
+    index exposes: a query near a cell boundary misses neighbors assigned
+    to the adjacent cell, so probing the 2 nearest centroids' cells trades
+    ~2× scanned rows for recall (still ≤ 2n/NLIST of the corpus, read via
+    partition pruning from the same _ivf_index as sim_ivf_topk — the index
+    is built once and serves every nprobe). Cell choice is the same
+    driver-side bounded computation (_cos_py over {NLIST} centroids),
+    tie-ruled identically to the oracle's ORDER BY ... LIMIT 2."""
+    import os
+
+    idx = _ivf_index(spark, sf_dir)
+    qe = _fetch_vec(sf_dir, QUERY_VEC_ID)
+    cents = _ivf_centroids(sf_dir)
+    probe = sorted(
+        sorted(cents), key=lambda cid: (-_cos_py(qe, cents[cid]), cid)
+    )[:2]
+    paths = [p for p in (os.path.join(idx, f"cell={c}") for c in probe) if os.path.isdir(p)]
+    cand = spark.read.parquet(*paths).where(f"vec_id <> {QUERY_VEC_ID}")
+    qarr = "array(" + ", ".join(f"{x!r}D" for x in qe) + ")"
+    cos = (
+        f"aggregate(zip_with(e, {qarr}, (p, q) -> p * q), 0D, (a, v) -> a + v)"
+        f" / (sqrt(aggregate(e, 0D, (a, v) -> a + v * v))"
+        f" * sqrt(aggregate({qarr}, 0D, (a, v) -> a + v * v)))"
+    )
+    return (
+        cand.selectExpr("vec_id", f"{cos} AS _cos")
+        .orderBy(F.col("_cos").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .selectExpr("vec_id", "round(_cos, 4) AS cosine")
+    )
+
+
 @register("sim_ivf_kmeans_topk")  # no oracle: learned centroids aren't SQL-expressible
 def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with *learned* coarse centroids (seeded distributed k-means via
