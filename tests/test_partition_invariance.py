@@ -65,6 +65,10 @@ REPRESENTATIVE = [
     # written from different layouts must resolve one merged schema
     "sim_srp_lsh_topk",  # r5 signature-clustered index: probe top-k must be
     # identical whether the index was built from one file or many
+    "sim_ivf_probe2_topk",  # r5 cell-clustered index, nprobe=2: the probed
+    # cell pair and its top-k must not move with index build layout
+    "scan_bucketed_agg",  # r5 exchange-free bucket-key rollup: histogram
+    # must match whatever layout fed the bucketed ingest
 ]
 
 
