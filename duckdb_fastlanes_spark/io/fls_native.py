@@ -662,6 +662,117 @@ def read_file(
         yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
 
+# ============================================================ adaptive filter
+#: predicate op → pyarrow.compute kernel (null comparisons yield null →
+#: filled False below, the SQL semantics)
+def _pc_op(op: str):
+    import pyarrow.compute as pc
+
+    return {
+        "=": pc.equal,
+        "==": pc.equal,
+        "!=": pc.not_equal,
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+        "<": pc.less,
+        "<=": pc.less_equal,
+    }[op]
+
+
+def read_file_adaptive(
+    path: str,
+    columns: Sequence[str] | None = None,
+    predicate: Sequence[Predicate] = (),
+    stats: dict | None = None,
+) -> Iterator[pa.RecordBatch]:
+    """A6 — ADAPTIVE FILTER ORDERING, the literal twin of the reference's
+    runtime filter executor (src/reader/fls_reader.cpp:357-380,
+    filter_executor.cpp:38-55): predicates are evaluated per 1024-value
+    vector in an order re-ranked by OBSERVED selectivity (running
+    pass-fraction over alive rows, most selective first), short-circuiting
+    a vector as soon as its survivor set is empty — later predicates in
+    the order never run on the rows an earlier one killed. Payload
+    (non-predicate) columns are decoded only for row groups with ≥1
+    surviving row, and only surviving rows are materialized into the
+    output batch (the reference's late-materialization payoff at row-group
+    granularity). Zone-map pruning (_rg_survives) still runs first — the
+    adaptive order governs what happens INSIDE groups the stats cannot
+    prune.
+
+    Returns filtered batches (the predicate is EXACT here, not
+    conservative). ``stats``, when given, is filled with the final
+    predicate order and per-predicate (passed, seen) counters so tests can
+    assert the executor converged on the selective-first order."""
+    footer = read_footer(path)
+    schema = footer["schema"]
+    names = [c["name"] for c in schema]
+    want = list(columns) if columns is not None else names
+    idx = {n: i for i, n in enumerate(names)}
+    ltypes = {c["name"]: c["type"] for c in schema}
+    out_schema = arrow_schema([(n, ltypes[n]) for n in want])
+    preds = list(predicate)
+    pred_cols = [c for c, _, _ in preds]
+    # evaluation order state: index into preds; passed/seen counters
+    order = list(range(len(preds)))
+    passed = [0] * len(preds)
+    seen = [0] * len(preds)
+    with open(path, "rb") as f:
+        data = memoryview(f.read())
+    import pyarrow.compute as pc
+
+    for rg in footer["row_groups"]:
+        if not _rg_survives(rg, schema, preds):
+            continue
+        n_rows = rg["n_rows"]
+        # decode ONLY the predicate columns up front
+        dec: dict[str, pa.Array] = {}
+        for n in dict.fromkeys(pred_cols):
+            meta = rg["columns"][idx[n]]
+            chunk = data[meta["offset"] : meta["offset"] + meta["length"]]
+            dec[n] = _decode_chunk(chunk, ltypes[n], n_rows)
+        keep_parts: list[pa.Array] = []
+        any_alive = False
+        for s in range(0, n_rows, 1024):
+            ln = min(1024, n_rows - s)
+            mask = None  # None = all alive
+            alive = ln
+            # re-rank by observed pass-fraction before every vector: the
+            # most selective predicate (lowest pass rate) runs first, the
+            # reference's re-ranking policy at vector cadence
+            order.sort(key=lambda i: (passed[i] + 1) / (seen[i] + 2))
+            for i in order:
+                if alive == 0:
+                    break  # short-circuit: nothing left for this filter
+                col, op, val = preds[i]
+                sl = dec[col].slice(s, ln)
+                m = pc.fill_null(_pc_op(op)(sl, pa.scalar(val)), False)
+                seen[i] += alive
+                mask = m if mask is None else pc.and_(mask, m)
+                alive = pc.sum(mask).as_py() or 0
+                passed[i] += alive
+            if mask is None:
+                mask = pa.array(np.ones(ln, dtype=bool))
+            keep_parts.append(mask)
+            any_alive = any_alive or alive > 0
+        if not any_alive:
+            continue  # payload columns never decoded for this group
+        keep = pa.concat_arrays([m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m for m in keep_parts])
+        arrays = []
+        for n in want:
+            if n in dec:
+                arr = dec[n]
+            else:
+                meta = rg["columns"][idx[n]]
+                chunk = data[meta["offset"] : meta["offset"] + meta["length"]]
+                arr = _decode_chunk(chunk, ltypes[n], n_rows)
+            arrays.append(arr.filter(keep))
+        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+    if stats is not None:
+        stats["order"] = [preds[i] for i in order]
+        stats["passed"] = list(passed)
+        stats["seen"] = list(seen)
+
+
 # ============================================================ spark integration
 def write_fls_native(
     df, path: str, row_group_size: int = DEFAULT_ROW_GROUP_SIZE, mode: str = "overwrite"
@@ -746,12 +857,18 @@ def read_fls_native(
     columns: Sequence[str] | None = None,
     predicate: Sequence[Predicate] = (),
     union_by_name: bool = False,
+    adaptive_filter: bool = False,
 ):
     """Distributed read: parallelize the file list, decode per task.
 
     ``columns`` = projection pushdown (only those chunks are decoded);
     ``predicate`` = zone-map row-group pruning (conservative; Spark-side
     filters still apply afterwards, same division of labor as Parquet);
+    ``adaptive_filter`` = additionally EXECUTE the predicates inside the
+    reader with selectivity-adapted ordering and short-circuit per
+    1024-value vector (A6, read_file_adaptive) — the returned rows then
+    satisfy the predicate exactly and payload columns decode only for
+    surviving row groups (not combinable with union_by_name);
     ``union_by_name`` = align heterogeneous file schemas by column name
     with the reference's type-promotion rules (A2/A3,
     fls_multi_file_info.cpp:70-82 + schema_builder.cpp:132-243): missing
@@ -775,13 +892,22 @@ def read_fls_native(
     preds = list(predicate)
     want_t = tuple(want)
 
+    if adaptive_filter and union_by_name:
+        raise ValueError("adaptive_filter does not combine with union_by_name")
+
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from duckdb_fastlanes_spark.io.fls_native import read_file as _rf
+        from duckdb_fastlanes_spark.io.fls_native import (
+            read_file_adaptive as _rfa,
+        )
 
         for b in batches:
             for fp in b.column(0).to_pylist():
                 if not union_by_name:
-                    yield from _rf(fp, columns=want_t, predicate=preds)
+                    if adaptive_filter:
+                        yield from _rfa(fp, columns=want_t, predicate=preds)
+                    else:
+                        yield from _rf(fp, columns=want_t, predicate=preds)
                     continue
                 # per-file: decode the columns the file has, widen to the
                 # promoted type, NULL-fill the absent ones

@@ -253,6 +253,60 @@ def fls_native_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fls_native_adaptive_filter_scan",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_cents,
+           min(l_orderkey) AS min_key,
+           max(l_orderkey) AS max_key
+    FROM lineitem
+    WHERE l_quantity >= 48.0 AND l_orderkey % 8 = 1
+    """,
+)
+def fls_native_adaptive_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — adaptive filter ORDERING executed inside the native reader
+    (fls_reader.cpp:357-380, filter_executor.cpp:38-55 — the one reference
+    feature round 4 had marked correctness-invisible): two predicates of
+    very different selectivity (l_quantity >= 48 keeps ~6%; the derived
+    flag column keeps ~12.5%) are evaluated per 1024-value vector in an
+    order re-ranked by OBSERVED pass-fraction, short-circuiting vectors
+    whose survivor set empties, with payload columns decoded only for
+    surviving row groups. The reader's output satisfies the predicate
+    EXACTLY (not conservatively), so the aggregate needs no Spark-side
+    re-filter — the oracle hash pins that exactness. The pytest suite
+    additionally asserts order convergence and permutation invariance
+    (tests/test_fls_native.py)."""
+    from duckdb_fastlanes_spark.io.fls_native import (
+        read_fls_native,
+        write_fls_native,
+    )
+
+    li = table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "l_quantity",
+        # a second filterable column with different selectivity, written
+        # into the file so BOTH predicates run inside the reader
+        "CAST(l_orderkey % 8 AS BIGINT) AS key_bucket",
+    )
+    out = os.path.join(tempfile.gettempdir(), "dfs_flsnative_adaptive")
+    write_fls_native(li, out, row_group_size=8 * 1024)
+    rt = read_fls_native(
+        spark,
+        out,
+        columns=["l_orderkey", "l_quantity"],
+        predicate=[("l_quantity", ">=", 48.0), ("key_bucket", "=", 1)],
+        adaptive_filter=True,
+    )
+    return rt.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(round(l_quantity * 100) AS BIGINT)")).alias("qty_cents"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+
+
+@register(
     "fls_native_schema_evolution",
     oracle="""
     WITH unioned AS (

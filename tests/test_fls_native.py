@@ -433,3 +433,93 @@ def test_spark_union_by_name_promotion(spark, tmp_path):
     got = ev.agg(F.sum("o_orderkey")).collect()[0][0]
     exp = o.agg(F.sum("o_orderkey")).collect()[0][0]
     assert got == exp
+
+
+# ---------------------------------------------------------------- A6 adaptive
+
+
+def _adaptive_fixture(spark, tmp_path, n_files=1):
+    """One .fls file of orders with two predicate columns of very different
+    selectivity; returns (path, pandas ground truth)."""
+    from pyspark.sql import functions as F
+
+    o = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_orderkey") % 4).alias("bucket"),
+        )
+        .coalesce(n_files)
+    )
+    out = str(tmp_path / "adaptive")
+    write_fls_native(o, out, row_group_size=1024)
+    return out, o.toPandas()
+
+
+def test_adaptive_filter_matches_post_filter(spark, tmp_path):
+    from duckdb_fastlanes_spark.io.fls_native import read_file_adaptive
+    import os
+
+    out, pdf = _adaptive_fixture(spark, tmp_path)
+    f = [os.path.join(out, fn) for fn in os.listdir(out) if fn.endswith(".fls")][0]
+    preds = [("o_totalprice", ">=", 400000.0), ("bucket", "=", 1)]
+    got = pa.Table.from_batches(
+        list(read_file_adaptive(f, predicate=preds)),
+        ).to_pandas()
+    exp = pdf[(pdf.o_totalprice >= 400000.0) & (pdf.bucket == 1)]
+    assert sorted(got.o_orderkey) == sorted(exp.o_orderkey)
+    assert len(got) == len(exp)
+
+
+def test_adaptive_filter_order_converges_and_is_permutation_invariant(
+    spark, tmp_path
+):
+    """The executor must settle on the MOST SELECTIVE predicate first
+    regardless of the order the caller wrote, and the surviving rows must
+    be identical under any input permutation."""
+    from duckdb_fastlanes_spark.io.fls_native import read_file_adaptive
+    import os
+
+    out, pdf = _adaptive_fixture(spark, tmp_path)
+    f = [os.path.join(out, fn) for fn in os.listdir(out) if fn.endswith(".fls")][0]
+    # totalprice >= 400000 keeps ~25%; bucket = 1 keeps ~25%... pick a
+    # sharper split: totalprice >= p90 keeps ~10% vs bucket keeps 25%
+    p90 = float(pdf.o_totalprice.quantile(0.9))
+    sel = ("o_totalprice", ">=", p90)  # ~10% pass — the selective one
+    loose = ("bucket", "<=", 2)  # ~75% pass — the loose one
+    rows = {}
+    for label, preds in (("sel_first", [sel, loose]), ("loose_first", [loose, sel])):
+        stats: dict = {}
+        got = pa.Table.from_batches(
+            list(read_file_adaptive(f, predicate=preds, stats=stats))
+        ).to_pandas()
+        rows[label] = sorted(got.o_orderkey)
+        # final adaptive order puts the selective predicate first even when
+        # the caller listed it last
+        assert stats["order"][0] == sel, (label, stats["order"])
+    assert rows["sel_first"] == rows["loose_first"]
+    exp = pdf[(pdf.o_totalprice >= p90) & (pdf.bucket <= 2)]
+    assert rows["sel_first"] == sorted(exp.o_orderkey)
+
+
+def test_adaptive_filter_null_semantics(tmp_path):
+    """NULLs fail every predicate (SQL semantics), never match."""
+    import pyarrow as pa
+    from duckdb_fastlanes_spark.io.fls_native import (
+        read_file_adaptive,
+        write_table,
+    )
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 2, None, 4, None, 6], type=pa.int64()),
+            "v": pa.array([10.0, None, 30.0, 40.0, 50.0, None]),
+        }
+    )
+    f = str(tmp_path / "nulls.fls")
+    write_table(tbl, f)
+    got = pa.Table.from_batches(
+        list(read_file_adaptive(f, predicate=[("k", ">", 1), ("v", ">", 0.0)]))
+    )
+    assert got.column("k").to_pylist() == [4]
