@@ -523,3 +523,59 @@ def test_adaptive_filter_null_semantics(tmp_path):
         list(read_file_adaptive(f, predicate=[("k", ">", 1), ("v", ">", 0.0)]))
     )
     assert got.column("k").to_pylist() == [4]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=4000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    ops=st.lists(
+        st.sampled_from(["=", "!=", ">", ">=", "<", "<="]),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_adaptive_filter_property_random(tmp_path_factory, n, seed, ops):
+    """For ANY data and ANY predicate set, the adaptive executor must equal
+    decode-then-filter — including all-pass, all-fail, and sizes that do
+    not fill a 1024 vector."""
+    import numpy as np
+    import pyarrow as pa
+
+    from duckdb_fastlanes_spark.io.fls_native import (
+        read_file_adaptive,
+        write_table,
+    )
+
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, 20, size=n).astype(np.int64)
+    v = np.round(rng.normal(0, 10, size=n), 3)
+    tbl = pa.table({"k": k, "v": v})
+    f = str(tmp_path_factory.mktemp("afp") / "t.fls")
+    write_table(tbl, f)
+    preds = []
+    for i, op in enumerate(ops):
+        col = "k" if i % 2 == 0 else "v"
+        val = int(rng.integers(0, 20)) if col == "k" else float(np.round(rng.normal(0, 10), 3))
+        preds.append((col, op, val))
+    batches = list(read_file_adaptive(f, predicate=preds))
+    got = (
+        pa.Table.from_batches(batches).to_pandas().sort_values(["k", "v"])
+        if batches
+        else None
+    )
+    import pandas as pd
+
+    pdf = tbl.to_pandas()
+    m = pd.Series(True, index=pdf.index)
+    for col, op, val in preds:
+        s = pdf[col]
+        m &= {
+            "=": s == val, "!=": s != val, ">": s > val,
+            ">=": s >= val, "<": s < val, "<=": s <= val,
+        }[op]
+    exp = pdf[m].sort_values(["k", "v"])
+    if got is None:
+        assert len(exp) == 0
+    else:
+        assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
