@@ -27,6 +27,8 @@ from duckdb_fastlanes_spark.registry import register
 QUERY_VEC_ID = 0  # deterministic query vector: embedding of vec_id 0
 TOP_K = 10
 NLIST = 8  # IVF coarse cells (centroids = vec_id 0..7, deterministic)
+#: batch search: all vectors with vec_id < N_QUERIES are query vectors
+N_QUERIES = 5
 
 
 def _dot(x: Column, y: Column) -> Column:
@@ -238,6 +240,83 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_batch_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < {NLIST}),
+    assigned AS (
+        SELECT v.vec_id, v.e,
+               (SELECT c.cent_id FROM cents c
+                ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cent_id
+                LIMIT 1) AS cell
+        FROM v
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, cell AS qcell
+          FROM assigned WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, a.vec_id,
+               list_cosine_similarity(a.e, q.qe) AS cos
+        FROM assigned a JOIN q ON a.cell = q.qcell
+        WHERE a.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, vec_id, round(cos, 4) AS cosine
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, cosine DESC, vec_id
+    """,
+)
+def sim_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN SERVING over the IVF index: {N_QUERIES} queries answered in
+    one job, each probing ONLY its own cell — the union of probed cell
+    directories is read once with partition pruning (basePath keeps the
+    ``cell`` column so a row only scores against the queries that probe its
+    cell), and per-query top-{TOP_K} is a ranking window partitioned by
+    query_id. The production shape: query batches share one pruned scan of
+    ≤ batch-distinct-cells/NLIST of the corpus, vs sim_batch_topk's full
+    brute-force pass (the exactness baseline). Driver work is bounded:
+    {N_QUERIES} single-row-group vector fetches + {NLIST} centroids."""
+    import os
+
+    idx = _ivf_index(spark, sf_dir)
+    cents = _ivf_centroids(sf_dir)
+    qrows = []
+    for qid in range(N_QUERIES):
+        qe = _fetch_vec(sf_dir, qid)
+        qcell = max(sorted(cents), key=lambda c: (_cos_py(qe, cents[c]), -c))
+        qrows.append((qid, qe, qcell))
+    paths = sorted(
+        {
+            p
+            for _, _, c in qrows
+            if os.path.isdir(p := os.path.join(idx, f"cell={c}"))
+        }
+    )
+    cand = spark.read.option("basePath", idx).parquet(*paths)
+    q = F.broadcast(
+        spark.createDataFrame(
+            qrows, "query_id bigint, qe array<double>, qcell int"
+        )
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        cand.join(q, (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", "vec_id", _cosine(F.col("e"), F.col("qe")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 4).alias("cosine"))
+        .orderBy("query_id", F.col("cosine").desc(), "vec_id")
+    )
+
+
+@register(
     "sim_ivf_probe2_topk",
     oracle=f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -411,10 +490,6 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", (F.col("adc_u") / 1e9).alias("adc_dist"))
     )
-
-
-#: batch search: all vectors with vec_id < N_QUERIES are query vectors
-N_QUERIES = 5
 
 
 @register(

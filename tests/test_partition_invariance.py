@@ -67,6 +67,8 @@ REPRESENTATIVE = [
     # identical whether the index was built from one file or many
     "sim_ivf_probe2_topk",  # r5 cell-clustered index, nprobe=2: the probed
     # cell pair and its top-k must not move with index build layout
+    "sim_ivf_batch_topk",  # r5 batch ANN serving: every query's per-cell
+    # top-k must be layout-independent
     "scan_bucketed_agg",  # r5 exchange-free bucket-key rollup: histogram
     # must match whatever layout fed the bucketed ingest
 ]
