@@ -57,6 +57,99 @@ _MAX_FILES = 32
 #: lineitem arrives UNSORTED, which round-robin splitting would bake in.
 _CLUSTER_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
 
+#: BUCKETED fact staging (r6): above the small-input gauge the two fact
+#: tables are additionally staged as Spark bucketed tables on their join
+#: key — bucketBy(32, orderkey), sorted, ONE file per bucket — and
+#: ``table()`` serves the bucketed copy. Every downstream equi-join or
+#: aggregation on the bucket key (tpch_q9/q18/q21's lineitem⋈orders,
+#: count_distinct's distinct-orderkey dedup) then consumes the write-time
+#: shuffle: zero Exchange on the fact side, measured 2.43→2.03 s on
+#: tpch_q9 at the 1000× SCALE cell. 32 buckets = local[32] cores; at
+#: cluster scale the bucket count scales with the executor count, the
+#: same pay-the-shuffle-once primitive (Hive/Iceberg bucket transforms).
+_BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+_BUCKET_N = 32
+#: (dir_key, name) → (table_name, staged_dir, key); staging is on-disk and
+#: session-independent — registration into a session's catalog happens
+#: lazily in table() via CLUSTERED BY DDL over the staged files
+_BUCKET_TABLE: dict[tuple[str, str], tuple[str, str, str]] = {}
+
+
+def source_fingerprint(sf_dir: str, *names: str, extra: str = "") -> str:
+    """Short content fingerprint of one or more source parquet files:
+    sha1 over (abspath, size, mtime) per file plus a derivation tag. Used
+    to name derived staged copies (bucketed tables, indexes) so a source
+    regenerated in place gets a FRESH staging instead of a stale memoized
+    copy silently serving (the _ivf_index pattern, similarity.py:101)."""
+    import hashlib
+    import json
+    import os
+
+    parts: list = [extra]
+    for name in names:
+        src = os.path.join(sf_dir.rstrip("/"), f"{name}.parquet")
+        try:
+            st = os.stat(src)
+            parts.append([os.path.abspath(src), st.st_size, int(st.st_mtime)])
+        except OSError:
+            parts.append([os.path.abspath(src), 0, 0])
+    return hashlib.sha1(json.dumps(parts).encode()).hexdigest()[:10]
+
+
+def _register_bucketed(
+    spark: SparkSession, tname: str, loc: str, key: str, n_buckets: int = _BUCKET_N
+) -> None:
+    """Register the staged bucketed files as an external CLUSTERED BY table
+    in THIS session's catalog (bucket specs only apply through the catalog;
+    the files on disk are session-independent, the DDL is per-session)."""
+    if spark.catalog.tableExists(tname):
+        return
+    schema_ddl = spark.read.parquet(loc).schema.toDDL()
+    spark.sql(
+        f"CREATE TABLE {tname} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{loc}'"
+    )
+
+
+def _stage_bucketed(spark: SparkSession, dir_key: str, out_root: str) -> None:
+    """Write (once) the bucketed copies of the fact tables under the layout
+    root and record them for table(). Idempotent and staleness-proof: the
+    staged dir and table name carry the SOURCE fingerprint, so regenerated
+    source data fingerprints to a new location and restages."""
+    import os
+
+    for name, ck in _BUCKET_KEYS.items():
+        src = os.path.join(dir_key, f"{name}.parquet")
+        if not os.path.exists(src):
+            continue
+        fp = source_fingerprint(dir_key, name, extra=f"bucket_v1:{_BUCKET_N}:{ck}")
+        loc = os.path.join(out_root, f"{name}_b{_BUCKET_N}_{fp}")
+        tname = f"dfs_{name}_b{_BUCKET_N}_{fp}"
+        if os.path.exists(os.path.join(loc, "_SUCCESS")):
+            _register_bucketed(spark, tname, loc, ck)
+        else:
+            if spark.catalog.tableExists(tname):
+                spark.sql(f"DROP TABLE {tname}")
+            # repartition on the bucket hash key first → each write task
+            # holds exactly one bucket → ONE sorted file per bucket (Spark
+            # only trusts write-time sort order at one file per bucket)
+            (
+                _read_raw(spark, src, name)
+                .repartition(_BUCKET_N, ck)
+                .write.mode("overwrite")
+                .format("parquet")
+                .option("compression", "zstd")
+                .option("path", loc)
+                .bucketBy(_BUCKET_N, ck)
+                .sortBy(ck)
+                .saveAsTable(tname)
+            )
+        _BUCKET_TABLE[(dir_key, name)] = (tname, loc, ck)
+    # staged copies supersede cached plain scans for these tables
+    for k in [k for k in _CACHE if k[1] == dir_key and k[2] in _BUCKET_KEYS]:
+        del _CACHE[k]
+
 
 def optimize_layout(spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/dfs_layout") -> str:
     """Ingest the catalog into the engine's optimized layout: fact tables
@@ -75,6 +168,8 @@ def optimize_layout(spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/df
     os.makedirs(out_root, exist_ok=True)
     for name in TABLES:
         src = f"{key}/{name}.parquet"
+        if not os.path.exists(src):
+            continue  # partial catalog (fixture dirs) — same as register_views
         dst = os.path.join(out_root, f"{name}.parquet")
         src_df = _read_raw(spark, src, name)
         # layout-version marker: a staged copy written before the current
@@ -114,6 +209,13 @@ def optimize_layout(spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/df
     for sid, d in list(_VIEWS_CURRENT.items()):
         if d == key:
             del _VIEWS_CURRENT[sid]
+    # above the input gauge, additionally stage the fact tables BUCKETED on
+    # their join keys (pay the shuffle once at ingest; every orderkey join
+    # and distinct downstream runs exchange-free — see _BUCKET_KEYS note)
+    from duckdb_fastlanes_spark.session import SMALL_INPUT_BYTES, input_gauge_bytes
+
+    if input_gauge_bytes(key) >= SMALL_INPUT_BYTES:
+        _stage_bucketed(spark, key, out_root)
     return out_root
 
 
@@ -225,6 +327,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), dir_key, name)
     if key in _CACHE:
         return _CACHE[key]
+    # serve the bucketed staged copy when one exists for this dir (staged
+    # by optimize_layout above the input gauge) — same rows, plus a bucket
+    # distribution every orderkey join/aggregate consumes exchange-free.
+    # Non-bucket-aligned scans are unaffected: autoBucketedScan drops the
+    # bucket info and splits files normally when no operator requires the
+    # distribution.
+    ref = _BUCKET_TABLE.get((dir_key, name))
+    if ref is not None:
+        tname, loc, ck = ref
+        _register_bucketed(spark, tname, loc, ck)
+        df = spark.table(tname)
+        _CACHE[key] = df
+        return df
     base = _LAYOUT.get(dir_key, dir_key)
     # a session built outside get_spark (e.g. the driver's own) fails on the
     # INT64 TIMESTAMP(NANOS) events column with PARQUET_TYPE_ILLEGAL unless

@@ -304,7 +304,11 @@ def fsst_decode(code: bytes, table: list[bytes]) -> bytes:
 def freq_encode(arr: np.ndarray) -> tuple[int, np.ndarray, np.ndarray]:
     """Frequency encoding (kernels/frequency_kernel.hpp:8-69): ONE frequent
     value + an exception list of (position, value) for everything else.
-    Returns ``(top, exc_pos, exc_vals)``."""
+    Returns ``(top, exc_pos, exc_vals)``. Positions serialize as uint16,
+    so inputs are capped at 0xFFFF values — enforced here so a future
+    caller with a longer array fails loudly at encode time instead of
+    silently wrapping positions."""
+    assert len(arr) <= 0xFFFF, f"freq_encode: {len(arr)} values > uint16 position space"
     a = arr.astype(np.int64, copy=False)
     if len(a) == 0:
         return 0, np.zeros(0, dtype=np.uint16), a[:0]
@@ -333,7 +337,10 @@ def slpatch_encode(
     bytes (packed payload + 10 B per exception) over every candidate
     width, so SLPatch is only ever emitted when patching genuinely beats
     plain FFOR. Returns ``(base, width, payload, exc_pos, exc_vals)``;
-    exception slots in the payload hold 0."""
+    exception slots in the payload hold 0. Positions serialize as
+    uint16, so inputs are capped at 0xFFFF values (enforced — misuse
+    fails at encode time, not as corrupt data on decode)."""
+    assert len(arr) <= 0xFFFF, f"slpatch_encode: {len(arr)} values > uint16 position space"
     a = arr.astype(np.int64, copy=False)
     base = int(a.min()) if len(a) else 0
     delta = (a.astype(_U64) - _U64(base & 0xFFFFFFFFFFFFFFFF)) & _U64(

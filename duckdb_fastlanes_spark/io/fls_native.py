@@ -261,13 +261,25 @@ def _encode_str_chunk(
                 body += K.pack_bits(cvec, w)
         elif use_fsst:
             # per-string encode, concatenated; decoded end-offsets ride
-            # along so one bulk decode per vector splits back into strings
-            enc = ENC_FSST
-            ends, _ = K.dict_offsets_bytes(vec)
+            # along so one bulk decode per vector splits back into strings.
+            # The chunk-level table was chosen from a 64 KiB head sample;
+            # a vector past the sampled region can expand (unmatched bytes
+            # become 2-byte escape pairs), so compare the measured FSST
+            # body against the plain layout per vector and fall back to
+            # ENC_UNCOMP when FSST loses (the reader already accepts mixed
+            # vectors under _STR_FSST — table stays in the chunk header).
+            ends, blob = K.dict_offsets_bytes(vec)
             code = b"".join(K.fsst_encode(s, fsst_table, fsst_pat) for s in vec)
-            body += ends.astype(np.uint32).tobytes()
-            body += struct.pack("<Q", len(code))
-            body += code
+            if len(code) < len(blob):
+                enc = ENC_FSST
+                body += ends.astype(np.uint32).tobytes()
+                body += struct.pack("<Q", len(code))
+                body += code
+            else:
+                enc = ENC_UNCOMP
+                body += ends.astype(np.uint32).tobytes()
+                body += struct.pack("<Q", len(blob))
+                body += blob
         else:
             enc = ENC_UNCOMP
             ends, blob = K.dict_offsets_bytes(vec)
@@ -699,10 +711,14 @@ def read_file_adaptive(
     adaptive order governs what happens INSIDE groups the stats cannot
     prune.
 
-    Returns filtered batches (the predicate is EXACT here, not
-    conservative). ``stats``, when given, is filled with the final
-    predicate order and per-predicate (passed, seen) counters so tests can
-    assert the executor converged on the selective-first order."""
+    Returns filtered batches (the predicate is EXACT for columns present
+    in the file; predicates on columns ABSENT from this file's schema are
+    skipped — the same conservative contract _rg_survives uses — so a
+    multi-file dataset with divergent schemas degrades instead of
+    crashing). ``stats``, when given, is filled only AFTER the generator
+    is fully exhausted (final predicate order and per-predicate
+    (passed, seen) counters); a caller that breaks early sees an empty
+    dict."""
     footer = read_footer(path)
     schema = footer["schema"]
     names = [c["name"] for c in schema]
@@ -710,7 +726,7 @@ def read_file_adaptive(
     idx = {n: i for i, n in enumerate(names)}
     ltypes = {c["name"]: c["type"] for c in schema}
     out_schema = arrow_schema([(n, ltypes[n]) for n in want])
-    preds = list(predicate)
+    preds = [p for p in predicate if p[0] in idx]
     pred_cols = [c for c, _, _ in preds]
     # evaluation order state: index into preds; passed/seen counters
     order = list(range(len(preds)))

@@ -336,7 +336,14 @@ def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_fastlanes_spark.io.fls import write_fls_bucketed
     from duckdb_fastlanes_spark.plans.checks import explain_str
 
-    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    # the staged-table names carry a SOURCE fingerprint (path,size,mtime):
+    # source data regenerated in place fingerprints to a new name and
+    # restages, so a stale bucketed copy can never silently serve while
+    # the oracle reads fresh data (same staleness contract as
+    # catalog.optimize_layout's layout marker and similarity._ivf_index)
+    from duckdb_fastlanes_spark.catalog import source_fingerprint
+
+    tag = source_fingerprint(sf_dir, "lineitem", "orders", extra="b8v1")
     li_t, o_t = f"dfs_li_bucketed_{tag}", f"dfs_o_bucketed_{tag}"
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
@@ -398,7 +405,12 @@ def scan_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_fastlanes_spark.io.fls import write_fls_bucketed
     from duckdb_fastlanes_spark.plans.checks import explain_str
 
-    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    # fingerprinted staging name — regenerated source data restages instead
+    # of a stale memoized copy serving against a fresh oracle (the same
+    # contract scan_bucketed_join documents; shares its staged table)
+    from duckdb_fastlanes_spark.catalog import source_fingerprint
+
+    tag = source_fingerprint(sf_dir, "lineitem", "orders", extra="b8v1")
     li_t = f"dfs_li_bucketed_{tag}"
     if not spark.catalog.tableExists(li_t):
         warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
