@@ -96,6 +96,15 @@ def source_fingerprint(sf_dir: str, *names: str, extra: str = "") -> str:
     return hashlib.sha1(json.dumps(parts).encode()).hexdigest()[:10]
 
 
+def is_bucketed(sf_dir: str, name: str) -> bool:
+    """True when table() serves the bucketed staged copy of ``name`` for
+    this directory (operators use this to pick exchange-free join shapes:
+    a merge join over two bucket-aligned sorted facts needs neither an
+    Exchange nor a Sort, where the unbucketed plan wants a shuffle-hash
+    pin — see tpch_q9)."""
+    return (sf_dir.rstrip("/"), name) in _BUCKET_TABLE
+
+
 def _register_bucketed(
     spark: SparkSession, tname: str, loc: str, key: str, n_buckets: int = _BUCKET_N
 ) -> None:

@@ -43,9 +43,25 @@ def _usum_duck(expr: str) -> str:
     )
 
 
+def _micro_unit_spark(expr: str) -> str:
+    """Per-row exact micro units, rounded half-away-from-zero — the same
+    value as round(x*1e6, 0) but via floor: Spark's round(double, 0)
+    expression routes every row through BigDecimal (measured 0.70 s vs
+    0.35 s per money sum on a 60 M-row scan), while floor is a single
+    codegen'd Math.floor. The inputs are 2-dp money products, so x*1e6 is
+    within one ulp of an integer and both roundings agree exactly; the
+    CASE keeps half-AWAY-from-zero for negative amounts (floor alone
+    would round half-up)."""
+    return (
+        f"CAST(CASE WHEN ({expr}) < 0"
+        f" THEN -floor(-(({expr}) * {_USCALE}) + 0.5D)"
+        f" ELSE floor((({expr}) * {_USCALE}) + 0.5D) END AS BIGINT)"
+    )
+
+
 def _micro_total_spark(expr: str) -> str:
     """Exact micro-unit group total as DECIMAL, via split BIGINT sums."""
-    m = f"CAST(round(({expr}) * {_USCALE}, 0) AS BIGINT)"
+    m = _micro_unit_spark(expr)
     return (
         f"(CAST(sum({m} div {_USCALE}) AS DECIMAL(25, 0)) * {_USCALE}"
         f" + CAST(sum({m} % {_USCALE}) AS DECIMAL(25, 0)))"
@@ -152,7 +168,19 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1 (the extra scans read single columns; the Expand's tripled agg
     input costs more than two extra column scans at every size). Exact,
     shuffle only on the distinct values themselves. Single-parse SQL body
-    (measured 0.27 → 0.20 s at sf0.1 vs the Column-tree build)."""
+    (measured 0.27 → 0.20 s at sf0.1 vs the Column-tree build).
+
+    r6: the per-key distincts run as EXACT BITMAP aggregates (32768-value
+    bucket bitmaps via bitmap_bit_position/bitmap_construct_agg) instead
+    of hash-distinct: the partial-aggregate state per task collapses from
+    ~1.2 M hash keys to ~1.8 k 4 KiB bitmaps, so the map side both
+    dedups completely AND shrinks the shuffle to kilobytes — measured
+    2.17 → 1.56 s at the 1000× cell (the l_partkey distinct alone
+    1.76 → 1.05 s). Applicability: integral keys (orderkey/partkey are
+    positive bigints); the bitmap is exact, not a sketch. Dense-domain
+    state bound: domain/8 bits total across the cluster vs 8 B per
+    distinct key for hash-distinct — TPC-H keys are dense, bitmaps win;
+    a sparse 64-bit domain would keep the hash-distinct plan."""
     from duckdb_fastlanes_spark.catalog import sql_q
 
     return sql_q(
@@ -160,8 +188,12 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         """
         SELECT a.distinct_orders, b.distinct_parts, c.n_rows
-        FROM (SELECT count(DISTINCT l_orderkey) AS distinct_orders FROM lineitem) a,
-             (SELECT count(DISTINCT l_partkey)  AS distinct_parts  FROM lineitem) b,
+        FROM (SELECT sum(bitmap_count(bm)) AS distinct_orders FROM (
+                SELECT bitmap_construct_agg(bitmap_bit_position(l_orderkey)) AS bm
+                FROM lineitem GROUP BY bitmap_bucket_number(l_orderkey))) a,
+             (SELECT sum(bitmap_count(bm)) AS distinct_parts FROM (
+                SELECT bitmap_construct_agg(bitmap_bit_position(l_partkey)) AS bm
+                FROM lineitem GROUP BY bitmap_bucket_number(l_partkey))) b,
              (SELECT count(1) AS n_rows FROM lineitem) c
         """,
     )

@@ -71,7 +71,17 @@ _USCALE = 1_000_000
 
 
 def _usum_col(col: F.Column) -> F.Column:
-    micro = F.round(col * _USCALE, 0).cast("bigint")
+    # micro units via sign-aware floor, not F.round: Spark's round(double)
+    # routes per row through BigDecimal (2x the whole money-sum cost on a
+    # 60M-row scan); floor is codegen'd Math.floor. Inputs are 2-dp money
+    # products (x*1e6 within one ulp of an integer), so the two roundings
+    # agree exactly; the branch keeps half-away-from-zero for negatives.
+    scaled = col * _USCALE
+    micro = (
+        F.when(scaled < 0, -F.floor(-scaled + F.lit(0.5)))
+        .otherwise(F.floor(scaled + F.lit(0.5)))
+        .cast("bigint")
+    )
     # hi may land on either side of the true quotient (double divide + cast),
     # but exactness never depends on it: lo is derived as micro - hi*1e6, so
     # hi*1e6 + lo == micro identically for ANY hi, and both partial sums are
@@ -409,19 +419,25 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest side of that join, so it is the right build at every scale);
     part/supplier stay with AQE, which broadcast-converts them from their
     post-filter sizes."""
+    from duckdb_fastlanes_spark.catalog import is_bucketed
+
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = table(spark, sf_dir, "supplier")
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     n = F.broadcast(table(spark, sf_dir, "nation"))
+    lps = li.join(p, li.l_partkey == p.p_partkey).join(s, li.l_suppkey == s.s_suppkey)
+    if is_bucketed(sf_dir, "lineitem") and is_bucketed(sf_dir, "orders"):
+        # both facts bucket-aligned and bucket-sorted on orderkey, and the
+        # part/supplier broadcasts preserve lineitem's distribution AND
+        # order — the merge join consumes the write-time shuffle: zero
+        # Exchange, zero Sort on a 60 M ⋈ 15 M join (the SHJ pin below
+        # would re-shuffle the filtered stream it just avoided sorting)
+        lps = lps.hint("merge")
+    else:
+        lps = _pin_shuffle_hash(lps, sf_dir)
     return (
-        _pin_shuffle_hash(
-            li.join(p, li.l_partkey == p.p_partkey).join(
-                s, li.l_suppkey == s.s_suppkey
-            ),
-            sf_dir,
-        )
-        .join(o, li.l_orderkey == o.o_orderkey)
+        lps.join(o, li.l_orderkey == o.o_orderkey)
         .join(n, s.s_nationkey == n.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
