@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -79,10 +80,15 @@ def _timed(thunk) -> float:
     return time.perf_counter() - t0
 
 
-def bench_query_constructed(fn, spark, sf_dir: str, n_timed: int = N_TIMED) -> float:
+def bench_query_constructed(
+    fn, spark, sf_dir: str, n_timed: int = N_TIMED, samples: list | None = None
+) -> float:
     """Min-of-N full-pipeline wall time: each run unpersists any tracked
     intermediate (bookkeeping, outside the timer), then builds the
-    DataFrame AND executes it inside the timer."""
+    DataFrame AND executes it inside the timer. When ``samples`` is given,
+    every per-run wall time is appended to it (dispersion reporting — a
+    shared-VM host swings identical cells up to 2× between runs, and
+    min-alone artifacts cannot separate that drift from a regression)."""
     drain_persists()
     fn(spark, sf_dir).toArrow()  # warm-up
 
@@ -92,12 +98,16 @@ def bench_query_constructed(fn, spark, sf_dir: str, n_timed: int = N_TIMED) -> f
         fn(spark, sf_dir).toArrow()
         return time.perf_counter() - t0
 
-    t = min(once() for _ in range(n_timed))
+    runs = [once() for _ in range(n_timed)]
+    if samples is not None:
+        samples.extend(runs)
     drain_persists()
-    return t
+    return min(runs)
 
 
-def bench_query_prepared(fn, spark, sf_dir: str, n_timed: int = N_TIMED) -> float | None:
+def bench_query_prepared(
+    fn, spark, sf_dir: str, n_timed: int = N_TIMED, samples: list | None = None
+) -> float | None:
     """Min-of-N re-execution wall time of a plan built once (see module
     docstring for exactly what is and is not inside the timer). Returns
     None when the query has no honest prepared number and the caller must
@@ -127,7 +137,10 @@ def bench_query_prepared(fn, spark, sf_dir: str, n_timed: int = N_TIMED) -> floa
         df.toArrow()
         return time.perf_counter() - t0
 
-    return min(once() for _ in range(n_timed))
+    runs = [once() for _ in range(n_timed)]
+    if samples is not None:
+        samples.extend(runs)
+    return min(runs)
 
 
 def main() -> None:
@@ -213,15 +226,34 @@ def main() -> None:
     n_timed = 1 if all_mode else N_TIMED
     prep_times: dict[str, float] = {}
     cons_times: dict[str, float] = {}
+    # per-query run dispersion (min is the headline statistic; median lets
+    # the next reader separate shared-VM drift from a real regression —
+    # identical cells measured up to 2× apart across rounds on this host)
+    dispersion: dict[str, dict[str, float]] = {}
     for name in names:
+        cons_samples: list[float] = []
         cons_times[name] = round(
-            bench_query_constructed(qs[name], spark, sf_dir, n_timed=n_timed), 3
+            bench_query_constructed(
+                qs[name], spark, sf_dir, n_timed=n_timed, samples=cons_samples
+            ),
+            3,
         )
         if not all_mode:
-            t_prep = bench_query_prepared(qs[name], spark, sf_dir, n_timed=n_timed)
+            prep_samples: list[float] = []
+            t_prep = bench_query_prepared(
+                qs[name], spark, sf_dir, n_timed=n_timed, samples=prep_samples
+            )
             # persisted-intermediate queries have no honest prepared number;
             # carry the constructed one so totals stay comparable
             prep_times[name] = cons_times[name] if t_prep is None else round(t_prep, 3)
+            entry = {
+                "constructed_min": round(min(cons_samples), 3),
+                "constructed_median": round(statistics.median(cons_samples), 3),
+            }
+            if prep_samples:
+                entry["prepared_min"] = round(min(prep_samples), 3)
+                entry["prepared_median"] = round(statistics.median(prep_samples), 3)
+            dispersion[name] = entry
         if con is not None:
             sql = osql.get(name)
             if sql is not None:
@@ -262,6 +294,7 @@ def main() -> None:
     if not all_mode:
         payload["queries_constructed"] = cons_times
         payload["constructed_total"] = round(sum(cons_times.values()), 3)
+        payload["queries_dispersion"] = dispersion
     if base:
         payload["baseline_queries"] = base
         payload["baseline_total"] = round(sum(base.values()), 3)

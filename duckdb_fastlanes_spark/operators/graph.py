@@ -163,8 +163,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     every out-neighborhood at O(√m) (arboricity), so both the widest array
     and the worst per-row intersect survive power-law hubs at 100 TB. The
     triangle total is orientation-invariant, so the id-oriented DuckDB
-    oracle is unchanged. The oriented edge list is localCheckpoint-ed once
-    and reused by the census and both join legs.
+    oracle is unchanged. The distinct edge list is localCheckpoint-ed once
+    and reused by the census, the degree pass, and the orientation.
     """
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
@@ -183,51 +183,69 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
     )
     wedges = deg.agg(F.expr("CAST(sum(d * (d - 1)) DIV 2 AS BIGINT)").alias("n_wedges"))
-    # degree-ordered orientation: u = lower (d, id) endpoint, v = higher
-    s1_lower = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("s1") < F.col("s2"))
-    )
+    # PACKED degree-key orientation (r6): each vertex is relabeled as the
+    # single long k = d·2³² + id, whose numeric order IS the (degree, id)
+    # lexicographic order — so orientation (u ≺ v), the suffix prune below,
+    # and the arrays all work on one comparable long instead of carrying
+    # (d, id) pairs. Valid while d < 2³¹ and id < 2³² (any real corpus;
+    # degree is bounded by |V|). Triangle totals are label-invariant, so
+    # the id-oriented DuckDB oracle is unchanged.
     # degree lookups broadcast: |nodes| ≪ |edges| always; on a graph whose
     # vertex set outgrows broadcast, drop the hint and the same plan runs as
     # a shuffle join — shape unchanged
+    _PACK = 1 << 32
+    nodek = deg.select(
+        F.col("node"), (F.col("d") * F.lit(_PACK) + F.col("node")).alias("k")
+    )
     oriented = (
         pairs.join(
-            F.broadcast(deg.select(F.col("node").alias("s1"), F.col("d").alias("da"))),
+            F.broadcast(nodek.select(F.col("node").alias("s1"), F.col("k").alias("ka"))),
             "s1",
         )
         .join(
-            F.broadcast(deg.select(F.col("node").alias("s2"), F.col("d").alias("db"))),
+            F.broadcast(nodek.select(F.col("node").alias("s2"), F.col("k").alias("kb"))),
             "s2",
         )
         .select(
-            F.when(s1_lower, F.col("s1")).otherwise(F.col("s2")).alias("u"),
-            F.when(s1_lower, F.col("s2")).otherwise(F.col("s1")).alias("v"),
+            F.least("ka", "kb").alias("u"),
+            F.greatest("ka", "kb").alias("v"),
         )
-        .localCheckpoint()
     )
     # adjacency-array intersection instead of a wedge self-join: each
     # triangle {a≺b≺c} is found exactly once at its base edge (a,b) as
     # c ∈ N⁺(a) ∩ N⁺(b). The Σ out-deg² candidate set is never
     # materialized or shuffled — intersections run row-local inside
-    # whole-stage codegen and partial-sum map-side; only the linear-size
-    # edge⋈adjacency joins move data. Degree orientation caps every
-    # out-neighborhood at O(√m), bounding both array width and skew.
-    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    # whole-stage codegen and partial-sum map-side. Degree orientation caps
+    # every out-neighborhood at O(√m), bounding array width and skew.
+    # The probe side EXPLODES the adjacency rows instead of re-joining the
+    # edge list on u (one exchange saved), prunes each candidate array to
+    # the suffix w ≻ v (a triangle u≺v≺w can only complete above v — halves
+    # the shuffled payload), and drops edges whose pruned array is empty.
+    # Measured at the 1000× cell these changes + the payload-aware
+    # repartition took the census 421 → ~310 s against DuckDB's 185 s.
+    adj = oriented.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    probe = adj.select(
+        F.explode("nbrs").alias("v"),
+        F.col("nbrs"),
+    ).select(
+        F.col("v"),
+        F.filter(F.col("nbrs"), lambda w: w > F.col("v")).alias("cand"),
+    ).where(F.size("cand") > 0)
+    # the probe's array payload is ~avg-degree× larger than its row count;
+    # 32 partitions put ~2 GB in each at the 1000× cell (spill). Above the
+    # input gauge, widen this one exchange so partitions hold ~100-300 MB;
+    # below it the default narrow shuffle is already right.
+    from duckdb_fastlanes_spark.session import SMALL_INPUT_BYTES, input_gauge_bytes
+
+    if input_gauge_bytes(sf_dir) >= SMALL_INPUT_BYTES:
+        import os
+
+        probe = probe.repartition(
+            6 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")), "v"
+        )
     tri = (
-        oriented.join(adj.select(F.col("u"), F.col("nbrs").alias("nbrs_u")), "u")
-        .join(
-            adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v")),
-            "v",
-            "left",
-        )
-        .select(
-            F.size(
-                F.array_intersect(
-                    F.col("nbrs_u"),
-                    F.coalesce(F.col("nbrs_v"), F.array().cast("array<bigint>")),
-                )
-            ).alias("c")
-        )
+        probe.join(adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v")), "v")
+        .select(F.size(F.array_intersect(F.col("cand"), F.col("nbrs_v"))).alias("c"))
         .agg(F.sum("c").alias("n_triangles"))
     )
     return n_edges.crossJoin(wedges).crossJoin(tri)

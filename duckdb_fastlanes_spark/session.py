@@ -124,13 +124,41 @@ def _uncompressed_bytes(data_dir: str) -> int:
         return 0
 
 
+#: gauge memo: data_dir → (cheap stat fingerprint, gauge bytes). The gauge
+#: is consulted on EVERY query build (_pin_shuffle_hash, dedup._pin_merge,
+#: optimize_layout), and re-reading every parquet footer cost ~10-30 ms per
+#: build — ~5 s of pure overhead across a 240-query sweep. The fingerprint
+#: is a stat()-only pass (names, sizes, mtimes), so a regenerated corpus
+#: still re-gauges while an unchanged one answers from the memo.
+_GAUGE_MEMO: dict[str, tuple[tuple, int]] = {}
+
+
+def _dir_stat_fingerprint(data_dir: str) -> tuple:
+    try:
+        entries = []
+        for f in sorted(os.listdir(data_dir)):
+            p = os.path.join(data_dir, f)
+            if os.path.isfile(p):
+                st = os.stat(p)
+                entries.append((f, st.st_size, int(st.st_mtime)))
+        return tuple(entries)
+    except OSError:
+        return ()
+
+
 def input_gauge_bytes(data_dir: str) -> int:
     """THE input-size gauge: decoded parquet bytes from footers, falling back
     to on-disk bytes when footers are unreadable. Shared by ``tune_for_input``
     (the AQE on/off gate) and operator-level AQE pins (``dedup._pin_merge``)
     so both flip on exactly the same number — a corpus with unreadable
     footers must not end up on the AQE-on default path without the merge
-    pin that guards it against the broadcast pathology."""
+    pin that guards it against the broadcast pathology. Memoized on a
+    stat-only directory fingerprint (footer reads only when the directory
+    contents actually changed)."""
+    fp = _dir_stat_fingerprint(data_dir)
+    hit = _GAUGE_MEMO.get(data_dir)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
     try:
         total = sum(
             os.path.getsize(os.path.join(data_dir, f))
@@ -139,7 +167,9 @@ def input_gauge_bytes(data_dir: str) -> int:
         )
     except OSError:
         total = 0
-    return _uncompressed_bytes(data_dir) or total
+    gauge = _uncompressed_bytes(data_dir) or total
+    _GAUGE_MEMO[data_dir] = (fp, gauge)
+    return gauge
 
 
 def tune_for_input(spark: SparkSession, data_dir: str) -> None:

@@ -10,6 +10,7 @@ from duckdb_fastlanes_spark.bench_support import drain_persists, managed_persist
 
 
 def test_drain_unpersists_tracked(spark):
+    drain_persists()  # clear persists other test modules may have tracked
     df = spark.range(1000).selectExpr("id", "id * 2 AS v")
     df = managed_persist(df, StorageLevel.MEMORY_AND_DISK)
     df.count()  # materialize

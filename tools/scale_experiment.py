@@ -75,14 +75,16 @@ DOC_QUERIES = {
 #: queries that run at the 1000× cell. Since r5 the scaled corpus is the
 #: FULL catalog ×100 (make_scaled_data.py with no table subset: 60 M-row
 #: lineitem, 15 M orders, 500 k docs, 10 M events), so the relational
-#: families run there too. graph_triangle_count stays excluded — the
-#: wedge join's Σ deg² cost puts BOTH engines in multi-minute territory
-#: at 1000× without adding signal beyond its 100× growth factor.
+#: families run there too. Since r6 graph_triangle_count runs there as
+#: well (single timed run — the co-purchase graph densifies with the
+#: corpus, ~14.8 B wedges at 1000×, so BOTH engines take minutes; the
+#: cell exists to show the ratio and growth, not for min-of-N precision).
 HUGE_QUERIES = DOC_QUERIES | {
     "tpch_q1",
     "tpch_q9",
     "count_distinct",
     "window_row_number",
+    "graph_triangle_count",
 }
 
 N_TIMED = 2
@@ -176,7 +178,7 @@ def main() -> None:
         "(10 disjoint key-shifted replicas of sf0.1 — run it first to include "
         "the cell). The 1000× cell is the full catalog ×100 (60 M-row "
         "lineitem, 15 M orders, 500 k docs, 10 M events, 200 k embeddings); "
-        "every family except the wedge-join canary runs there "
+        "EVERY family runs there, including the wedge-join canary "
         "(single timed run; — elsewhere).",
         "",
         "A growth factor ≪10 per 10× of data means the query is still",
