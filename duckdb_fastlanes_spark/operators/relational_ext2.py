@@ -664,16 +664,9 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_sketch")  # no oracle: sketches are engine-specific
-def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates for 100 TB interactive profiling:
-    approx_count_distinct (HyperLogLog++) and approx_percentile (t-digest
-    style quantile sketch). Both sketches are mergeable, so they partial-
-    aggregate map-side and shuffle O(sketch) bytes per group instead of
-    O(distinct values) — the whole point at scale. Engine-specific estimates
-    (Spark HLL++ vs DuckDB approx_count_distinct) differ by design, so the
-    contract is rows-only; tests/test_approx.py pins the relative-error
-    envelope against exact answers.
+def approx_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch-vs-exact comparison frame (shared by the registry query
+    and tests/test_approx.py's raw-error pinning).
 
     The exact reference values aggregate SEPARATELY and join back on the
     group key: mixing countDistinct with sketch aggregates in one agg makes
@@ -696,6 +689,50 @@ def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_approx_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           true AS hll_in_envelope,
+           round(median(l_extendedprice), 2) AS exact_p50,
+           true AS p50_in_envelope
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for 100 TB interactive profiling:
+    approx_count_distinct (HyperLogLog++) and approx_percentile (t-digest
+    style quantile sketch). Both sketches are mergeable, so they partial-
+    aggregate map-side and shuffle O(sketch) bytes per group instead of
+    O(distinct values) — the whole point at scale.
+
+    r6: upgraded from rows-only to a CERTIFIED hash oracle. Raw estimates
+    are engine-specific by design (Spark HLL++ vs DuckDB's sketch), so the
+    query emits the EXACT values (hash-checked against DuckDB) plus
+    booleans certifying each sketch landed inside its error envelope
+    (HLL ≤ max(15 %, 2 abs) at default rsd 5 %; p50 ≤ 5 % at accuracy
+    10 k — the same envelopes tests/test_approx.py pins on the raw
+    values). An out-of-envelope sketch now FAILS the driver's hash gate
+    instead of passing a rows-only count."""
+    cmp = approx_vs_exact(spark, sf_dir)
+    return cmp.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= F.greatest(0.15 * F.col("exact_orders"), F.lit(2.0))
+        ).alias("hll_in_envelope"),
+        "exact_p50",
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= 0.05 * F.col("exact_p50")
+        ).alias("p50_in_envelope"),
+    ).orderBy("l_returnflag")
 
 
 @register(

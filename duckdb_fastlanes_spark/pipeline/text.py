@@ -426,16 +426,78 @@ def embed_text(df: DataFrame, text_col: str = "text", dims: int = EMBED_DIMS) ->
     return densed.select("doc_id", unit.alias("embedding"))
 
 
-@register("text_embed_hashing")  # no oracle: 64-dim array assembly is impractical SQL
+#: shared micro-unit rounding for the embed checksum: identical double ops
+#: on BOTH engines (sign-aware floor), so tie semantics can never diverge
+_EMB_MU = "CASE WHEN {x} < 0 THEN -floor(-({x}) + 0.5) ELSE floor(({x}) + 0.5) END"
+_EMB_V = "CAST(CAST(w.w / n.nrm AS REAL) AS DOUBLE) * 10000.0"
+_EMB_V0 = "CAST(CAST(coalesce(w0.w, 0.0) / n.nrm AS REAL) AS DOUBLE) * 10000.0"
+
+
+@register(
+    "text_embed_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 6)) AS BIGINT) % 64 AS dim,
+             CASE WHEN CAST(concat('0x', substr(md5(tok), 7, 1)) AS INT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM toks
+    ), weights AS (
+      SELECT doc_id, dim, sum(s) AS w FROM hashed GROUP BY 1, 2
+    ), norms AS (
+      SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM weights GROUP BY 1
+    )
+    SELECT n.doc_id,
+           CAST({_EMB_MU.format(x=_EMB_V0)} AS BIGINT) AS e0_u,
+           CAST(sum(CAST({_EMB_MU.format(x=_EMB_V)} AS BIGINT) * (w.dim + 1))
+                AS BIGINT) AS vec_sum_u,
+           64 AS dims
+    FROM norms n
+    JOIN weights w USING (doc_id)
+    LEFT JOIN (SELECT doc_id, w FROM weights WHERE dim = 0) w0 USING (doc_id)
+    GROUP BY n.doc_id, n.nrm, w0.w
+    ORDER BY doc_id
+    """,
+)
 def text_embed_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-hashed embeddings for the documents table (rows-only check;
-    pytest pins determinism, dimensionality, and unit norm). Bridges the
-    text corpus into the embedding operators: dedup_embedding_cosine /
-    sim_* consume exactly this (doc_id, array<float>) shape."""
+    """Feature-hashed embeddings for the documents table. Bridges the text
+    corpus into the embedding operators: dedup_embedding_cosine / sim_*
+    consume exactly this (doc_id, array<float>) shape.
+
+    r6: upgraded from a rows-only check to a FULL value-hash oracle — the
+    whole hashing pipeline (md5 token→dim, ±1 sign, L2 normalization) is
+    mirrored in DuckDB SQL, and every unit vector is checked through two
+    integer statistics: e0_u (first element in 1e-4 micro-units) and
+    vec_sum_u (position-weighted micro-unit checksum Σ (i+1)·round(1e4·vᵢ)
+    — a relabel-sensitive digest of ALL 64 elements). Micro-units use the
+    same sign-aware floor expression on both engines, so no rounding-tie
+    can diverge; pytest still pins determinism, dims, and unit norm."""
     d = table(spark, sf_dir, "documents")
     out = embed_text(d)
+
+    def mu(x: F.Column) -> F.Column:
+        return F.when(x < 0, -F.floor(-x + F.lit(0.5))).otherwise(
+            F.floor(x + F.lit(0.5))
+        )
+
+    e0_u = mu(F.element_at("embedding", 1).cast("double") * 10000.0).cast("bigint")
+    vec_sum_u = F.aggregate(
+        F.zip_with(
+            "embedding",
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda v, i: mu(v.cast("double") * 10000.0).cast("bigint")
+            * i.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
     return out.select(
-        "doc_id", F.round(F.element_at("embedding", 1), 4).alias("e0"),
+        "doc_id",
+        e0_u.alias("e0_u"),
+        vec_sum_u.alias("vec_sum_u"),
         F.size("embedding").alias("dims"),
     ).orderBy("doc_id")
 

@@ -153,10 +153,13 @@ def batch_sessionize_closed(events: DataFrame, gap_s: int = SESSION_GAP_S) -> Da
 
 
 def _register_query() -> None:
-    """Expose the stateful operator as a rows-only declared query (no oracle:
-    custom stateful streaming is not SQL-expressible — the driver records the
-    weaker rows-only check, and test_stateful_streaming.py proves equivalence
-    with the batch window-function sessionization)."""
+    """Expose the stateful operator as a FULLY oracle-checked query (r6
+    upgrade from rows-only): a drained applyInPandasWithState sessionization
+    equals batch window-function sessionization (test_stateful_streaming.py
+    proves the twin equivalence), and THAT is plain SQL — so the DuckDB
+    oracle recomputes the same 30-min-gap sessions with lag/cumulative-sum
+    windows in µs precision and the driver hash-checks every session row
+    (user, seq, event count, start, end)."""
     import tempfile
 
     from pyspark.sql import SparkSession
@@ -164,7 +167,35 @@ def _register_query() -> None:
     from duckdb_fastlanes_spark.catalog import table
     from duckdb_fastlanes_spark.registry import register
 
-    @register("stream_stateful_sessions")
+    @register(
+        "stream_stateful_sessions",
+        oracle=f"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS tus, event_id
+          FROM events WHERE user_id < 100
+        ), mark AS (
+          SELECT user_id, tus, event_id,
+                 CASE WHEN lag(tus) OVER w IS NULL
+                           OR tus - lag(tus) OVER w > {SESSION_GAP_S} * 1000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        ), sess AS (
+          SELECT user_id, tus,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM mark
+        )
+        SELECT user_id,
+               CAST(session_seq AS BIGINT) AS session_seq,
+               count(*) AS n_events,
+               make_timestamp(min(tus)) AS session_start,
+               make_timestamp(max(tus)) AS session_end
+        FROM sess
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+        """,
+    )
     def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
         workdir = tempfile.mkdtemp(prefix="dfs_stateful_")
@@ -173,11 +204,38 @@ def _register_query() -> None:
             staged_input,
         )
 
-        staged = staged_input(ev, sf_dir, "stateful_sessions")
+        # WATERMARK FLUSH SENTINEL: in a drained availableNow run the final
+        # watermark only advances to the max event time, so any session
+        # ending within watermark+gap of the global max never times out and
+        # is silently absent from the drained output (test_stateful_
+        # streaming.py documents this as the one admissible stream/batch
+        # difference). One far-future row for a sentinel user pushes the
+        # final watermark past every real session's timeout, so the drain
+        # emits EVERY real session and the output is exactly the batch
+        # sessionization — which is what makes the DuckDB oracle above an
+        # exact hash check. The sentinel's own (single-event) session is
+        # the only one left open, and it belongs to user -1, filtered out.
+        flush = ev.limit(1).select(
+            *[
+                (
+                    F.lit(-1).cast(f.dataType)
+                    if f.name == "user_id"
+                    else F.lit("2100-01-01 00:00:00").cast(f.dataType)
+                    if f.name == "ts"
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in ev.schema.fields
+            ]
+        )
+        staged = staged_input(ev.unionByName(flush), sf_dir, "stateful_sessions")
         stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
 
         out = drain_to_parquet(stream_sessionize(stream), workdir, "sessions_out")
-        out = out.orderBy("user_id", "session_seq").localCheckpoint(eager=True)
+        out = (
+            out.filter(F.col("user_id") >= 0)
+            .orderBy("user_id", "session_seq")
+            .localCheckpoint(eager=True)
+        )
         import shutil
 
         shutil.rmtree(workdir, ignore_errors=True)

@@ -9,7 +9,11 @@ from tests.conftest import SF_DIR
 
 
 def test_approx_sketches_within_error_envelope(spark):
-    rows = registry.queries()["agg_approx_sketch"](spark, SF_DIR).collect()
+    # raw estimates (the registry query now emits certified booleans; this
+    # keeps pinning the underlying sketch error on the raw values)
+    from duckdb_fastlanes_spark.operators.relational_ext2 import approx_vs_exact
+
+    rows = approx_vs_exact(spark, SF_DIR).collect()
     assert rows
     for r in rows:
         # HLL++ at default rsd=5%; allow 3x headroom on tiny groups
@@ -18,6 +22,9 @@ def test_approx_sketches_within_error_envelope(spark):
         )
         # percentile_approx with accuracy=10k is near-exact at test scale
         assert abs(r["approx_p50"] - r["exact_p50"]) <= 0.05 * r["exact_p50"]
+
+    certified = registry.queries()["agg_approx_sketch"](spark, SF_DIR).collect()
+    assert all(r["hll_in_envelope"] and r["p50_in_envelope"] for r in certified)
 
 
 def test_srp_lsh_invariants(spark):

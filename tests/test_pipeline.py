@@ -215,6 +215,57 @@ def test_kmeans_ivf_recall(spark):
     assert len(set(bf) & km) >= 2
 
 
+def test_kmeans_ivf_mean_recall_bound(spark):
+    """r6 upgrade of the rows-only check: recall@k of the LEARNED-centroid
+    IVF measured against exact brute-force ground truth over the full
+    N_QUERIES evaluation sample (the sim_ivf_recall machinery pointed at
+    the kmeans assignment instead of the fixed centroids). Measured 0.52
+    mean recall@10 on this corpus; assert ≥ 0.3 — a real quality bound
+    with margin for k-means float-accumulation nondeterminism, not the
+    single-query ≥2/10 smoke overlap above."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window
+
+    from duckdb_fastlanes_spark.catalog import table
+    from duckdb_fastlanes_spark.pipeline import similarity as S
+
+    v = S._doubled(table(spark, SF_DIR, "embeddings")).withColumn(
+        "fv", array_to_vector(F.col("e"))
+    )
+    model = KMeans(k=S.NLIST, seed=42, featuresCol="fv", predictionCol="cell").fit(v)
+    assigned = model.transform(v).select("vec_id", "e", "cell").cache()
+    try:
+        q = F.broadcast(
+            assigned.filter(F.col("vec_id") < S.N_QUERIES).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("e").alias("qe"),
+                F.col("cell").alias("qcell"),
+            )
+        )
+        cand = assigned.crossJoin(q).filter(F.col("vec_id") != F.col("query_id"))
+        cos = S._cosine(F.col("e"), F.col("qe")).alias("cos")
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("vec_id")
+        )
+        bf = (
+            cand.select("query_id", "vec_id", cos)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= S.TOP_K)
+        )
+        ivf = (
+            cand.filter(F.col("cell") == F.col("qcell"))
+            .select("query_id", "vec_id", cos)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= S.TOP_K)
+        )
+        hits = bf.join(ivf, ["query_id", "vec_id"]).count()
+        recall = hits / (S.N_QUERIES * S.TOP_K)
+        assert recall >= 0.3, f"mean recall@{S.TOP_K} {recall:.2f} < 0.3"
+    finally:
+        assigned.unpersist()
+
+
 def test_pq_adc_invariants(spark):
     """No-oracle `sim_pq_topk` (sample-trained codebook): deterministic,
     distance-sorted, and its ADC top-10 overlaps the exact L2 neighborhood —
