@@ -224,13 +224,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Measured at the 1000× cell these changes + the payload-aware
     # repartition took the census 421 → ~310 s against DuckDB's 185 s.
     adj = oriented.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
-    probe = adj.select(
-        F.explode("nbrs").alias("v"),
-        F.col("nbrs"),
-    ).select(
-        F.col("v"),
-        F.filter(F.col("nbrs"), lambda w: w > F.col("v")).alias("cand"),
-    ).where(F.size("cand") > 0)
+    # the arrays are sorted and edges are distinct, so the w ≻ v suffix is
+    # exactly the elements AFTER v's own position — one slice per exploded
+    # edge (posexplode gives the position for free) instead of an
+    # interpreted per-element higher-order filter (HOF lambdas don't
+    # codegen; the filter scanned Σ dout² elements row-by-row)
+    probe = (
+        adj.select(F.posexplode("nbrs").alias("pos", "v"), F.col("nbrs"))
+        .select(
+            F.col("v"),
+            F.slice(
+                F.col("nbrs"),
+                F.col("pos") + 2,
+                F.greatest(F.size("nbrs") - F.col("pos") - 1, F.lit(0)),
+            ).alias("cand"),
+        )
+        .where(F.size("cand") > 0)
+    )
     # the probe's array payload is ~avg-degree× larger than its row count;
     # 32 partitions put ~2 GB in each at the 1000× cell (spill). Above the
     # input gauge, widen this one exchange so partitions hold ~100-300 MB;

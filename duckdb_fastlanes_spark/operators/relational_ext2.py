@@ -680,12 +680,17 @@ def approx_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_p50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50_raw"),
     )
     return (
         approx.join(exact, "l_returnflag")
         .select(
-            "l_returnflag", "approx_orders", "exact_orders", "approx_p50", "exact_p50"
+            "l_returnflag",
+            "approx_orders",
+            "exact_orders",
+            "approx_p50",
+            F.round("exact_p50_raw", 2).alias("exact_p50"),
+            "exact_p50_raw",
         )
         .orderBy("l_returnflag")
     )
@@ -697,7 +702,7 @@ def approx_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            count(DISTINCT l_orderkey) AS exact_orders,
            true AS hll_in_envelope,
-           round(median(l_extendedprice), 2) AS exact_p50,
+           CAST(floor(median(l_extendedprice) * 1000 + 0.5) AS BIGINT) AS exact_p50_mil,
            true AS p50_in_envelope
     FROM lineitem
     GROUP BY l_returnflag
@@ -720,6 +725,10 @@ def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     values). An out-of-envelope sketch now FAILS the driver's hash gate
     instead of passing a rows-only count."""
     cmp = approx_vs_exact(spark, sf_dir)
+    # exact_p50 emits in exact MILLI-units: an even-count median is the mean
+    # of two 2-dp values (2.5 dp exact), and round(x, 2) sits exactly on the
+    # .005 boundary where the engines' doubles can land a hair apart —
+    # floor(x*1000 + 0.5) is integer-exact and boundary-free on both sides
     return cmp.select(
         "l_returnflag",
         "exact_orders",
@@ -727,7 +736,9 @@ def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("approx_orders") - F.col("exact_orders"))
             <= F.greatest(0.15 * F.col("exact_orders"), F.lit(2.0))
         ).alias("hll_in_envelope"),
-        "exact_p50",
+        F.floor(F.col("exact_p50_raw") * 1000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("exact_p50_mil"),
         (
             F.abs(F.col("approx_p50") - F.col("exact_p50"))
             <= 0.05 * F.col("exact_p50")
