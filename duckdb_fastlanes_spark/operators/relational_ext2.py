@@ -62,6 +62,69 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_distribution_scalable",
+    oracle="""
+    SELECT s_suppkey,
+           round(percent_rank() OVER (ORDER BY s_acctbal, s_suppkey), 4) AS pr,
+           round(cume_dist()    OVER (ORDER BY s_acctbal, s_suppkey), 4) AS cd
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+)
+def window_distribution_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL percent_rank / cume_dist WITHOUT the single-partition sort —
+    the distributed two-pass global-rank pattern (r6, answering the one
+    WindowExec warning left in the registry):
+
+    1. range-partition on the order key (repartitionByRange: one sampling
+       pass picks boundaries, rows land range-sorted across N partitions);
+    2. rank locally with a window PARTITIONED BY spark_partition_id() —
+       one parallel task per partition, no SinglePartition exchange;
+    3. lift local ranks to global with per-partition prefix offsets (ONE
+       driver-side collect bounded by the partition count — #partitions
+       rows, corpus-size-independent, same bounded-collect contract as
+       sim_mmr_rerank) via a broadcast-literal map.
+
+    Exactness: the order key (s_acctbal, s_suppkey) ends in a unique
+    tiebreaker, so rank() == row_number() and cume_dist's ≤-count equals
+    the global row number — pr = (rk−1)/(N−1), cd = rk/N, bit-identical
+    to the oracle's window forms (integer-derived doubles). An order key
+    WITH ties would add one value-keyed min/max adjustment pass. The
+    global-ORDER-BY sibling (window_distribution) stays as the B-row
+    parity form; this is the plan a 100 TB global ranking should run."""
+    from pyspark.sql.window import Window
+
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    n_parts = max(2, spark.sparkContext.defaultParallelism // 4)
+    base = s.repartitionByRange(n_parts, "s_acctbal", "s_suppkey").select(
+        "s_suppkey", "s_acctbal", F.spark_partition_id().alias("pid")
+    )
+    w = Window.partitionBy("pid").orderBy("s_acctbal", "s_suppkey")
+    local = base.withColumn("lrk", F.row_number().over(w))
+    counts = sorted(
+        (r["pid"], r["c"])
+        for r in base.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    total = sum(c for _, c in counts)
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    off_map = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    rk = (F.col("lrk") + F.coalesce(off_map[F.col("pid")], F.lit(0))).cast("double")
+    return (
+        local.select(
+            "s_suppkey",
+            F.round((rk - 1) / F.lit(float(total - 1)), 4).alias("pr"),
+            F.round(rk / F.lit(float(total)), 4).alias("cd"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "window_distribution_grouped",
     oracle="""
     SELECT s_nationkey, s_suppkey,

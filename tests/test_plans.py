@@ -219,6 +219,29 @@ def test_grouped_distribution_window_sorts_within_hash_partitions(spark):
     assert "SinglePartition" not in window_prefix
 
 
+def test_scalable_global_distribution_window_has_no_single_partition(spark):
+    """window_distribution_scalable computes a GLOBAL percent_rank/cume_dist
+    with the two-pass range-partition + offset pattern: its Window must be
+    partitioned by spark_partition_id (parallel local ranks) and NOTHING in
+    the pre-Window pipeline may collapse to a SinglePartition exchange —
+    the exact funnel the plain global form pays. Values must equal the
+    single-partition sibling exactly."""
+    from duckdb_fastlanes_spark.operators.relational_ext2 import (
+        window_distribution,
+        window_distribution_scalable,
+    )
+
+    df = window_distribution_scalable(spark, SF_DIR)
+    plan = explain_str(df, "formatted")
+    assert "Window" in plan
+    window_prefix = plan.split("Window")[0]
+    assert "SinglePartition" not in window_prefix
+    assert re.search(r"SPARK_PARTITION_ID|spark_partition_id", plan)
+    got = [tuple(r) for r in df.collect()]
+    expect = [tuple(r) for r in window_distribution(spark, SF_DIR).collect()]
+    assert got == expect
+
+
 def test_installed_stats_flip_join_strategy(spark):
     """Reference A10/A11 realized end-to-end: install_stats feeds per-column
     statistics into the catalog (the Spark twin of the reference merging
