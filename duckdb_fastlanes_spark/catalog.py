@@ -90,7 +90,13 @@ def source_fingerprint(sf_dir: str, *names: str, extra: str = "") -> str:
         src = os.path.join(sf_dir.rstrip("/"), f"{name}.parquet")
         try:
             st = os.stat(src)
-            parts.append([os.path.abspath(src), st.st_size, int(st.st_mtime)])
+            # mtime_ns + inode, not whole-second mtime: a source regenerated
+            # within the same second at identical byte size must still
+            # fingerprint differently (stale staged copies silently serving
+            # fresh data is the exact failure this hash exists to prevent)
+            parts.append(
+                [os.path.abspath(src), st.st_size, st.st_mtime_ns, st.st_ino]
+            )
         except OSError:
             parts.append([os.path.abspath(src), 0, 0])
     return hashlib.sha1(json.dumps(parts).encode()).hexdigest()[:10]

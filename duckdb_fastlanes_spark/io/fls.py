@@ -218,14 +218,19 @@ def compact(
     import math
 
     df = spark.read.parquet(path)
-    total_bytes = sum(
-        r.length
-        for r in df.select(
+    # one SCALAR to the driver, not one row per file: a streaming sink at
+    # 100 TB leaves millions of small files, and collect()-then-sum is an
+    # unbounded driver materialization — sum(file_size) over the distinct
+    # file list stays JVM-side and returns a single row
+    total_bytes = (
+        df.select(
             F.col("_metadata.file_path").alias("fp"),
             F.col("_metadata.file_size").alias("length"),
         )
         .distinct()
-        .collect()
+        .agg(F.sum("length").alias("b"))
+        .collect()[0]["b"]
+        or 0
     )
     n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     df.repartition(n_out).write.mode("overwrite").option("compression", "zstd").parquet(out_path)

@@ -308,7 +308,10 @@ def freq_encode(arr: np.ndarray) -> tuple[int, np.ndarray, np.ndarray]:
     so inputs are capped at 0xFFFF values — enforced here so a future
     caller with a longer array fails loudly at encode time instead of
     silently wrapping positions."""
-    assert len(arr) <= 0xFFFF, f"freq_encode: {len(arr)} values > uint16 position space"
+    if len(arr) > 0xFFFF:  # not assert: -O must not strip a data-integrity gate
+        raise ValueError(
+            f"freq_encode: {len(arr)} values > uint16 position space"
+        )
     a = arr.astype(np.int64, copy=False)
     if len(a) == 0:
         return 0, np.zeros(0, dtype=np.uint16), a[:0]
@@ -340,7 +343,10 @@ def slpatch_encode(
     exception slots in the payload hold 0. Positions serialize as
     uint16, so inputs are capped at 0xFFFF values (enforced — misuse
     fails at encode time, not as corrupt data on decode)."""
-    assert len(arr) <= 0xFFFF, f"slpatch_encode: {len(arr)} values > uint16 position space"
+    if len(arr) > 0xFFFF:  # not assert: -O must not strip a data-integrity gate
+        raise ValueError(
+            f"slpatch_encode: {len(arr)} values > uint16 position space"
+        )
     a = arr.astype(np.int64, copy=False)
     base = int(a.min()) if len(a) else 0
     delta = (a.astype(_U64) - _U64(base & 0xFFFFFFFFFFFFFFFF)) & _U64(

@@ -727,6 +727,18 @@ def read_file_adaptive(
     ltypes = {c["name"]: c["type"] for c in schema}
     out_schema = arrow_schema([(n, ltypes[n]) for n in want])
     preds = [p for p in predicate if p[0] in idx]
+    if predicate and not preds:
+        # every predicate column is absent from this file: on a multi-file
+        # dataset that is the documented degrade; on a single file it is
+        # almost certainly a typo — make it loud either way
+        import warnings
+
+        warnings.warn(
+            f"read_file_adaptive({os.path.basename(path)}): no predicate "
+            f"column {sorted({p[0] for p in predicate})} exists in the file "
+            "schema; returning unfiltered rows",
+            stacklevel=2,
+        )
     pred_cols = [c for c, _, _ in preds]
     # evaluation order state: index into preds; passed/seen counters
     order = list(range(len(preds)))
@@ -787,6 +799,12 @@ def read_file_adaptive(
         stats["order"] = [preds[i] for i in order]
         stats["passed"] = list(passed)
         stats["seen"] = list(seen)
+        # surface the degrade case: predicates whose column this file does
+        # not carry were skipped (multi-file schema divergence is the
+        # intended tolerance; a typo'd column on a single-file read is the
+        # caller's bug) — record them so callers/tests can tell an
+        # entirely-unmatched predicate from a clean exact filter
+        stats["skipped_predicates"] = [p for p in predicate if p[0] not in idx]
 
 
 # ============================================================ spark integration

@@ -367,7 +367,16 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # degree-capped deterministic edge sampling (q = min(1, CAP/deg(dst)));
-    # deg is node-sized — broadcast here, hash-join on dst at cluster scale
+    # deg is NODE-sized: below the input gauge it broadcasts (node count is
+    # bounded by the tiny input), above it the gauge picks a shuffled hash
+    # join — at 100 TB the node table is itself fact-sized and a broadcast
+    # would blow the driver/exchange memory (r6 verdict hygiene item)
+    from duckdb_fastlanes_spark.session import SMALL_INPUT_BYTES, input_gauge_bytes
+
+    _big = input_gauge_bytes(sf_dir) >= SMALL_INPUT_BYTES
+
+    def _dim(df):
+        return df.hint("shuffle_hash") if _big else F.broadcast(df)
     u01 = (
         F.conv(
             F.substring(
@@ -388,7 +397,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.lit(4294967296.0)
     kept = (
         edges.join(
-            F.broadcast(deg.selectExpr("src AS node", "d")),
+            _dim(deg.selectExpr("src AS node", "d")),
             F.col("dst") == F.col("node"),
         )
         .withColumn("q", F.least(F.lit(1.0), F.lit(float(LP_DEG_CAP)) / F.col("d")))
@@ -425,8 +434,8 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = F.col("cn_u") / F.lit(1000000000.0)
     scored = (
-        cand.join(F.broadcast(deg.selectExpr("src AS s1", "d AS d1")), "s1")
-        .join(F.broadcast(deg.selectExpr("src AS s2", "d AS d2")), "s2")
+        cand.join(_dim(deg.selectExpr("src AS s1", "d AS d1")), "s1")
+        .join(_dim(deg.selectExpr("src AS s2", "d AS d2")), "s2")
         .join(pairs, ["s1", "s2"], "left_anti")
         .select(
             "s1",

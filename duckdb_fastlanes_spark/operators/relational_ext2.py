@@ -96,7 +96,18 @@ def window_distribution_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
     n_parts = max(2, spark.sparkContext.defaultParallelism // 4)
-    base = s.repartitionByRange(n_parts, "s_acctbal", "s_suppkey").select(
+    # Materialize the range partitioning ONCE before both consumers (the
+    # counts collect below and the rank window): RangePartitioner samples
+    # its boundaries per EXECUTION (seeded by the RDD id), so two
+    # independent executions of the same repartitionByRange can place rows
+    # in different partitions once the input outgrows the reservoir sample
+    # — offsets would then disagree with pids and silently skew pr/cd.
+    # The checkpoint pins one concrete partitioning; pid is computed
+    # downstream of it, so both jobs read identical partitions.
+    base = s.repartitionByRange(n_parts, "s_acctbal", "s_suppkey").localCheckpoint(
+        eager=True
+    )
+    base = base.select(
         "s_suppkey", "s_acctbal", F.spark_partition_id().alias("pid")
     )
     w = Window.partitionBy("pid").orderBy("s_acctbal", "s_suppkey")

@@ -426,7 +426,50 @@ def _sq_l2(x: Column, y: Column) -> Column:
     )
 
 
-@register("sim_pq_topk")  # no oracle: sample-trained codebook; pytest pins invariants
+# the squared-L2 over one PQ_SUBDIM subvector, unrolled as a left-associative
+# sum: IEEE-identical to Spark's _sq_l2 fold (((0+t1)+t2)+... with 0.0+t1==t1),
+# so the nano-unit quantized distances — and therefore the ADC ranking and
+# every output value — match the Spark side bit-for-bit
+_PQ_D2_SQL = "+".join(
+    f"(sub[{i}]-c_sub[{i}])*(sub[{i}]-c_sub[{i}])" for i in range(1, PQ_SUBDIM + 1)
+)
+
+
+@register(
+    "sim_pq_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    seeds AS (
+      SELECT * FROM (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                 AS cid, e
+        FROM v) WHERE cid < {PQ_K}
+    ),
+    cb AS (SELECT cid, m, e[m*{PQ_SUBDIM}+1 : m*{PQ_SUBDIM}+{PQ_SUBDIM}] AS c_sub
+           FROM seeds, range({PQ_M}) t(m)),
+    corpus AS (SELECT vec_id, m, e[m*{PQ_SUBDIM}+1 : m*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sub
+               FROM v, range({PQ_M}) t(m)),
+    codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT corpus.vec_id, corpus.m, cb.cid,
+               row_number() OVER (PARTITION BY corpus.vec_id, corpus.m
+                                  ORDER BY {_PQ_D2_SQL}, cb.cid) AS rk
+        FROM corpus JOIN cb USING (m)) WHERE rk = 1
+    ),
+    qsubs AS (SELECT m, e[m*{PQ_SUBDIM}+1 : m*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sub
+              FROM v, range({PQ_M}) t(m) WHERE vec_id = {QUERY_VEC_ID}),
+    lut AS (
+      SELECT m, cid, CAST(round(({_PQ_D2_SQL}) * 1e9) AS BIGINT) AS du
+      FROM qsubs JOIN cb USING (m)
+    )
+    SELECT vec_id, SUM(du) / 1e9 AS adc_dist
+    FROM codes JOIN lut USING (m, cid)
+    WHERE vec_id <> {QUERY_VEC_ID}
+    GROUP BY vec_id
+    ORDER BY SUM(du), vec_id
+    LIMIT {TOP_K}
+    """,
+)
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (ADC): each vector compresses to PQ_M 4-bit
     codes (64 dims → 8 bytes, a 32× memory cut), queries scan codes with a
@@ -442,7 +485,12 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vector, subspace) — embarrassingly parallel, no shuffle wider than the
     codes themselves; the query ADC is a 128-entry broadcast lookup join +
     per-vector sum. Subspace distances quantize to integer nano-units before
-    the sum, so the ADC ranking is exact-integer and layout-invariant."""
+    the sum, so the ADC ranking is exact-integer and layout-invariant.
+
+    Full hash oracle (r7): the md5-sample codebook is deterministic SQL, so
+    the ENTIRE pipeline (codebook → encode → LUT → ADC) is mirrored in the
+    DuckDB oracle with the identical left-associative squared-L2 summation
+    and nano-unit rounding — bit-exact, not rows-only."""
     from pyspark.sql.window import Window
 
     v = _doubled(table(spark, sf_dir, "embeddings")).select("vec_id", "e")

@@ -579,3 +579,54 @@ def test_adaptive_filter_property_random(tmp_path_factory, n, seed, ops):
         assert len(exp) == 0
     else:
         assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+
+def test_position_cap_raises_value_error_not_assert():
+    """freq/slpatch positions serialize as uint16; the >0xFFFF guard is a
+    data-integrity gate and must survive `python -O` (ValueError, never a
+    strippable assert — ADVICE r6)."""
+    import pytest
+
+    big = np.zeros(0xFFFF + 1, dtype=np.int64)
+    with pytest.raises(ValueError, match="uint16 position space"):
+        K.freq_encode(big)
+    with pytest.raises(ValueError, match="uint16 position space"):
+        K.slpatch_encode(big)
+
+
+def test_adaptive_filter_records_skipped_predicates(spark, tmp_path):
+    """Predicates on columns absent from the file schema are skipped (the
+    multi-file divergent-schema degrade), but the skip must be VISIBLE:
+    recorded in stats, and warned about when NO predicate column matched
+    (the typo case) — ADVICE r6."""
+    import os
+    import warnings
+
+    from duckdb_fastlanes_spark.io.fls_native import read_file_adaptive
+
+    out, pdf = _adaptive_fixture(spark, tmp_path)
+    f = [os.path.join(out, fn) for fn in os.listdir(out) if fn.endswith(".fls")][0]
+    # mixed: one real column, one absent → filter applies, skip recorded
+    stats: dict = {}
+    got = pa.Table.from_batches(
+        list(
+            read_file_adaptive(
+                f, predicate=[("bucket", "=", 1), ("no_such_col", ">", 0)], stats=stats
+            )
+        )
+    ).to_pandas()
+    assert len(got) == int((pdf.bucket == 1).sum())
+    assert stats["skipped_predicates"] == [("no_such_col", ">", 0)]
+    # entirely unmatched → unfiltered rows + a loud warning
+    stats2: dict = {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        n = sum(
+            b.num_rows
+            for b in read_file_adaptive(
+                f, predicate=[("tpyo", "=", 1)], stats=stats2
+            )
+        )
+    assert n == len(pdf)
+    assert stats2["skipped_predicates"] == [("tpyo", "=", 1)]
+    assert any("no predicate column" in str(x.message) for x in w)

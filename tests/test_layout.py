@@ -223,3 +223,29 @@ def test_catalog_bucketed_staging_is_exchange_free_and_fresh(spark, tmp_path):
         catalog._BUCKET_TABLE.clear()
         catalog._LAYOUT.pop(src, None)
         catalog._CACHE.clear()
+
+
+def test_source_fingerprint_sees_subsecond_and_inode_changes(tmp_path):
+    """ADVICE r6: a source regenerated within the same wall-clock second at
+    identical byte size must still fingerprint differently — the
+    fingerprint reads mtime_ns (and the inode), not whole seconds."""
+    from duckdb_fastlanes_spark import catalog
+
+    src = str(tmp_path)
+    p = os.path.join(src, "lineitem.parquet")
+    with open(p, "wb") as f:
+        f.write(b"x" * 64)
+    os.utime(p, ns=(1_000_000_000, 1_000_000_000))
+    fp1 = catalog.source_fingerprint(src, "lineitem", extra="t")
+    # same size, same whole second, +1 nanosecond
+    os.utime(p, ns=(1_000_000_000, 1_000_000_001))
+    fp2 = catalog.source_fingerprint(src, "lineitem", extra="t")
+    assert fp1 != fp2
+    # replace the file atomically (new inode, same bytes, restored mtime)
+    q = p + ".new"
+    with open(q, "wb") as f:
+        f.write(b"x" * 64)
+    os.replace(q, p)
+    os.utime(p, ns=(1_000_000_000, 1_000_000_001))
+    fp3 = catalog.source_fingerprint(src, "lineitem", extra="t")
+    assert fp3 != fp2

@@ -359,3 +359,21 @@ def test_wedge_sampling_before_shuffle(spark):
         assert sampler in plan[i:], "sampling filter must sit below the wedge exchange"
     # degree lookup rides a broadcast, never a shuffle of the edge stream
     assert "BroadcastExchange" in plan
+
+
+def test_link_prediction_degree_join_degrades_to_hash_join_above_gauge(
+    spark, monkeypatch
+):
+    """r7 hygiene: the node-sized degree table broadcasts only BELOW the
+    input gauge. Above it (100 TB: the node table is fact-sized) the gauge
+    must pick a shuffled hash join — no unbounded-by-node-count broadcast."""
+    from duckdb_fastlanes_spark import session
+    from duckdb_fastlanes_spark.registry import queries
+
+    monkeypatch.setattr(
+        session, "input_gauge_bytes", lambda *_a, **_k: session.SMALL_INPUT_BYTES * 2
+    )
+    df = queries()["graph_link_prediction"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastExchange" not in plan

@@ -46,7 +46,11 @@ def main() -> None:
             )
         if "spark_floor" in d:
             lines.append(f"- spark job floor {d.get('spark_floor')} s")
-        disp = d.get("queries_dispersion") or {}
+        # r7+: bulk maps (dispersion, per-query baselines) live in the side
+        # artifact so the driver-captured final line stays under its 2 KB tail
+        side_path = os.path.join(root, "BENCH_SIDE.json")
+        side = json.load(open(side_path)) if os.path.exists(side_path) else {}
+        disp = d.get("queries_dispersion") or side.get("queries_dispersion") or {}
         wide = [
             (k, v)
             for k, v in disp.items()
