@@ -159,20 +159,30 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against the vec_id={QUERY_VEC_ID} query vector.
     Query vector joins in as a broadcast single-row frame (no collect); top-k
     is TakeOrderedAndProject — no global sort."""
-    v = _doubled(table(spark, sf_dir, "embeddings"))
-    q = F.broadcast(v.where(f"vec_id = {QUERY_VEC_ID}").selectExpr("e AS qe"))
-    return (
-        v.where(f"vec_id <> {QUERY_VEC_ID}")
-        .crossJoin(q)
-        .selectExpr(
-            "vec_id",
-            "aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-            " / (sqrt(aggregate(e, 0D, (acc, x) -> acc + x * x))"
-            " * sqrt(aggregate(qe, 0D, (acc, x) -> acc + x * x))) AS _cos",
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    # single-parse SQL body (r7): one JVM parse instead of the 7-call
+    # Column pipeline — the TakeOrderedAndProject + broadcast plan is
+    # unchanged (BROADCAST hint on the single-row query side)
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        SELECT vec_id, round(_cos, 4) AS cosine FROM (
+            SELECT /*+ BROADCAST(q) */ v.vec_id,
+                   aggregate(zip_with(v.e, q.qe, (x, y) -> x * y), 0D,
+                             (acc, x) -> acc + x)
+                   / (sqrt(aggregate(v.e, 0D, (acc, x) -> acc + x * x))
+                      * sqrt(aggregate(q.qe, 0D, (acc, x) -> acc + x * x)))
+                     AS _cos
+            FROM (SELECT vec_id, CAST(embedding AS array<double>) AS e
+                  FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}) v
+            CROSS JOIN (SELECT CAST(embedding AS array<double>) AS qe
+                        FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+            ORDER BY _cos DESC, vec_id
+            LIMIT {TOP_K}
         )
-        .orderBy(F.col("_cos").desc(), F.col("vec_id"))
-        .limit(TOP_K)
-        .selectExpr("vec_id", "round(_cos, 4) AS cosine")
+        """,
     )
 
 

@@ -133,11 +133,25 @@ def windowed_event_counts(events: DataFrame) -> DataFrame:
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch runner of the tumbling-window aggregation (1-hour windows =
     date_trunc('hour') in the oracle). Result cardinality is hours×types ≪
-    events, so the total order comes from ordered_small."""
+    events, so the total order comes from ordered_small. Single-parse SQL
+    body (r7 — construction was the dominant constructed-mode cost; the
+    streaming runner keeps the shared windowed_event_counts Column form,
+    whose parity the streaming pytest pins)."""
+    from duckdb_fastlanes_spark.catalog import sql_q
     from duckdb_fastlanes_spark.functions.ordering import ordered_small
 
     return ordered_small(
-        windowed_event_counts(table(spark, sf_dir, "events")),
+        sql_q(
+            spark,
+            sf_dir,
+            f"""
+            SELECT w.start AS window_start, event_type,
+                   count(1) AS n_events, round(sum(value), 2) AS total_value
+            FROM (SELECT window(ts, '{WINDOW}') AS w, event_type, value
+                  FROM events)
+            GROUP BY w, event_type
+            """,
+        ),
         "window_start",
         "event_type",
     )

@@ -90,14 +90,19 @@ HUGE_QUERIES = DOC_QUERIES | {
 N_TIMED = 2
 
 
-def duck_time(con, sql: str, n_timed: int = N_TIMED, warm: bool = True) -> float:
+def duck_time(
+    con, sql: str, n_timed: int = N_TIMED, warm: bool = True, samples=None
+) -> float:
     if warm:
         con.execute(sql).fetchall()
     best = float("inf")
     for _ in range(n_timed):
         t0 = time.perf_counter()
         con.execute(sql).fetchall()
-        best = min(best, time.perf_counter() - t0)
+        t = time.perf_counter() - t0
+        if samples is not None:
+            samples.append(t)
+        best = min(best, t)
     return best
 
 
@@ -128,6 +133,10 @@ def main() -> None:
         cells.append(("1000×", SF_DOCS))
 
     results: dict[str, dict[str, tuple[float, float]]] = {}
+    #: every timed run per (cell, query, engine) — the dispersion record
+    #: (written to SCALE_RUNS.json next to the table so min-vs-median
+    #: drift questions are answerable from the artifact, not a re-run)
+    runs_log: dict[str, dict[str, dict[str, list[float]]]] = {}
     for label, sf_dir in cells:
         # FRESH engine per cell, BOTH sides: a single long-lived JVM carries
         # residue across cells (localCheckpoint blocks from the 100× graph
@@ -144,9 +153,13 @@ def main() -> None:
         optimize_layout(spark, sf_dir)
         con = duck_con(sf_dir)
         results[label] = {}
-        # HUGE_QUERIES run at the 1000× cell (all except the wedge-join
-        # canary); multi-second cells are timed once (noise is relative,
-        # and the DuckDB side of the dedup family runs minutes-long there)
+        # HUGE_QUERIES run at the 1000× cell; since r7 EVERY 1000× cell is
+        # min-of-2 on BOTH engines except the wedge-join census (BOTH
+        # engines take minutes there — one more run would cost ~10 min of
+        # the round for a cell whose point is growth, not precision; the
+        # drop is disclosed in the artifact). r6's minhash cell showed why
+        # single runs mislead: 52.4 s in the committed artifact, 21-22 s on
+        # two interleaved re-runs — pure shared-VM contention.
         names = [q for q in QUERIES if label != "1000×" or q in HUGE_QUERIES]
         n_t = 1 if label == "1000×" else N_TIMED
         if label == "1000×":
@@ -177,17 +190,39 @@ def main() -> None:
             # constructed discipline: plan built AND executed per timed run,
             # tracked persists drained between runs (bench.py docstring) —
             # the same symmetric protocol as the headline bench
-            s = bench_query_constructed(qs[name], spark, sf_dir, n_timed=n_t)
-            d = duck_time(con, osql[name], n_timed=n_t, warm=(label != "1000×"))
-            # 1000× noise rule: sub-10 s cells on this shared VM swing up
-            # to 2× run-to-run, so give them one more timed run (min-of-2,
-            # BOTH engines — symmetric) while the multi-minute dedup/graph
-            # rows stay single-run. Deterministic threshold, not per-query
-            # cherry-picking: every fast cell gets the same treatment.
-            if label == "1000×" and s < 10.0 and d < 10.0:
-                s = min(s, bench_query_constructed(qs[name], spark, sf_dir, n_timed=1))
-                d = min(d, duck_time(con, osql[name], n_timed=1, warm=False))
+            s_samples: list[float] = []
+            d_samples: list[float] = []
+            s = bench_query_constructed(
+                qs[name], spark, sf_dir, n_timed=n_t, samples=s_samples
+            )
+            d = duck_time(
+                con,
+                osql[name],
+                n_timed=n_t,
+                warm=(label != "1000×"),
+                samples=d_samples,
+            )
+            # r7 noise rule: EVERY 1000× cell takes a second timed run on
+            # BOTH engines (min-of-2, interleaved S/D/S/D) except the
+            # multi-minute census. Deterministic, not per-query picking.
+            if label == "1000×" and name != "graph_triangle_count":
+                s = min(
+                    s,
+                    bench_query_constructed(
+                        qs[name], spark, sf_dir, n_timed=1, samples=s_samples
+                    ),
+                )
+                d = min(
+                    d,
+                    duck_time(
+                        con, osql[name], n_timed=1, warm=False, samples=d_samples
+                    ),
+                )
             results[label][name] = (s, d)
+            runs_log.setdefault(label, {})[name] = {
+                "spark": [round(x, 3) for x in s_samples],
+                "duckdb": [round(x, 3) for x in d_samples],
+            }
         con.close()
         spark.stop()
 
@@ -210,9 +245,11 @@ def main() -> None:
         "(10 disjoint key-shifted replicas of sf0.1 — run it first to include "
         "the cell). The 1000× cell is the full catalog ×100 (60 M-row "
         "lineitem, 15 M orders, 500 k docs, 10 M events, 200 k embeddings); "
-        "EVERY family runs there, including the wedge-join canary "
-        "(multi-minute cells run once; sub-10 s cells take min-of-2 on "
-        "BOTH engines — the shared-VM noise rule; — elsewhere).",
+        "EVERY family runs there, including the wedge-join canary. Every "
+        "1000× cell is min-of-2 interleaved on BOTH engines except the "
+        "census (both engines take minutes; its second run is the one "
+        "dropped for time budget — disclosed here). Per-run dispersion "
+        "for every cell is in SCALE_RUNS.json.",
         "",
         "A growth factor ≪10 per 10× of data means the query is still",
         "overhead-bound — its Spark-vs-DuckDB ratio shrinks with every",
@@ -285,7 +322,12 @@ def main() -> None:
     ]
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote {out}")
+    import json
+
+    runs_path = os.path.join(os.path.dirname(out) or ".", "SCALE_RUNS.json")
+    with open(runs_path, "w") as f:
+        json.dump(runs_log, f, indent=1, sort_keys=True)
+    print(f"wrote {out} and {runs_path}")
 
 
 if __name__ == "__main__":
