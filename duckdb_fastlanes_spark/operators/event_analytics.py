@@ -222,53 +222,55 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-offset prefix over the tiny (type, bucket) totals frame; (5)
     max(offset + inner). Deterministic at any layout: every sum is keyed by
     unique (type, t), no row_number, no peer ambiguity."""
+    from duckdb_fastlanes_spark.catalog import sql_q
     from duckdb_fastlanes_spark.functions.ordering import ordered_small
-    from pyspark.sql.window import Window
 
-    ev = table(spark, sf_dir, "events")
-    iv = ev.selectExpr(
-        "event_type",
-        "unix_micros(ts) AS start_us",
-        "unix_micros(ts) + greatest(CAST(floor(value) AS BIGINT), 1) * 60000000 AS end_us",
-    )
-    points = iv.selectExpr("event_type", "start_us AS t", "1 AS delta").unionAll(
-        iv.selectExpr("event_type", "end_us AS t", "-1 AS delta")
-    )
-    pts = points.groupBy("event_type", "t").agg(
-        F.sum("delta").alias("d"), F.count(F.lit(1)).alias("npts")
-    )
-    bounds = pts.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
     n_b = N_SWEEP_BUCKETS
-    pts = pts.crossJoin(F.broadcast(bounds)).withColumn(
-        "bucket",
-        F.least(
-            F.lit(n_b - 1),
-            ((F.col("t") - F.col("lo")) * n_b / (F.col("hi") - F.col("lo") + 1)).cast(
-                "long"
-            ),
-        ),
-    )
-    w_in = Window.partitionBy("event_type", "bucket").orderBy("t")
-    inner = pts.select(
-        "event_type", "bucket", "npts", F.sum("d").over(w_in).alias("run_in")
-    )
-    btot = pts.groupBy("event_type", "bucket").agg(F.sum("d").alias("bd"))
-    w_b = (
-        Window.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    off = btot.select(
-        "event_type",
-        "bucket",
-        F.coalesce(F.sum("bd").over(w_b), F.lit(0)).alias("off"),
-    )
     return ordered_small(
-        inner.join(F.broadcast(off), ["event_type", "bucket"])
-        .groupBy("event_type")
-        .agg(
-            F.max(F.col("off") + F.col("run_in")).alias("max_concurrent"),
-            (F.sum("npts") / 2).cast("long").alias("n_intervals"),
+        sql_q(
+            spark,
+            sf_dir,
+            f"""
+            WITH iv AS (
+                SELECT event_type, unix_micros(ts) AS start_us,
+                       unix_micros(ts)
+                       + greatest(CAST(floor(value) AS BIGINT), 1) * 60000000
+                         AS end_us
+                FROM events),
+            points AS (
+                SELECT event_type, start_us AS t, 1 AS delta FROM iv
+                UNION ALL
+                SELECT event_type, end_us AS t, -1 AS delta FROM iv),
+            pts0 AS (
+                SELECT event_type, t, sum(delta) AS d, count(1) AS npts
+                FROM points GROUP BY event_type, t),
+            bounds AS (SELECT min(t) AS lo, max(t) AS hi FROM pts0),
+            pts AS (
+                SELECT /*+ BROADCAST(bounds) */ p.*,
+                       least({n_b - 1},
+                             CAST((t - lo) * {n_b} / (hi - lo + 1) AS BIGINT))
+                         AS bucket
+                FROM pts0 p CROSS JOIN bounds),
+            inner_run AS (
+                SELECT event_type, bucket, npts,
+                       sum(d) OVER (PARTITION BY event_type, bucket ORDER BY t)
+                         AS run_in
+                FROM pts),
+            btot AS (SELECT event_type, bucket, sum(d) AS bd
+                     FROM pts GROUP BY event_type, bucket),
+            off AS (
+                SELECT event_type, bucket,
+                       coalesce(sum(bd) OVER (
+                           PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS off
+                FROM btot)
+            SELECT /*+ BROADCAST(off) */ event_type,
+                   max(off + run_in) AS max_concurrent,
+                   CAST(sum(npts) / 2 AS BIGINT) AS n_intervals
+            FROM inner_run JOIN off USING (event_type, bucket)
+            GROUP BY event_type
+            """,
         ),
         "event_type",
     )
@@ -473,51 +475,37 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     only same-bucket pairs (Σ bucket², never n²) — then dedupe pair hits
     across buckets and verify the exact overlap predicate. Same rows, a
     plan that survives 1000× more events."""
-    ev = table(spark, sf_dir, "events")
-    iv = ev.select(
-        "user_id",
-        "event_id",
-        F.unix_micros("ts").alias("s"),
-        (
-            F.unix_micros("ts")
-            + (F.floor(F.col("value") * 10).cast("long") * F.lit(1_000_000))
-        ).alias("e"),
-    )
-    bucketed = iv.withColumn(
-        "bucket",
-        F.explode(F.sequence(F.floor(F.col("s") / 3.6e9), F.floor(F.col("e") / 3.6e9))),
-    )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.event_id") < F.col("b.event_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("user_id"),
-            F.col("a.event_id").alias("event_a"),
-            F.col("b.event_id").alias("event_b"),
-            F.col("a.s").alias("as_"),
-            F.col("a.e").alias("ae"),
-            F.col("b.s").alias("bs"),
-            F.col("b.e").alias("be"),
-        )
-        .distinct()
-    )
-    overlap = F.least("ae", "be") - F.greatest("as_", "bs")
-    return (
-        pairs.filter(
-            (F.col("as_") <= F.col("be")) & (F.col("bs") <= F.col("ae")) & (overlap > 0)
-        )
-        .select(
-            "user_id",
-            "event_a",
-            "event_b",
-            F.round(overlap / 1_000_000.0, 2).alias("overlap_s"),
-        )
-        .orderBy("user_id", "event_a", "event_b")
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH iv AS (
+            SELECT user_id, event_id, unix_micros(ts) AS s,
+                   unix_micros(ts)
+                   + CAST(floor(value * 10) AS BIGINT) * 1000000 AS e
+            FROM events),
+        bucketed AS (
+            SELECT user_id, event_id, s, e,
+                   explode(sequence(floor(s / 3.6e9), floor(e / 3.6e9)))
+                     AS bucket
+            FROM iv),
+        pairs AS (
+            SELECT DISTINCT a.user_id, a.event_id AS event_a,
+                   b.event_id AS event_b,
+                   a.s AS as_, a.e AS ae, b.s AS bs, b.e AS be
+            FROM bucketed a JOIN bucketed b
+              ON a.user_id = b.user_id AND a.bucket = b.bucket
+                 AND a.event_id < b.event_id)
+        SELECT user_id, event_a, event_b,
+               round((least(ae, be) - greatest(as_, bs)) / 1000000.0D, 2)
+                 AS overlap_s
+        FROM pairs
+        WHERE as_ <= be AND bs <= ae
+          AND least(ae, be) - greatest(as_, bs) > 0
+        ORDER BY user_id, event_a, event_b
+        """,
     )
 
 
@@ -709,37 +697,38 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     associativity-proof — identical on both engines no matter how window
     partials combine. One shuffle on event_type; everything else is
     window + aggregate within the partition."""
-    from pyspark.sql.window import Window
+    from duckdb_fastlanes_spark.catalog import sql_q
 
-    ev = table(spark, sf_dir, "events")
-    mu = ev.groupBy("event_type").agg(
-        F.round(F.avg("value") * 100000).cast("bigint").alias("mu_scaled")
-    )
-    dev = ev.join(F.broadcast(mu), "event_type").select(
-        "event_type",
-        "ts",
-        "event_id",
-        (
-            F.round(F.col("value") * 100).cast("bigint") * 1000 - F.col("mu_scaled")
-        ).alias("d"),
-    )
-    wrun = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cusum = dev.select(
-        "event_type", "ts", F.sum("d").over(wrun).alias("c")
-    ).withColumn("max_c", F.max("c").over(Window.partitionBy("event_type")))
-    return (
-        cusum.groupBy("event_type")
-        .agg(
-            F.round(F.max("c") / 100000.0, 2).alias("max_cusum"),
-            F.min(F.when(F.col("c") == F.col("max_c"), F.col("ts"))).alias(
-                "ts_at_max"
-            ),
-        )
-        .orderBy("event_type")
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH mu AS (
+            SELECT event_type,
+                   CAST(round(avg(value) * 100000) AS BIGINT) AS mu_scaled
+            FROM events GROUP BY event_type),
+        dev AS (
+            SELECT /*+ BROADCAST(mu) */ e.event_type, e.ts, e.event_id,
+                   CAST(round(e.value * 100) AS BIGINT) * 1000 - mu.mu_scaled
+                     AS d
+            FROM events e JOIN mu ON e.event_type = mu.event_type),
+        cusum AS (
+            SELECT event_type, ts,
+                   sum(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS c
+            FROM dev),
+        withmax AS (
+            SELECT event_type, ts, c,
+                   max(c) OVER (PARTITION BY event_type) AS max_c
+            FROM cusum)
+        SELECT event_type,
+               round(max(c) / 100000.0D, 2) AS max_cusum,
+               min(CASE WHEN c = max_c THEN ts END) AS ts_at_max
+        FROM withmax
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
     )
 
 
@@ -773,30 +762,30 @@ def events_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     WAPE jumps. Hourly totals are exact integer cents (associativity-proof);
     the self-join is a dense equi-join on (type, hour) over the tiny hourly
     rollup, never the raw stream."""
-    ev = table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.round(F.sum("value") * 100).cast("bigint").alias("total_cents"))
-    fcst = hourly.select(
-        F.col("event_type").alias("f_type"),
-        (F.col("hour") + F.expr("INTERVAL 168 HOURS")).alias("f_hour"),
-        F.col("total_cents").alias("forecast_cents"),
-    )
-    joined = hourly.join(
-        fcst,
-        (F.col("event_type") == F.col("f_type")) & (F.col("hour") == F.col("f_hour")),
-    )
-    err = F.abs(F.col("total_cents") - F.col("forecast_cents"))
-    return (
-        joined.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_forecasts"),
-            F.round(F.avg(err) / 100.0, 2).alias("mae"),
-            F.round(
-                F.sum(err).cast("double") / F.sum(F.abs(F.col("total_cents"))), 4
-            ).alias("wape"),
-        )
-        .orderBy("event_type")
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
+            FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        joined AS (
+            SELECT a.event_type, abs(a.total_cents - b.total_cents) AS err,
+                   a.total_cents
+            FROM hourly a JOIN hourly b
+              ON a.event_type = b.event_type
+             AND a.hour = b.hour + INTERVAL 168 HOURS)
+        SELECT event_type, count(1) AS n_forecasts,
+               round(avg(err) / 100.0D, 2) AS mae,
+               round(CAST(sum(err) AS DOUBLE) / sum(abs(total_cents)), 4)
+                 AS wape
+        FROM joined
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
     )
 
 
@@ -897,36 +886,31 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     product analytics actually reports. Three stage aggregates, each an
     equi-join on user_id reusing the same hash partitioning; stage tables
     shrink monotonically so later joins broadcast under AQE."""
-    ev = table(spark, sf_dir, "events")
-    fv = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    fc = (
-        ev.filter(F.col("event_type") == "click")
-        .join(fv, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t_view"))
-            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 1 HOUR"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    fp = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(fc, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t_click"))
-            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    return (
-        fv.agg(F.count(F.lit(1)).alias("n_viewed"))
-        .crossJoin(fc.agg(F.count(F.lit(1)).alias("n_clicked_1h")))
-        .crossJoin(fp.agg(F.count(F.lit(1)).alias("n_purchased_24h")))
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH fv AS (
+            SELECT user_id, min(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id),
+        fc AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN fv ON e.user_id = fv.user_id
+            WHERE e.event_type = 'click'
+              AND e.ts > fv.t_view AND e.ts <= fv.t_view + INTERVAL 1 HOUR
+            GROUP BY e.user_id),
+        fp AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN fc ON e.user_id = fc.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.ts > fc.t_click AND e.ts <= fc.t_click + INTERVAL 24 HOURS
+            GROUP BY e.user_id)
+        SELECT (SELECT count(1) FROM fv) AS n_viewed,
+               (SELECT count(1) FROM fc) AS n_clicked_1h,
+               (SELECT count(1) FROM fp) AS n_purchased_24h
+        """,
     )
 
 

@@ -126,59 +126,49 @@ def _pin_merge(df: DataFrame, sf_dir: str) -> DataFrame:
     return df
 
 
-def _sized_shingle_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per SURVIVING shingle (df ≤ SHINGLE_DF_CAP):
-    ``(shingle, docs array<struct<doc_id, n_sh>>)`` with docs sorted by
-    doc_id and ``n_sh`` = the doc's count of KEPT shingles — the shared
-    input of the exact pairwise dedups (dedup_ngram_jaccard /
-    dedup_containment).
-
-    Shape rationale (measured at the 1000× SCALE cell, 500 k docs / 126 M
-    co-occurring pairs): embedding each doc's kept-set SIZE next to its id
-    inside the per-shingle group makes the downstream pair stream self-
-    contained — ``explode`` emits (doc_a, doc_b, na, nb) directly, so the
-    whole query is ONE linear DAG (group → explode → count → filter) with
-    no persist, no candidate-distinct, no wide array-verify joins, and no
-    join at all downstream of the 100 M-row pair aggregation. Earlier
-    forms measured at that cell: AllPairs prefix filtering (r4 tail) 522 s
-    — at t=0.5 the prefix is HALF of each doc's shingles, so it barely
-    prunes while paying two more full-stream passes; candidate-set +
-    array_intersect verify (r4) 222 s — the verify join shuffles per-doc
-    string arrays twice; this form 49 s, vs the DuckDB twin's 57 s.
-
-    Three shuffles, all bounded: (1) groupBy shingle with map-side
-    collect_set dedup (the ONLY pass over the raw shingle stream), (2) a
-    doc-keyed window count over the exploded kept rows (≤ CAP × shingles,
-    external sort, spillable), (3) regroup by shingle. The df-cap bounds
-    every group at CAP docs, so pair fan-out per shingle is ≤ C(CAP,2) and
-    total pair work is ≤ CAP × Σdf — linear in corpus size."""
-    from pyspark.sql.window import Window
-
-    d = table(spark, sf_dir, "documents")
-    rows = _shingle_rows(d, distinct=False)
-    g0 = (
-        rows.groupBy("shingle")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
-        .where(F.size("docs") <= SHINGLE_DF_CAP)
-    )
-    ks = g0.select("shingle", F.explode("docs").alias("doc_id")).withColumn(
-        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    )
-    return ks.groupBy("shingle").agg(
-        F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs")
-    )
+#: Spark-SQL twin of ``_shingle_rows(distinct=False)`` — CTE text over the
+#: ``documents`` view, same expressions (see _shingle_rows for why the
+#: zip-with-shifted-slices form, not a HOF transform over element_at).
+#: Single-parse construction: the whole pair pipeline below is ONE
+#: spark.sql call instead of ~25 Py4J relational calls (r7; measured
+#: 0.12-0.14 s of pure driver-side construction per query at sf0.1).
+_SHINGLE_CTE = """
+    wtab AS (SELECT doc_id,
+                    regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS w
+             FROM documents),
+    shingles AS (
+        SELECT doc_id,
+               explode(zip_with(
+                   slice(w, 1, size(w) - 2),
+                   zip_with(slice(w, 2, size(w) - 2), slice(w, 3, size(w) - 2),
+                            (x, y) -> concat(x, ' ', y)),
+                   (a, bc) -> concat(a, ' ', bc)
+               )) AS shingle
+        FROM wtab WHERE size(w) >= 3)
+"""
 
 
-def _pair_scores(groups: DataFrame, length_ratio: float | None) -> DataFrame:
-    """(doc_a, doc_b, na, nb, c) for every doc pair sharing ≥1 kept shingle:
-    explode each group's C(|docs|,2) ordered pairs row-locally (no shuffle —
-    the struct carries both sizes), then ONE hash aggregation where
-    ``count(*)`` IS the exact intersection size |A∩B| over the kept sets
-    (each shared kept shingle contributes exactly one pair row). With
-    ``length_ratio`` t set, pairs failing t·nb ≤ na ≤ nb/t are dropped
-    INSIDE the explode lambda — before the shuffle — which is lossless for
-    Jaccard ≥ t (implied by the definition; Bayardo et al. WWW'07 length
-    filter)."""
+def _pair_count_sql(length_ratio: float | None) -> str:
+    """SQL text of the shared pair-count pipeline (shingle → df-capped
+    groups with per-doc kept-set sizes → row-local ordered-pair explode →
+    ONE count aggregate = exact |A∩B|) ending in CTE ``c`` with columns
+    (doc_a, doc_b, na, nb, c). Same plan as the former DataFrame helpers
+    ``_sized_shingle_groups``/``_pair_scores`` (their shape rationale and
+    1000×-cell measurements live in the dedup_ngram_jaccard docstring);
+    built as one SQL body for single-parse construction.
+
+    Shape: embedding each doc's kept-set SIZE inside the per-shingle group
+    makes the pair stream self-contained — no join at all downstream of
+    the pair aggregation. Three shuffles, all bounded: (1) groupBy shingle
+    with map-side collect_set dedup (the only pass over the raw shingle
+    stream), (2) a doc-keyed window count over the exploded kept rows
+    (≤ CAP × shingles, spillable external sort), (3) regroup by shingle.
+    The df-cap bounds every group at CAP docs, so pair fan-out per shingle
+    is ≤ C(CAP,2) and total pair work ≤ CAP × Σdf — linear in corpus
+    size. With ``length_ratio`` t, pairs failing t·nb ≤ na ≤ nb/t drop
+    INSIDE the explode lambda, before the shuffle (lossless for J ≥ t —
+    Bayardo et al. WWW'07 length filter; pinned by
+    tests/test_pair_dedup_semantics.py::test_length_filter_is_lossless)."""
     lf = (
         f"filter(%s, p -> p.na >= {length_ratio} * p.nb"
         f" AND p.nb >= {length_ratio} * p.na)"
@@ -189,12 +179,24 @@ def _pair_scores(groups: DataFrame, length_ratio: float | None) -> DataFrame:
         "transform(slice(docs, i + 2, size(docs)), y -> "
         "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, x.n_sh AS na, y.n_sh AS nb))"
     )
-    pairs = groups.selectExpr(
-        f"explode(flatten(transform(docs, (x, i) -> {lf % inner}))) AS pr"
-    ).select("pr.*")
-    return pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    g0 AS (SELECT shingle, docs FROM (
+               SELECT shingle, array_sort(collect_set(doc_id)) AS docs
+               FROM shingles GROUP BY shingle)
+           WHERE size(docs) <= {SHINGLE_DF_CAP}),
+    ks AS (SELECT shingle, doc_id,
+                  count(1) OVER (PARTITION BY doc_id) AS n_sh
+           FROM (SELECT shingle, explode(docs) AS doc_id FROM g0)),
+    grp AS (SELECT shingle,
+                   array_sort(collect_list(struct(doc_id, n_sh))) AS docs
+            FROM ks GROUP BY shingle),
+    pairs AS (SELECT pr.* FROM (
+        SELECT explode(flatten(transform(docs, (x, i) -> {lf % inner}))) AS pr
+        FROM grp)),
+    c AS (SELECT doc_a, doc_b, na, nb, count(1) AS c
+          FROM pairs GROUP BY doc_a, doc_b, na, nb)
+    """
 
 
 #: DuckDB equivalents of the helpers above (1-based lists, same regexes)
@@ -300,13 +302,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs 222 s (r4 set-verify form) and 522 s (AllPairs prefix form, whose
     t=0.5 prefix is half of each doc's shingles — it pruned little and paid
     two extra full-stream passes)."""
-    groups = _sized_shingle_groups(spark, sf_dir)
-    c = _pair_scores(groups, JACCARD_THRESHOLD)
-    return (
-        c.selectExpr("doc_a", "doc_b", "CAST(c AS DOUBLE)/(na + nb - c) AS jac")
-        .where(f"jac >= {JACCARD_THRESHOLD}")
-        .selectExpr("doc_a", "doc_b", "round(jac, 4) AS jaccard")
-        .orderBy("doc_a", "doc_b")
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        _pair_count_sql(JACCARD_THRESHOLD)
+        + f"""
+    SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+    FROM (SELECT doc_a, doc_b, CAST(c AS DOUBLE)/(na + nb - c) AS jac FROM c)
+    WHERE jac >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
     )
 
 
@@ -379,16 +386,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark import StorageLevel
 
-    d = table(spark, sf_dir, "documents")
+    from duckdb_fastlanes_spark.catalog import sql_q
+    from duckdb_fastlanes_spark.session import SMALL_INPUT_BYTES, input_gauge_bytes
+
     # One shared per-doc aggregate feeds BOTH the signature and the verify
     # sets: min-wise hashing is duplicate-insensitive and collect_set dedupes,
     # so the raw (non-distinct) shingle rows work for both — this drops the
     # (doc_id, shingle) distinct exchange the naive plan would run.
-    rows = _shingle_rows(d, distinct=False)
-    per_doc = (
-        rows.selectExpr("doc_id", "shingle", "md5(shingle) AS h")
-        .groupBy("doc_id")
-        .agg(F.expr("collect_set(shingle) AS shingles"), *_minhash_aggs())
+    mh_cols = ", ".join(
+        f"min(substring(h, {i * 4 + 1}, 4)) AS mh{i}" for i in range(N_MINHASH)
+    )
+    per_doc = sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH {_SHINGLE_CTE}
+        SELECT doc_id, collect_set(shingle) AS shingles, {mh_cols}
+        FROM (SELECT doc_id, shingle, md5(shingle) AS h FROM shingles)
+        GROUP BY doc_id
+        """,
     )
     # per_doc feeds two consumers (signatures for banding, shingle sets for
     # verify). Without a persist, Catalyst prunes it into two DIFFERENT
@@ -401,38 +417,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_fastlanes_spark.bench_support import managed_persist
 
     per_doc = managed_persist(per_doc, StorageLevel.MEMORY_AND_DISK)
+    per_doc.createOrReplaceTempView("mh_per_doc")
     n_bands = N_MINHASH // BAND_WIDTH
     # Band ONLY (doc_id, band_id, band_key): the self-join shuffles narrow
     # 3-column rows instead of dragging each doc's shingle array through the
     # explode ×n_bands (measured 1.0 s → 0.86 s at sf0.1, and at scale the
     # shuffle volume drops by the average shingle-set size).
     bands_sql = ", ".join(_band_expr(b) for b in range(n_bands))
-    sigs = per_doc.selectExpr(
-        "doc_id", f"posexplode(array({bands_sql})) AS (band_id, band_key)"
-    )
     # both sides of the band self-join are the full signature stream
     # (docs × n_bands rows) — corpus-sized; without the pin AQE flips it to
-    # a broadcast at mid scale (+36% at the 1000× cell). Gated like the
-    # others (_pin_merge).
-    a, b = sigs.alias("a"), _pin_merge(sigs.alias("b"), sf_dir)
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        # dedup candidate pairs BEFORE the verify join: a pair colliding in k
-        # bands would otherwise be verified k times
-        .distinct()
+    # a broadcast at mid scale (+36% at the 1000× cell). Same gauge as
+    # _pin_merge, expressed as a MERGE hint in the single-parse body.
+    merge = (
+        "/*+ MERGE(b) */ "
+        if input_gauge_bytes(sf_dir) >= SMALL_INPUT_BYTES
+        else ""
     )
     # Join the shingle sets back onto the surviving pairs. Small corpora
     # broadcast the set table (no shuffle); above the threshold fall back to
     # a shuffle join that AQE plans from the persisted size.
-    sets = per_doc.select("doc_id", "shingles")
     try:
         small = (
             os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
@@ -440,20 +443,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     except OSError:
         small = False
-    if small:
-        sets = F.broadcast(sets)
+    bc = "/*+ BROADCAST(sa), BROADCAST(sb) */ " if small else ""
     jac_sql = (
         "cast(size(array_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
         " / (size(sa.shingles) + size(sb.shingles)"
         "    - size(array_intersect(sa.shingles, sb.shingles)))"
     )
-    return (
-        candidates.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
-        .selectExpr("doc_a", "doc_b", f"{jac_sql} AS jac")
-        .where(f"jac >= {JACCARD_THRESHOLD}")
-        .selectExpr("doc_a", "doc_b", "round(jac, 4) AS jaccard")
-        .orderBy("doc_a", "doc_b")
+    return spark.sql(
+        f"""
+        WITH sigs AS (
+            SELECT doc_id,
+                   posexplode(array({bands_sql})) AS (band_id, band_key)
+            FROM mh_per_doc),
+        -- dedup candidate pairs BEFORE the verify join: a pair colliding
+        -- in k bands would otherwise be verified k times
+        candidates AS (
+            SELECT {merge}DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sigs a JOIN sigs b
+              ON a.band_key = b.band_key AND a.band_id = b.band_id
+                 AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+        FROM (SELECT {bc}doc_a, doc_b, {jac_sql} AS jac
+              FROM candidates
+              JOIN mh_per_doc sa ON sa.doc_id = doc_a
+              JOIN mh_per_doc sb ON sb.doc_id = doc_b)
+        WHERE jac >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+        """
     )
 
 
@@ -735,24 +751,24 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurring pair must be scored. Measured at the 1000× cell: 59 s vs
     DuckDB's 63 s on the mirrored SQL (r4 set-verify form: 160 s; prefix
     form: 185 s)."""
-    groups = _sized_shingle_groups(spark, sf_dir)
-    c = _pair_scores(groups, None)
-    return (
-        c.selectExpr(
-            "doc_a",
-            "doc_b",
-            "CAST(c AS DOUBLE)/least(na, nb) AS cont",
-            "CAST(c AS DOUBLE)/(na + nb - c) AS jac",
-        )
-        .where(f"cont >= {CONTAINMENT_THRESHOLD}")
-        .selectExpr(
-            "doc_a",
-            "doc_b",
-            "round(cont, 4) AS containment",
-            "round(jac, 4) AS jaccard",
-        )
-        .orderBy("doc_a", "doc_b")
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        _pair_count_sql(None)
+        + f"""
+    SELECT doc_a, doc_b, round(cont, 4) AS containment, round(jac, 4) AS jaccard
+    FROM (SELECT doc_a, doc_b,
+                 CAST(c AS DOUBLE)/least(na, nb) AS cont,
+                 CAST(c AS DOUBLE)/(na + nb - c) AS jac
+          FROM c)
+    WHERE cont >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
     )
+
+
 
 
 @register(

@@ -115,88 +115,67 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     {LEG_TOPK}×{LEG_TOPK} rows. At 100 TB the legs are the expensive part
     and both are linear scans + top-k; fusion cost is constant.
     """
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), F.lit(0))
-        ).alias("w"),
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    # single-parse SQL body (r7): ~40 Py4J relational calls -> one JVM
+    # parse; every fractional literal carries the D suffix so arithmetic
+    # stays IEEE double (a bare 0.5 parses as DECIMAL in SQL text and
+    # would change the micro-unit rounding)
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS w
+            FROM documents),
+        dl AS (SELECT doc_id, count(1) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT count(1) AS n_docs, sum(dl) AS tot_dl FROM dl),
+        tf AS (SELECT doc_id, w, count(1) AS tf
+               FROM toks WHERE w IN {BM25_TERMS!r} GROUP BY doc_id, w),
+        dft AS (SELECT w, count(1) AS df FROM tf GROUP BY w),
+        bm25 AS (
+            SELECT /*+ BROADCAST(dft), BROADCAST(stats) */ tf.doc_id,
+                   sum(CAST(round(
+                       log(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))
+                       * (tf * (1.0D + {BM25_K1}D))
+                       / (tf + {BM25_K1}D * (1.0D - {BM25_B}D
+                          + {BM25_B}D * dl / (CAST(tot_dl AS DOUBLE) / n_docs)))
+                       * 1000000) AS BIGINT)) AS su
+            FROM tf JOIN dft ON tf.w = dft.w
+                    JOIN dl ON tf.doc_id = dl.doc_id
+                    CROSS JOIN stats
+            GROUP BY tf.doc_id),
+        sparse AS (
+            SELECT id, row_number() OVER (ORDER BY su DESC, id) AS r_sparse
+            FROM (SELECT doc_id AS id, su FROM bm25
+                  ORDER BY su DESC, doc_id LIMIT {LEG_TOPK})),
+        v AS (SELECT vec_id, CAST(embedding AS array<double>) AS e
+              FROM embeddings),
+        cos AS (
+            SELECT vec_id,
+                   CAST(round(aggregate(zip_with(v.e, q.qe, (x, y) -> x * y),
+                                        0D, (acc, x) -> acc + x)
+                       / (sqrt(aggregate(v.e, 0D, (acc, x) -> acc + x * x))
+                          * sqrt(aggregate(q.qe, 0D, (acc, x) -> acc + x * x)))
+                       * 1000000) AS BIGINT) AS cu
+            FROM (SELECT * FROM v WHERE vec_id <> {QUERY_VEC_ID}) v
+            CROSS JOIN (SELECT e AS qe FROM v
+                        WHERE vec_id = {QUERY_VEC_ID}) q),
+        dense AS (
+            SELECT id, row_number() OVER (ORDER BY cu DESC, id) AS r_dense
+            FROM (SELECT vec_id AS id, cu FROM cos
+                  ORDER BY cu DESC, vec_id LIMIT {LEG_TOPK}))
+        SELECT id,
+               coalesce(r_sparse, 0) AS sparse_rank,
+               coalesce(r_dense, 0) AS dense_rank,
+               round(coalesce(1.0D / ({RRF_K} + r_sparse), 0.0D)
+                     + coalesce(1.0D / ({RRF_K} + r_dense), 0.0D), 6) AS rrf
+        FROM sparse FULL OUTER JOIN dense USING (id)
+        ORDER BY rrf DESC, id
+        LIMIT {FUSED_TOPK}
+        """,
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl"))
-    tf = (
-        toks.filter(F.col("w").isin(*BM25_TERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dft = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
-    term_score = (
-        F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        * (F.col("tf") * (1.0 + BM25_K1))
-        / (F.col("tf") + BM25_K1 * (F.lit(1.0 - BM25_B) + BM25_B * F.col("dl") / avgdl))
-    )
-    bm25 = (
-        tf.join(F.broadcast(dft), "w")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", F.round(term_score * 1000000).cast("bigint").alias("u"))
-        .groupBy("doc_id")
-        .agg(F.sum("u").alias("su"))
-    )
-    # top-LEG_TOPK via TakeOrdered, then rank the tiny result locally
-    sparse = (
-        bm25.orderBy(F.col("su").desc(), "doc_id")
-        .limit(LEG_TOPK)
-        .select(
-            F.col("doc_id").alias("id"),
-            F.row_number()
-            .over(Window.orderBy(F.col("su").desc(), "doc_id"))
-            .alias("r_sparse"),
-        )
-    )
-    v = table(spark, sf_dir, "embeddings").selectExpr(
-        "vec_id", "CAST(embedding AS array<double>) AS e"
-    )
-    q = F.broadcast(v.where(f"vec_id = {QUERY_VEC_ID}").selectExpr("e AS qe"))
-    cos = (
-        v.where(f"vec_id <> {QUERY_VEC_ID}")
-        .crossJoin(q)
-        .selectExpr(
-            "vec_id",
-            "CAST(round(aggregate(zip_with(e, qe, (x, y) -> x * y), 0D,"
-            " (acc, x) -> acc + x)"
-            " / (sqrt(aggregate(e, 0D, (acc, x) -> acc + x * x))"
-            " * sqrt(aggregate(qe, 0D, (acc, x) -> acc + x * x)))"
-            " * 1000000) AS BIGINT) AS cu",
-        )
-    )
-    dense = (
-        cos.orderBy(F.col("cu").desc(), "vec_id")
-        .limit(LEG_TOPK)
-        .select(
-            F.col("vec_id").alias("id"),
-            F.row_number()
-            .over(Window.orderBy(F.col("cu").desc(), "vec_id"))
-            .alias("r_dense"),
-        )
-    )
-    fused = (
-        sparse.join(dense, "id", "full_outer")
-        .select(
-            "id",
-            F.coalesce("r_sparse", F.lit(0)).alias("sparse_rank"),
-            F.coalesce("r_dense", F.lit(0)).alias("dense_rank"),
-            F.round(
-                F.coalesce(1.0 / (RRF_K + F.col("r_sparse")), F.lit(0.0))
-                + F.coalesce(1.0 / (RRF_K + F.col("r_dense")), F.lit(0.0)),
-                6,
-            ).alias("rrf"),
-        )
-        .orderBy(F.col("rrf").desc(), "id")
-        .limit(FUSED_TOPK)
-    )
-    return fused
 
 
 DSIR_BUCKETS = 256
@@ -272,52 +251,45 @@ def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the registered top-k so tests can assert the KL invariant (per-token
     mean weight over target docs = KL(p̂_t‖p̂_r) ≥ 0 by construction, since
     p̂_t is fitted on exactly those token counts)."""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), F.lit(0))
-        ).alias("w"),
-    )
-    b = (
-        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int") % DSIR_BUCKETS
-    ).alias("b")
-    db = toks.groupBy("doc_id", "source", b).agg(F.count(F.lit(1)).alias("tf"))
-    raw = db.groupBy("b").agg(F.sum("tf").alias("rc"))
-    rawtot = raw.agg(F.sum("rc").alias("rt"))
-    tgt = (
-        toks.filter(F.col("source") == DSIR_TARGET_SOURCE)
-        .groupBy(b)
-        .agg(F.count(F.lit(1)).alias("tc"))
-    )
-    tgttot = tgt.agg(F.sum("tc").alias("tt"))
-    lr = (
-        raw.join(F.broadcast(tgt), "b", "left")
-        .crossJoin(F.broadcast(rawtot))
-        .crossJoin(F.broadcast(tgttot))
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce("tc", F.lit(0)) + 0.5)
-                    / (F.col("tt") + 0.5 * DSIR_BUCKETS)
-                )
-                - F.log((F.col("rc") + 0.5) / (F.col("rt") + 0.5 * DSIR_BUCKETS))
-            ).alias("lr"),
-        )
-    )
-    return (
-        db.join(F.broadcast(lr), "b")
-        .select(
-            "doc_id",
-            "source",
-            "tf",
-            F.round(F.col("tf") * F.col("lr") * 1000000).cast("bigint").alias("u"),
-        )
-        .groupBy("doc_id", "source")
-        .agg(
-            F.sum("tf").alias("n_toks"),
-            F.round(F.sum("u") / 1000000.0, 4).alias("log_weight"),
-        )
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    # single-parse SQL body (r7); fractional literals carry D so the log
+    # ratio stays IEEE double end-to-end (bare 0.5 would parse as DECIMAL)
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS w
+            FROM documents),
+        db AS (
+            SELECT doc_id, source,
+                   CAST(conv(substring(md5(w), 1, 4), 16, 10) AS INT)
+                     % {DSIR_BUCKETS} AS b,
+                   count(1) AS tf
+            FROM toks GROUP BY 1, 2, 3),
+        raw AS (SELECT b, sum(tf) AS rc FROM db GROUP BY b),
+        rawtot AS (SELECT sum(rc) AS rt FROM raw),
+        tgt AS (
+            SELECT CAST(conv(substring(md5(w), 1, 4), 16, 10) AS INT)
+                     % {DSIR_BUCKETS} AS b,
+                   count(1) AS tc
+            FROM toks WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY 1),
+        tgttot AS (SELECT sum(tc) AS tt FROM tgt),
+        lr AS (
+            SELECT /*+ BROADCAST(tgt), BROADCAST(rawtot), BROADCAST(tgttot) */
+                   raw.b,
+                   log((coalesce(tc, 0) + 0.5D)
+                       / (tt + 0.5D * {DSIR_BUCKETS}))
+                   - log((rc + 0.5D) / (rt + 0.5D * {DSIR_BUCKETS})) AS lr
+            FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+            CROSS JOIN rawtot CROSS JOIN tgttot)
+        SELECT /*+ BROADCAST(lr) */ doc_id, source,
+               sum(tf) AS n_toks,
+               round(sum(CAST(round(tf * lr * 1000000) AS BIGINT))
+                     / 1000000.0D, 4) AS log_weight
+        FROM db JOIN lr ON db.b = lr.b
+        GROUP BY doc_id, source
+        """,
     )

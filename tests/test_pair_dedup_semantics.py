@@ -101,26 +101,26 @@ def test_length_filter_is_lossless(spark):
     """The pre-shuffle length filter (t*nb <= na <= nb/t) must drop only
     pairs that the Jaccard threshold would drop anyway: running the pair
     scores WITHOUT the filter and thresholding yields the identical set."""
+    from duckdb_fastlanes_spark.catalog import sql_q
     from duckdb_fastlanes_spark.pipeline.dedup import (
         JACCARD_THRESHOLD,
-        _pair_scores,
-        _sized_shingle_groups,
+        _pair_count_sql,
     )
 
-    groups = _sized_shingle_groups(spark, SF_DIR)
+    tail = f"""
+    SELECT doc_a, doc_b
+    FROM (SELECT doc_a, doc_b, CAST(c AS DOUBLE)/(na + nb - c) AS jac FROM c)
+    WHERE jac >= {JACCARD_THRESHOLD}
+    """
     with_f = {
         (r.doc_a, r.doc_b)
-        for r in _pair_scores(groups, JACCARD_THRESHOLD)
-        .selectExpr("doc_a", "doc_b", "CAST(c AS DOUBLE)/(na + nb - c) AS jac")
-        .where(f"jac >= {JACCARD_THRESHOLD}")
-        .collect()
+        for r in sql_q(
+            spark, SF_DIR, _pair_count_sql(JACCARD_THRESHOLD) + tail
+        ).collect()
     }
     without_f = {
         (r.doc_a, r.doc_b)
-        for r in _pair_scores(groups, None)
-        .selectExpr("doc_a", "doc_b", "CAST(c AS DOUBLE)/(na + nb - c) AS jac")
-        .where(f"jac >= {JACCARD_THRESHOLD}")
-        .collect()
+        for r in sql_q(spark, SF_DIR, _pair_count_sql(None) + tail).collect()
     }
     assert with_f == without_f
 
