@@ -380,25 +380,25 @@ def chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate to the contingency table (|P|×|S| cells), margins re-aggregated
     from those cells (never from the raw table), everything after the first
     aggregate is O(cells)."""
-    o = table(spark, sf_dir, "orders")
-    obs = o.groupBy(
-        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
-    ).agg(F.count(F.lit(1)).alias("o"))
-    rowt = obs.groupBy("p").agg(F.sum("o").alias("rt"))
-    colt = obs.groupBy("s").agg(F.sum("o").alias("ct"))
-    tot = obs.agg(F.sum("o").alias("n"))
-    e = F.col("rt") * F.col("ct") / F.col("n")
-    return (
-        obs.join(F.broadcast(rowt), "p")
-        .join(F.broadcast(colt), "s")
-        .crossJoin(F.broadcast(tot))
-        .agg(
-            F.round(F.sum((F.col("o") - e) ** 2 / e), 3).alias("chi2"),
-            (
-                (F.countDistinct("p") - 1) * (F.countDistinct("s") - 1)
-            ).alias("dof"),
-            F.max("n").cast("bigint").alias("n"),
-        )
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH obs AS (
+            SELECT o_orderpriority AS p, o_orderstatus AS s, count(1) AS o
+            FROM orders GROUP BY 1, 2),
+        rowt AS (SELECT p, sum(o) AS rt FROM obs GROUP BY p),
+        colt AS (SELECT s, sum(o) AS ct FROM obs GROUP BY s),
+        tot AS (SELECT sum(o) AS n FROM obs)
+        SELECT /*+ BROADCAST(rowt), BROADCAST(colt), BROADCAST(tot) */
+               round(sum(power(o - rt * ct / n, 2) / (rt * ct / n)), 3)
+                 AS chi2,
+               (count(DISTINCT p) - 1) * (count(DISTINCT s) - 1) AS dof,
+               CAST(max(n) AS BIGINT) AS n
+        FROM obs JOIN rowt USING (p) JOIN colt USING (s) CROSS JOIN tot
+        """,
     )
 
 

@@ -494,19 +494,27 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL join (top-2 orders per customer) — Spark 4 parses
     the same ANSI LATERAL DuckDB does; Catalyst decorrelates it to a ranked
     window join, so there is no per-row re-execution at scale. Expressed as
-    SQL text over inline parquet refs (the §3.3 SQL-string path)."""
-    return spark.sql(f"""
+    SQL text over the catalog views (r7: inline parquet.` refs re-infer
+    the file schema on every parse — the views resolve from the session
+    catalog instead)."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
     SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
-    FROM parquet.`{sf_dir}/customer.parquet` c,
+    FROM customer c,
     LATERAL (
-        SELECT o_orderkey, o_totalprice FROM parquet.`{sf_dir}/orders.parquet` o
+        SELECT o_orderkey, o_totalprice FROM orders o
         WHERE o.o_custkey = c.c_custkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 2
     ) t
     WHERE c.c_custkey < 100
     ORDER BY c.c_custkey, price DESC, t.o_orderkey
-    """)
+    """,
+    )
 
 
 @register(
@@ -530,7 +538,12 @@ def recursive_cte_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine by recursion, left-join per-month order counts — the calendar-spine
     pattern that guarantees zero-count months appear. The recursion itself is
     12 rows of driver-side work; the join is the only distributed step."""
-    return spark.sql(f"""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
     WITH RECURSIVE months(m) AS (
         SELECT CAST('1996-01-01' AS DATE)
         UNION ALL
@@ -538,11 +551,12 @@ def recursive_cte_months(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE m < CAST('1996-12-01' AS DATE)
     )
     SELECT CAST(m AS TIMESTAMP) AS month_start, count(o_orderkey) AS n_orders
-    FROM months LEFT JOIN parquet.`{sf_dir}/orders.parquet`
+    FROM months LEFT JOIN orders
       ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
     GROUP BY m
     ORDER BY m
-    """)
+    """,
+    )
 
 
 @register(

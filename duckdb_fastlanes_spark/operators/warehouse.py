@@ -109,38 +109,33 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     key%89 and bump price on key%13) so both engines diff identical inputs.
     Scale shape: one co-partitioned shuffle on the key; AQE handles the
     near-equal snapshot sizes; the classification is row-local."""
-    o = table(spark, sf_dir, "orders")
-    snap_a = o.filter(F.col("o_orderkey") % 97 != 0).select(
-        "o_orderkey", F.col("o_totalprice").alias("price_a")
-    )
-    snap_b = o.filter(F.col("o_orderkey") % 89 != 0).select(
-        "o_orderkey",
-        F.when(
-            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 10
-        )
-        .otherwise(F.col("o_totalprice"))
-        .alias("price_b"),
-    )
-    diff = snap_a.join(snap_b, "o_orderkey", "full_outer").filter(
-        F.col("price_a").isNull()
-        | F.col("price_b").isNull()
-        | (F.col("price_a") != F.col("price_b"))
-    )
-    classified = diff.select(
-        F.when(F.col("price_a").isNull(), "insert")
-        .when(F.col("price_b").isNull(), "delete")
-        .otherwise("update")
-        .alias("change_type"),
-        F.col("o_orderkey").alias("k"),
-    )
-    return (
-        classified.groupBy("change_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("k").alias("min_key"),
-            F.max("k").alias("max_key"),
-        )
-        .orderBy("change_type")
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH snap_a AS (
+            SELECT o_orderkey, o_totalprice AS price_a
+            FROM orders WHERE o_orderkey % 97 <> 0),
+        snap_b AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10
+                        ELSE o_totalprice END AS price_b
+            FROM orders WHERE o_orderkey % 89 <> 0),
+        diff AS (
+            SELECT o_orderkey AS k,
+                   CASE WHEN price_a IS NULL THEN 'insert'
+                        WHEN price_b IS NULL THEN 'delete'
+                        ELSE 'update' END AS change_type
+            FROM snap_a FULL OUTER JOIN snap_b USING (o_orderkey)
+            WHERE price_a IS NULL OR price_b IS NULL OR price_a <> price_b)
+        SELECT change_type, count(1) AS n,
+               min(k) AS min_key, max(k) AS max_key
+        FROM diff
+        GROUP BY change_type
+        ORDER BY change_type
+        """,
     )
 
 

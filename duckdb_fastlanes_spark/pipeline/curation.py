@@ -146,22 +146,32 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     and score every training doc by the fraction of its shingles that appear in
     the dictionary. Same shingle definition as the dedup family (dedup.py), so
     the two operators share candidate machinery in a real pipeline."""
-    from duckdb_fastlanes_spark.pipeline import dedup as dd
+    from duckdb_fastlanes_spark.catalog import sql_q
+    from duckdb_fastlanes_spark.pipeline.dedup import _SHINGLE_CTE
 
-    d = table(spark, sf_dir, "documents")
-    sh = dd._shingle_rows(d)  # distinct (doc_id, shingle)
-    is_eval = F.col("doc_id") % EVAL_MOD == 0
-    eval_sh = sh.filter(is_eval).select("shingle").distinct().withColumn("hit", F.lit(1))
-    train = sh.filter(~is_eval)
-    hits = train.join(F.broadcast(eval_sh), "shingle", "left")
-    n_overlap = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
-    return hits.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        n_overlap.alias("n_overlap"),
-        F.round(n_overlap.cast("double") / F.count(F.lit(1)), 4).alias("overlap_ratio"),
-        (n_overlap.cast("double") / F.count(F.lit(1)) >= CONTAM_THRESHOLD).alias(
-            "contaminated"
-        ),
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH {_SHINGLE_CTE},
+        sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+        eval_sh AS (
+            SELECT DISTINCT shingle, 1 AS hit
+            FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+        hits AS (
+            SELECT /*+ BROADCAST(eval_sh) */ sh.doc_id, eval_sh.hit
+            FROM sh LEFT JOIN eval_sh ON sh.shingle = eval_sh.shingle
+            WHERE sh.doc_id % {EVAL_MOD} <> 0)
+        SELECT doc_id, count(1) AS n_shingles,
+               sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap,
+               round(CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(1), 4) AS overlap_ratio,
+               CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(1) >= {CONTAM_THRESHOLD}
+                 AS contaminated
+        FROM hits
+        GROUP BY doc_id
+        """,
     )
 
 
@@ -433,44 +443,40 @@ def dq_split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized. Floating sums are over ~vocab doubles → rounded to 6 dp on
     both engines (order-invariant at double precision for sums this size).
     """
-    d = table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
-            "int"
-        )
-        % 100
-    )
-    toks = d.select(
-        F.when(bucket < 50, "a").otherwise("b").alias("split"),
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), F.lit(0))
-        ).alias("term"),
-    )
-    per_term = toks.groupBy("term").agg(
-        F.sum(F.when(F.col("split") == "a", 1).otherwise(0)).alias("cnt_a"),
-        F.sum(F.when(F.col("split") == "b", 1).otherwise(0)).alias("cnt_b"),
-    )
-    tot = per_term.agg(
-        F.sum("cnt_a").alias("tot_a"),
-        F.sum("cnt_b").alias("tot_b"),
-        F.count(F.lit(1)).alias("v"),
-    )
-    probs = per_term.crossJoin(F.broadcast(tot)).select(
-        ((F.col("cnt_a") + 1.0) / (F.col("tot_a") + F.col("v"))).alias("p"),
-        ((F.col("cnt_b") + 1.0) / (F.col("tot_b") + F.col("v"))).alias("q"),
-    )
-    div = probs.agg(
-        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl_ab"),
-        F.round(0.5 * F.sum(F.abs(F.col("p") - F.col("q"))), 6).alias("tvd"),
-    )
-    return div.crossJoin(
-        F.broadcast(
-            tot.select(
-                F.col("v").alias("vocab_size"),
-                F.col("tot_a").alias("n_tokens_a"),
-                F.col("tot_b").alias("n_tokens_b"),
-            )
-        )
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH toks AS (
+            SELECT CASE WHEN CAST(conv(substring(md5(CAST(doc_id AS STRING)),
+                                       1, 4), 16, 10) AS INT) % 100 < 50
+                        THEN 'a' ELSE 'b' END AS split,
+                   explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0))
+                     AS term
+            FROM documents),
+        per_term AS (
+            SELECT term,
+                   sum(CASE WHEN split = 'a' THEN 1 ELSE 0 END) AS cnt_a,
+                   sum(CASE WHEN split = 'b' THEN 1 ELSE 0 END) AS cnt_b
+            FROM toks GROUP BY term),
+        tot AS (SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b,
+                       count(1) AS v
+                FROM per_term),
+        probs AS (
+            SELECT /*+ BROADCAST(tot) */
+                   (cnt_a + 1.0D) / (tot_a + v) AS p,
+                   (cnt_b + 1.0D) / (tot_b + v) AS q
+            FROM per_term CROSS JOIN tot),
+        div AS (
+            SELECT round(sum(p * log(p / q)), 6) AS kl_ab,
+                   round(0.5D * sum(abs(p - q)), 6) AS tvd
+            FROM probs)
+        SELECT /*+ BROADCAST(tot) */ kl_ab, tvd,
+               v AS vocab_size, tot_a AS n_tokens_a, tot_b AS n_tokens_b
+        FROM div CROSS JOIN tot
+        """,
     )
 
 

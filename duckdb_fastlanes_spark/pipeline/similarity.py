@@ -108,7 +108,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(src)
     key = hashlib.md5(
         json.dumps(
-            [os.path.abspath(src), st.st_size, int(st.st_mtime), NLIST, "ivf_index_v1"]
+            [os.path.abspath(src), st.st_size, st.st_mtime_ns, st.st_ino, NLIST, "ivf_index_v1"]
         ).encode()
     ).hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), "dfs_ivf_index", key)
@@ -501,52 +501,48 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ENTIRE pipeline (codebook → encode → LUT → ADC) is mirrored in the
     DuckDB oracle with the identical left-associative squared-L2 summation
     and nano-unit rounding — bit-exact, not rows-only."""
-    from pyspark.sql.window import Window
+    from duckdb_fastlanes_spark.catalog import sql_q
 
-    v = _doubled(table(spark, sf_dir, "embeddings")).select("vec_id", "e")
-    seeds = (
-        v.withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(PQ_K)
-        .withColumn(
-            "cid", F.row_number().over(Window.orderBy("h", "vec_id")) - 1
-        )
-        .select("cid", "e")
-    )
-    cb = seeds.select(
-        "cid", F.posexplode(_subvectors(F.col("e"))).alias("m", "c_sub")
-    )
-    corpus = v.select(
-        "vec_id", F.posexplode(_subvectors(F.col("e"))).alias("m", "sub")
-    )
-    d2 = _sq_l2(F.col("sub"), F.col("c_sub"))
-    codes = (
-        corpus.join(F.broadcast(cb), "m")
-        .groupBy("vec_id", "m")
-        .agg(F.min_by("cid", F.struct(d2.alias("d"), F.col("cid"))).alias("cid"))
-    )
-    qsubs = (
-        v.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.posexplode(_subvectors(F.col("e"))).alias("m", "sub"))
-    )
-    lut = (
-        qsubs.join(cb, "m")
-        .select(
-            "m",
-            "cid",
-            F.round(_sq_l2(F.col("sub"), F.col("c_sub")) * 1e9)
-            .cast("bigint")
-            .alias("du"),
-        )
-    )
-    return (
-        codes.join(F.broadcast(lut), ["m", "cid"])
-        .groupBy("vec_id")
-        .agg(F.sum("du").alias("adc_u"))
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .orderBy("adc_u", "vec_id")
-        .limit(TOP_K)
-        .select("vec_id", (F.col("adc_u") / 1e9).alias("adc_dist"))
+    # single-parse SQL body (r7); identical plan to the Column form
+    # (broadcast codebook/LUT, map-side min_by argmin, TakeOrdered)
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS array<double>) AS e
+                   FROM embeddings),
+        seeds AS (
+            SELECT * FROM (
+                SELECT row_number() OVER (
+                           ORDER BY md5(CAST(vec_id AS STRING)), vec_id) - 1
+                         AS cid, e
+                FROM v) WHERE cid < {PQ_K}),
+        cb AS (SELECT cid, m, sub AS c_sub FROM (
+                   SELECT cid, posexplode(array(slice(e, 1, 8), slice(e, 9, 8), slice(e, 17, 8), slice(e, 25, 8), slice(e, 33, 8), slice(e, 41, 8), slice(e, 49, 8), slice(e, 57, 8))) AS (m, sub)
+                   FROM seeds)),
+        corpus AS (SELECT vec_id, m, sub FROM (
+                       SELECT vec_id, posexplode(array(slice(e, 1, 8), slice(e, 9, 8), slice(e, 17, 8), slice(e, 25, 8), slice(e, 33, 8), slice(e, 41, 8), slice(e, 49, 8), slice(e, 57, 8))) AS (m, sub)
+                       FROM v)),
+        codes AS (
+            SELECT /*+ BROADCAST(cb) */ vec_id, m,
+                   min_by(cid, struct(aggregate(zip_with(sub, c_sub, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, v) -> acc + v) AS d, cid)) AS cid
+            FROM corpus JOIN cb USING (m)
+            GROUP BY vec_id, m),
+        lut AS (
+            SELECT m, cid,
+                   CAST(round(aggregate(zip_with(sub, c_sub, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, v) -> acc + v) * 1e9) AS BIGINT) AS du
+            FROM (SELECT m, sub FROM (
+                      SELECT vec_id, posexplode(array(slice(e, 1, 8), slice(e, 9, 8), slice(e, 17, 8), slice(e, 25, 8), slice(e, 33, 8), slice(e, 41, 8), slice(e, 49, 8), slice(e, 57, 8))) AS (m, sub)
+                      FROM v) WHERE vec_id = {QUERY_VEC_ID}) q
+            JOIN cb USING (m))
+        SELECT vec_id, adc_u / 1e9 AS adc_dist
+        FROM (SELECT /*+ BROADCAST(lut) */ vec_id, sum(du) AS adc_u
+              FROM codes JOIN lut USING (m, cid)
+              WHERE vec_id <> {QUERY_VEC_ID}
+              GROUP BY vec_id)
+        ORDER BY adc_u, vec_id
+        LIMIT {TOP_K}
+        """,
     )
 
 
@@ -577,25 +573,29 @@ def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query). The query set broadcasts against the corpus; per-query top-k
     is a ranking window partitioned by query_id, so adding queries widens the
     broadcast, not the number of scans."""
-    from pyspark.sql.window import Window
+    from duckdb_fastlanes_spark.catalog import sql_q
 
-    v = _doubled(table(spark, sf_dir, "embeddings"))
-    q = F.broadcast(
-        v.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-        )
-    )
-    scored = (
-        v.crossJoin(q)
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", _cosine(F.col("e"), F.col("qe")).alias("cos"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "vec_id", F.round("cos", 4).alias("cosine"))
-        .orderBy("query_id", F.col("cosine").desc(), "vec_id")
+    # single-parse SQL body (r7); same plan: broadcast query batch,
+    # per-query ranking window
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS array<double>) AS e
+                   FROM embeddings),
+        scored AS (
+            SELECT /*+ BROADCAST(q) */ q.query_id, v.vec_id,
+                   aggregate(zip_with(v.e, q.qe, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (sqrt(aggregate(v.e, 0D, (acc, x) -> acc + x * x)) * sqrt(aggregate(q.qe, 0D, (acc, x) -> acc + x * x))) AS cos
+            FROM v CROSS JOIN (SELECT vec_id AS query_id, e AS qe FROM v
+                               WHERE vec_id < {N_QUERIES}) q
+            WHERE v.vec_id <> q.query_id)
+        SELECT query_id, vec_id, round(cos, 4) AS cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, vec_id) AS rk
+              FROM scored)
+        WHERE rk <= {TOP_K}
+        ORDER BY query_id, cosine DESC, vec_id
+        """,
     )
 
 
@@ -1088,7 +1088,7 @@ def _srp_index(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(src)
     key = hashlib.md5(
         json.dumps(
-            [os.path.abspath(src), st.st_size, int(st.st_mtime),
+            [os.path.abspath(src), st.st_size, st.st_mtime_ns, st.st_ino,
              SRP_PLANES, SRP_DIM, "srp_index_v1"]
         ).encode()
     ).hexdigest()[:16]

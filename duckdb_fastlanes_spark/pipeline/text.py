@@ -333,52 +333,40 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic per-row arithmetic quantized to integer micro-units; the
     per-doc sum is exact, and the top-k orders by that integer with doc_id
     tiebreak — a TakeOrderedAndProject, no global sort."""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), F.lit(0))
-        ).alias("w"),
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl"))
-    tf = (
-        toks.filter(F.col("w").isin(*BM25_TERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dft = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    # expression trees mirror the oracle token-for-token: both engines run
-    # the same IEEE double ops in the same order on the same exact inputs
-    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    term_score = (
-        idf
-        * (F.col("tf") * (1.0 + BM25_K1))
-        / (
-            F.col("tf")
-            + BM25_K1 * (F.lit(1.0 - BM25_B) + BM25_B * F.col("dl") / avgdl)
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(dft), "w")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", F.round(term_score * 1000000).cast("bigint").alias("u"))
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_terms_hit"),
-            F.sum("u").alias("su"),
-        )
-        .orderBy(F.col("su").desc(), "doc_id")
-        .limit(BM25_TOPK)
-        .select(
-            "doc_id",
-            "n_terms_hit",
-            (F.col("su") / F.lit(1000000.0)).alias("score"),
-        )
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    # single-parse SQL body (r7); same IEEE double expression tree as the
+    # oracle, D-suffixed fractional literals, exact integer micro-unit sum
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS w
+            FROM documents),
+        dl AS (SELECT doc_id, count(1) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT count(1) AS n_docs, sum(dl) AS tot_dl FROM dl),
+        tf AS (SELECT doc_id, w, count(1) AS tf
+               FROM toks WHERE w IN {BM25_TERMS!r} GROUP BY doc_id, w),
+        dft AS (SELECT w, count(1) AS df FROM tf GROUP BY w),
+        scored AS (
+            SELECT /*+ BROADCAST(dft), BROADCAST(stats) */ tf.doc_id,
+                   CAST(round(
+                       log(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))
+                       * (tf * (1.0D + {BM25_K1}D))
+                       / (tf + {BM25_K1}D * (1.0D - {BM25_B}D
+                          + {BM25_B}D * dl / (CAST(tot_dl AS DOUBLE) / n_docs)))
+                       * 1000000) AS BIGINT) AS u
+            FROM tf JOIN dft ON tf.w = dft.w
+                    JOIN dl ON tf.doc_id = dl.doc_id
+                    CROSS JOIN stats)
+        SELECT doc_id, n_terms_hit, su / 1000000.0D AS score
+        FROM (SELECT doc_id, count(1) AS n_terms_hit, sum(u) AS su
+              FROM scored GROUP BY doc_id)
+        ORDER BY su DESC, doc_id
+        LIMIT {BM25_TOPK}
+        """,
     )
 
 
@@ -475,31 +463,55 @@ def text_embed_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a relabel-sensitive digest of ALL 64 elements). Micro-units use the
     same sign-aware floor expression on both engines, so no rounding-tie
     can diverge; pytest still pins determinism, dims, and unit norm."""
-    d = table(spark, sf_dir, "documents")
-    out = embed_text(d)
+    from duckdb_fastlanes_spark.catalog import sql_q
 
-    def mu(x: F.Column) -> F.Column:
-        return F.when(x < 0, -F.floor(-x + F.lit(0.5))).otherwise(
-            F.floor(x + F.lit(0.5))
-        )
-
-    e0_u = mu(F.element_at("embedding", 1).cast("double") * 10000.0).cast("bigint")
-    vec_sum_u = F.aggregate(
-        F.zip_with(
-            "embedding",
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda v, i: mu(v.cast("double") * 10000.0).cast("bigint")
-            * i.cast("bigint"),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    # single-parse SQL body (r7): the embed_text pipeline inlined as SQL
+    # text (same expressions; embed_text itself stays the API helper for
+    # DataFrame callers and keeps its pytest)
+    e0 = '(CASE WHEN CAST(element_at(embedding, 1) AS DOUBLE) * 10000.0D < 0 THEN -floor(-(CAST(element_at(embedding, 1) AS DOUBLE) * 10000.0D) + 0.5D) ELSE floor((CAST(element_at(embedding, 1) AS DOUBLE) * 10000.0D) + 0.5D) END)'
+    vterm = '(CASE WHEN CAST(v AS DOUBLE) * 10000.0D < 0 THEN -floor(-(CAST(v AS DOUBLE) * 10000.0D) + 0.5D) ELSE floor((CAST(v AS DOUBLE) * 10000.0D) + 0.5D) END)'
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH toks AS (
+            SELECT doc_id, explode(split(lower(text), '\\\\s+')) AS tok
+            FROM documents),
+        weights AS (
+            SELECT doc_id,
+                   CAST(conv(substring(md5(tok), 1, 6), 16, 10) AS BIGINT)
+                     % {EMBED_DIMS} AS dim,
+                   sum(CASE WHEN CAST(conv(substring(md5(tok), 7, 1), 16, 10)
+                                 AS INT) % 2 = 0
+                            THEN 1.0D ELSE -1.0D END) AS w
+            FROM toks GROUP BY 1, 2),
+        sparse AS (
+            SELECT doc_id,
+                   map_from_entries(sort_array(collect_list(struct(dim, w))))
+                     AS m
+            FROM weights GROUP BY doc_id),
+        densed AS (
+            SELECT doc_id, d,
+                   sqrt(aggregate(d, 0D, (acc, v) -> acc + v * v)) AS nrm
+            FROM (SELECT doc_id,
+                         transform(sequence(0, {EMBED_DIMS - 1}),
+                                   i -> coalesce(element_at(m, CAST(i AS BIGINT)),
+                                                 0.0D)) AS d
+                  FROM sparse)),
+        emb AS (
+            SELECT doc_id, transform(d, v -> CAST(v / nrm AS FLOAT)) AS embedding
+            FROM densed)
+        SELECT doc_id,
+               CAST({e0} AS BIGINT) AS e0_u,
+               aggregate(zip_with(embedding, sequence(1, {EMBED_DIMS}),
+                                  (v, i) -> CAST({vterm} AS BIGINT)
+                                            * CAST(i AS BIGINT)),
+                         CAST(0 AS BIGINT), (acc, x) -> acc + x) AS vec_sum_u,
+               size(embedding) AS dims
+        FROM emb
+        ORDER BY doc_id
+        """,
     )
-    return out.select(
-        "doc_id",
-        e0_u.alias("e0_u"),
-        vec_sum_u.alias("vec_sum_u"),
-        F.size("embedding").alias("dims"),
-    ).orderBy("doc_id")
 
 
 def _curate_oracle() -> str:
@@ -568,61 +580,70 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazily — Catalyst optimizes across stage boundaries (the quality filter
     pushes into every branch's scan), which a script of separate jobs
     cannot."""
+    from duckdb_fastlanes_spark.catalog import sql_q
     from duckdb_fastlanes_spark.pipeline import dedup as dd
 
-    d = table(spark, sf_dir, "documents")
-    n_words = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), F.lit(0)))
-    quality = d.filter(F.length("text").between(64, 4096) & (n_words >= 10))
-
-    exact_kept = (
-        quality.select(F.md5(dd._norm(F.col("text"))).alias("fp"), "doc_id")
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    deduped = quality.join(exact_kept, "doc_id", "left_semi")
-
-    rows = dd._shingle_rows(deduped, distinct=False)
-    per_doc = (
-        rows.withColumn("h", F.md5("shingle"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("shingles"), *dd._minhash_aggs())
-    )
     n_bands = dd.N_MINHASH // dd.BAND_WIDTH
-    banded = per_doc.select(
-        "doc_id",
-        "shingles",
-        F.posexplode(F.array(*[F.expr(dd._band_expr(b)) for b in range(n_bands)])).alias(
-            "band_id", "band_key"
-        ),
+    mh_cols = ", ".join(
+        f"min(substring(h, {i * 4 + 1}, 4)) AS mh{i}" for i in range(dd.N_MINHASH)
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
-    jac = inter.cast("double") / (
-        F.size("a.shingles") + F.size("b.shingles") - inter
-    )
-    near_dropped = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(jac >= dd.JACCARD_THRESHOLD)
-        .select(F.col("b.doc_id").alias("doc_id"))
-        .distinct()
-    )
-    final = deduped.join(near_dropped, "doc_id", "left_anti")
-    n_tokens = F.size(
-        F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), F.lit(0))
-    )
-    return (
-        final.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(n_tokens).alias("total_tokens"),
-        )
-        .orderBy("lang")
+    bands_sql = ", ".join(dd._band_expr(b) for b in range(n_bands))
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH quality AS (
+            SELECT doc_id, lang, text FROM documents
+            WHERE length(text) BETWEEN 64 AND 4096
+              AND size(regexp_extract_all(text, '[A-Za-z]+', 0)) >= 10),
+        exact_kept AS (
+            SELECT min(doc_id) AS doc_id
+            FROM (SELECT md5(lower(regexp_replace(trim(text), '\\\\s+', ' ')))
+                      AS fp, doc_id
+                  FROM quality)
+            GROUP BY fp),
+        deduped AS (
+            SELECT q.* FROM quality q LEFT SEMI JOIN exact_kept k
+            ON q.doc_id = k.doc_id),
+        wtab AS (SELECT doc_id,
+                        regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS w
+                 FROM deduped),
+        shingled AS (
+            SELECT doc_id,
+                   explode(zip_with(
+                       slice(w, 1, size(w) - 2),
+                       zip_with(slice(w, 2, size(w) - 2), slice(w, 3, size(w) - 2),
+                                (x, y) -> concat(x, ' ', y)),
+                       (a, bc) -> concat(a, ' ', bc)
+                   )) AS shingle
+            FROM wtab WHERE size(w) >= 3),
+        per_doc AS (
+            SELECT doc_id, collect_set(shingle) AS shingles, {mh_cols}
+            FROM (SELECT doc_id, shingle, md5(shingle) AS h FROM shingled)
+            GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, shingles,
+                   posexplode(array({bands_sql})) AS (band_id, band_key)
+            FROM per_doc),
+        near_dropped AS (
+            SELECT DISTINCT b.doc_id
+            FROM banded a JOIN banded b
+              ON a.band_key = b.band_key AND a.band_id = b.band_id
+                 AND a.doc_id < b.doc_id
+            WHERE CAST(size(array_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / (size(a.shingles) + size(b.shingles)
+                     - size(array_intersect(a.shingles, b.shingles)))
+                  >= {dd.JACCARD_THRESHOLD}),
+        final AS (
+            SELECT d.* FROM deduped d LEFT ANTI JOIN near_dropped n
+            ON d.doc_id = n.doc_id)
+        SELECT lang, count(1) AS n_docs,
+               sum(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)))
+                 AS total_tokens
+        FROM final
+        GROUP BY lang
+        ORDER BY lang
+        """,
     )
 
 
@@ -1035,70 +1056,54 @@ def text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partial+final aggregate. Priors are intentionally uniform (class
     counts are near-equal after the hash split; dropping the prior term
     keeps the score a pure token sum)."""
-    d = table(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window
+    from duckdb_fastlanes_spark.catalog import sql_q
 
-    toks = d.select(
-        "doc_id",
-        "source",
-        (
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-            .cast("int")
-            % 100
-        ).alias("bucket"),
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), F.lit(0))
-        ).alias("tok"),
-    )
-    train = toks.filter(F.col("bucket") < 80)
-    test = toks.filter(F.col("bucket") >= 80)
-    class_tot = train.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
-    vocab_n = train.agg(F.countDistinct("tok").alias("v"))
-    model = (
-        train.groupBy(F.col("source").alias("m_source"), F.col("tok").alias("m_tok"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .join(F.broadcast(class_tot), F.col("m_source") == F.col("source"))
-        .crossJoin(F.broadcast(vocab_n))
-        .select(
-            "m_source",
-            "m_tok",
-            F.floor(
-                1000000.0 * F.log((F.col("cnt") + 1.0) / (F.col("tot") + F.col("v")))
-            )
-            .cast("bigint")
-            .alias("l_tok"),
-        )
-    )
-    defaults = (
-        class_tot.crossJoin(F.broadcast(vocab_n))
-        .select(
-            F.col("source").alias("d_source"),
-            F.floor(1000000.0 * F.log(1.0 / (F.col("tot") + F.col("v"))))
-            .cast("bigint")
-            .alias("l_unseen"),
-        )
-    )
-    scored = (
-        test.crossJoin(F.broadcast(defaults))
-        .join(
-            model,
-            (F.col("m_source") == F.col("d_source")) & (F.col("m_tok") == F.col("tok")),
-            "left",
-        )
-        .groupBy(
-            F.col("doc_id"),
-            F.col("source").alias("actual"),
-            F.col("d_source").alias("candidate"),
-        )
-        .agg(F.sum(F.coalesce(F.col("l_tok"), F.col("l_unseen"))).alias("score"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "candidate")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy("actual", F.col("candidate").alias("predicted"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("actual", "predicted")
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4),
+                             16, 10) AS INT) % 100 AS bucket,
+                   explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0))
+                     AS tok
+            FROM documents),
+        train AS (SELECT * FROM toks WHERE bucket < 80),
+        test AS (SELECT * FROM toks WHERE bucket >= 80),
+        class_tot AS (SELECT source, count(1) AS tot FROM train GROUP BY source),
+        vocab_n AS (SELECT count(DISTINCT tok) AS v FROM train),
+        model AS (
+            SELECT /*+ BROADCAST(class_tot), BROADCAST(vocab_n) */
+                   t.m_source, t.m_tok,
+                   CAST(floor(1000000.0D * log((t.cnt + 1.0D) / (tot + v)))
+                        AS BIGINT) AS l_tok
+            FROM (SELECT source AS m_source, tok AS m_tok, count(1) AS cnt
+                  FROM train GROUP BY source, tok) t
+            JOIN class_tot ON t.m_source = class_tot.source
+            CROSS JOIN vocab_n),
+        defaults AS (
+            SELECT /*+ BROADCAST(vocab_n) */ source AS d_source,
+                   CAST(floor(1000000.0D * log(1.0D / (tot + v))) AS BIGINT)
+                     AS l_unseen
+            FROM class_tot CROSS JOIN vocab_n),
+        scored AS (
+            SELECT /*+ BROADCAST(defaults) */ test.doc_id,
+                   test.source AS actual, d_source AS candidate,
+                   sum(coalesce(l_tok, l_unseen)) AS score
+            FROM test CROSS JOIN defaults
+            LEFT JOIN model
+              ON model.m_source = d_source AND model.m_tok = test.tok
+            GROUP BY test.doc_id, test.source, d_source)
+        SELECT actual, candidate AS predicted, count(1) AS n
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, candidate)
+                          AS rn
+              FROM scored)
+        WHERE rn = 1
+        GROUP BY actual, candidate
+        ORDER BY actual, predicted
+        """,
     )
 
 

@@ -140,7 +140,7 @@ def _dir_stat_fingerprint(data_dir: str) -> tuple:
             p = os.path.join(data_dir, f)
             if os.path.isfile(p):
                 st = os.stat(p)
-                entries.append((f, st.st_size, int(st.st_mtime)))
+                entries.append((f, st.st_size, st.st_mtime_ns, st.st_ino))
         return tuple(entries)
     except OSError:
         return ()

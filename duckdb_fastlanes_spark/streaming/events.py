@@ -50,7 +50,7 @@ def staged_input(
         p = os.path.join(sf_dir, f)
         if os.path.isfile(p):
             st = os.stat(p)
-            stat.append((f, st.st_size, int(st.st_mtime)))
+            stat.append((f, st.st_size, st.st_mtime_ns, st.st_ino))
     # expression ids (#123) change on every DataFrame construction; strip
     # them so the SAME derivation memoizes across calls while any real
     # change (literal, column, operator) still flips the key
