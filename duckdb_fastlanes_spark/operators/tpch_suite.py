@@ -122,22 +122,13 @@ def _usum_sql(expr: str) -> str:
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 shipping priority: 3-way join → agg → top-10 by revenue."""
-    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ts("1998-03-15"))
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ts("1998-03-15"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            _usum_col(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-        .limit(10)
-        .select("l_orderkey", "revenue", "o_orderdate")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "tpch_q3")
 
 
 @register(
@@ -199,29 +190,13 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 local-supplier volume: 6-way star join with the classic
     c_nationkey = s_nationkey co-location constraint."""
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= _ts("1996-01-01"))
-        & (F.col("o_orderdate") < _ts("1997-01-01"))
-    )
-    li = table(spark, sf_dir, "lineitem")
-    s = table(spark, sf_dir, "supplier")
-    n = F.broadcast(table(spark, sf_dir, "nation"))
-    r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(n, s.s_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(
-            _usum_col(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), F.col("n_name"))
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "tpch_q5")
 
 
 @register(
@@ -348,42 +323,13 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 national market share: 8-way join, conditional-aggregate ratio."""
-    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    s = table(spark, sf_dir, "supplier")
-    li = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    n1 = F.broadcast(table(spark, sf_dir, "nation"))
-    n2 = F.broadcast(
-        table(spark, sf_dir, "nation")
-        .withColumnRenamed("n_name", "nation")
-        .withColumnRenamed("n_nationkey", "n2_nationkey")
-    )
-    r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA"))
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(n1, c.c_nationkey == n1.n_nationkey)
-        .join(r, n1.n_regionkey == r.r_regionkey)
-        .join(n2, s.s_nationkey == F.col("n2_nationkey"))
-        .select(
-            F.year("o_orderdate").alias("o_year"),
-            vol.alias("volume"),
-            F.col("nation"),
-        )
-        .groupBy("o_year")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
-                4,
-            ).alias("mkt_share")
-        )
-        .orderBy("o_year")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "tpch_q8")
 
 
 @register(
@@ -474,33 +420,13 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 returned-item reporting: join + agg + top-20."""
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= _ts("1997-10-01"))
-        & (F.col("o_orderdate") < _ts("1998-01-01"))
-    )
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    n = F.broadcast(table(spark, sf_dir, "nation"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(n, c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            _usum_col(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        .limit(20)
-        .select(
-            "c_custkey",
-            "c_name",
-            "revenue",
-            F.round("c_acctbal", 2).alias("acctbal"),
-            "n_name",
-        )
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "tpch_q10")
 
 
 @register(
@@ -725,33 +651,13 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 large-volume customers: IN-subquery with HAVING → semi join."""
-    li = table(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sq"))
-        .filter(F.col("sq") > 300)
-        .select("l_orderkey")
-    )
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    return (
-        li.join(big.withColumnRenamed("l_orderkey", "big_orderkey"),
-                F.col("l_orderkey") == F.col("big_orderkey"), "inner")
-        .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(100)
-        .select(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
-            "sum_qty",
-        )
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "tpch_q18")
 
 
 @register(
@@ -824,34 +730,13 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 suppliers who kept orders waiting, adapted: with no receipt/commit
     dates, the 'blocking' supplier is the one whose line shipped last on a
     multi-supplier F-status order. EXISTS/NOT-EXISTS become aggregate joins."""
-    li = table(spark, sf_dir, "lineitem")
-    last_ship = li.groupBy(F.col("l_orderkey").alias("ls_orderkey")).agg(
-        F.max("l_shipdate").alias("max_ship")
-    )
-    multi_supp = (
-        li.groupBy(F.col("l_orderkey").alias("ms_orderkey"))
-        .agg(F.countDistinct("l_suppkey").alias("nsupp"))
-        .filter(F.col("nsupp") > 1)
-        .select("ms_orderkey")
-    )
-    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    s = table(spark, sf_dir, "supplier")
-    n = F.broadcast(table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5"))
-    return (
-        li.join(
-            last_ship,
-            (li.l_orderkey == F.col("ls_orderkey"))
-            & (li.l_shipdate == F.col("max_ship")),
-        )
-        .join(multi_supp, li.l_orderkey == F.col("ms_orderkey"))
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(n, s.s_nationkey == n.n_nationkey)
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.col("numwait").desc(), F.col("s_name"))
-        .limit(25)
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "tpch_q21")
 
 
 @register(

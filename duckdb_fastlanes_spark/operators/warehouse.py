@@ -52,26 +52,13 @@ def dim_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     window), so 100 TB of events with bounded per-user history streams
     through without skew; eff_from ties are broken by event_id in the
     change-detection window."""
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
-    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        ev.withColumn("prev_type", F.lag("event_type").over(w_ev))
-        .filter(
-            F.col("prev_type").isNull()
-            | (F.col("event_type") != F.col("prev_type"))
-        )
-        .select(
-            "user_id",
-            F.col("event_type").alias("state"),
-            F.col("ts").alias("eff_from"),
-        )
-    )
-    w_chg = Window.partitionBy("user_id").orderBy("eff_from")
-    return (
-        changes.withColumn("eff_to", F.lead("eff_from").over(w_chg))
-        .withColumn("is_current", F.col("eff_to").isNull())
-        .orderBy("user_id", "eff_from")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "dim_scd2_user_state")
 
 
 @register(
@@ -250,33 +237,13 @@ def feature_scale_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     off knife-edges. Spark shape: the 1-row global-stats aggregate
     broadcast-joins onto the per-group aggregate — two map-side-combined
     aggs, no global window, scale-indifferent."""
-    li = table(spark, sf_dir, "lineitem")
-    g = li.agg(
-        F.avg("l_quantity").alias("mq"),
-        F.stddev_samp("l_quantity").alias("sq"),
-        F.min("l_extendedprice").alias("lop"),
-        F.max("l_extendedprice").alias("hip"),
-    )
-    per = li.groupBy("l_returnflag").agg(
-        F.avg("l_quantity").alias("aq"), F.avg("l_extendedprice").alias("ap")
-    )
-    return (
-        per.crossJoin(F.broadcast(g))
-        .select(
-            "l_returnflag",
-            # + 0.0 folds IEEE -0.0 to 0.0 (repr-stable vs oracle)
-            (F.round((F.col("aq") - F.col("mq")) / F.col("sq"), 2) + 0.0).alias(
-                "qty_z"
-            ),
-            (
-                F.round(
-                    (F.col("ap") - F.col("lop")) / (F.col("hip") - F.col("lop")), 2
-                )
-                + 0.0
-            ).alias("price_minmax"),
-        )
-        .orderBy("l_returnflag")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: the registered oracle is pure ANSI SQL that Spark parses
+    # verbatim and plans IDENTICALLY to the former Column tree
+    # (plan-feature-gated substitution; see catalog.shared_ansi) —
+    # one JVM parse, literal both-engines parity on the same text.
+    return shared_ansi(spark, sf_dir, "feature_scale_stats")
 
 
 @register(

@@ -508,32 +508,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes; identical fingerprints group near-duplicates. Pure
     projection+groupBy — two narrow shuffles, no pairwise compare. (Hamming-
     radius search = re-group on fingerprint with masked bit-bands.)"""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("tok")
-    )
-    h16 = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
-    bit_ix = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
-    bits = toks.select("doc_id", h16.alias("h"), bit_ix).select(
-        "doc_id",
-        "bit",
-        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
-    )
-    fps = (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("weight"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("weight") > 0, F.expr("1 << bit")).otherwise(0))
-            .cast("bigint")
-            .alias("simhash")
-        )
-    )
-    return (
-        fps.groupBy("simhash")
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
-        .orderBy("simhash")
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   explode(array_distinct(
+                       regexp_extract_all(lower(text), '[a-z0-9]+', 0))) AS tok
+            FROM documents),
+        bits AS (
+            SELECT doc_id, bit,
+                   CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+            FROM (SELECT doc_id,
+                         CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS INT)
+                           AS h,
+                         explode(sequence(0, {SIMHASH_BITS - 1})) AS bit
+                  FROM toks)),
+        fps AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN weight > 0 THEN shiftleft(1, bit)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM (SELECT doc_id, bit, sum(vote) AS weight
+                  FROM bits GROUP BY doc_id, bit)
+            GROUP BY doc_id)
+        SELECT simhash, min(doc_id) AS keep_doc_id, count(1) AS n_docs
+        FROM fps
+        GROUP BY simhash
+        HAVING count(1) > 1
+        ORDER BY simhash
+        """,
     )
 
 
@@ -555,36 +561,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: pairwise cosine *within coarse buckets* (label here;
     IVF cells at scale) — the blocked-join pattern that avoids the n² cross
     join. Dot products stay JVM-side via zip_with + aggregate."""
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
-        )
+    from duckdb_fastlanes_spark.catalog import sql_q
+    from duckdb_fastlanes_spark.session import SMALL_INPUT_BYTES, input_gauge_bytes
 
-    def norm(x: Column) -> Column:
-        return F.sqrt(F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v * v))
-
-    # Pre-compute each vector's norm once (n rows) instead of per pair (n²/k
-    # rows): the join then evaluates a single dot product per candidate pair.
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    ).withColumn("nrm", norm(F.col("e")))
     # the label-blocked pairwise join self-joins the full embedding
-    # store — corpus-sized both sides, pinned above the threshold
-    a, b = emb.alias("a"), _pin_merge(emb.alias("b"), sf_dir)
-
-    cos = dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= COSINE_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
-        .orderBy("vec_a", "vec_b")
+    # store — corpus-sized both sides, pinned above the threshold (same
+    # gauge as _pin_merge, inline MERGE hint). Norms are precomputed once
+    # per vector (n rows), so the join evaluates one dot per pair.
+    merge = (
+        "/*+ MERGE(b) */ "
+        if input_gauge_bytes(sf_dir) >= SMALL_INPUT_BYTES
+        else ""
+    )
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH emb AS (
+            SELECT vec_id, label,
+                   CAST(embedding AS array<double>) AS e,
+                   sqrt(aggregate(CAST(embedding AS array<double>), 0D,
+                                  (acc, v) -> acc + v * v)) AS nrm
+            FROM embeddings)
+        SELECT vec_a, vec_b, round(cosine, 4) AS cosine
+        FROM (SELECT {merge}a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     aggregate(zip_with(a.e, b.e, (p, q) -> p * q), 0D,
+                               (acc, v) -> acc + v) / (a.nrm * b.nrm)
+                       AS cosine
+              FROM emb a JOIN emb b
+                ON a.label = b.label AND a.vec_id < b.vec_id)
+        WHERE cosine >= {COSINE_THRESHOLD}
+        ORDER BY vec_a, vec_b
+        """,
     )
 
 

@@ -780,44 +780,31 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the negatives that actually teach the model. Queries broadcast to the
     corpus (the corpus never shuffles); per-query top-3 is a bounded
     per-partition heap via the row_number window on the query key."""
-    from pyspark.sql.window import Window
+    from duckdb_fastlanes_spark.catalog import sql_q
 
-    from duckdb_fastlanes_spark.functions.vector import as_double_array, cosine_similarity
-
-    v = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double_array("embedding").alias("e")
-    )
-    q = F.broadcast(
-        v.filter(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("q_id"),
-            F.col("label").alias("q_label"),
-            F.col("e").alias("qe"),
-        )
-    )
-    scored = (
-        v.join(q, v.label != F.col("q_label"))
-        .select(
-            "q_id",
-            "vec_id",
-            "label",
-            cosine_similarity(F.col("e"), F.col("qe")).alias("cos"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
-            ),
-        )
-    )
-    return (
-        scored.filter(F.col("rn") <= 3)
-        .select(
-            "q_id",
-            F.col("vec_id").alias("neg_id"),
-            F.col("label").alias("neg_label"),
-            F.round("cos", 4).alias("cosine"),
-        )
-        .orderBy("q_id", "rn")
+    # single-parse SQL body (r7); same plan: broadcast query batch joined
+    # on label inequality, per-query ranking window
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH v AS (SELECT vec_id, label,
+                          CAST(embedding AS array<double>) AS e
+                   FROM embeddings),
+        scored AS (
+            SELECT /*+ BROADCAST(q) */ q.q_id, v.vec_id, v.label,
+                   aggregate(zip_with(v.e, q.qe, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (sqrt(aggregate(v.e, 0D, (acc, x) -> acc + x * x)) * sqrt(aggregate(q.qe, 0D, (acc, x) -> acc + x * x))) AS cos
+            FROM v JOIN (SELECT vec_id AS q_id, label AS q_label, e AS qe
+                         FROM v WHERE vec_id < 5) q
+              ON v.label <> q.q_label)
+        SELECT q_id, vec_id AS neg_id, label AS neg_label,
+               round(cos, 4) AS cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, vec_id) AS rn
+              FROM scored)
+        WHERE rn <= 3
+        ORDER BY q_id, rn
+        """,
     )
 
 
@@ -875,33 +862,37 @@ def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic id/label tiebreaks so both engines pick identical
     neighbors and votes. Scale path: replace the broadcast cross join with
     the IVF cell restriction (sim_ivf_topk) — vote logic unchanged."""
-    v = _doubled(table(spark, sf_dir, "embeddings")).where(f"vec_id < {KNN_POOL}")
-    test = v.where(f"vec_id % {KNN_TEST_MOD} = 0").selectExpr(
-        "vec_id AS t_id", "label AS actual", "e AS te"
-    )
-    train = v.where(f"vec_id % {KNN_TEST_MOD} <> 0").selectExpr(
-        "vec_id AS tr_id", "label AS nb_label", "e AS tre"
-    )
-    from pyspark.sql.window import Window
+    from duckdb_fastlanes_spark.catalog import sql_q
 
-    scored = F.broadcast(test).crossJoin(train).select(
-        "t_id", "actual", "nb_label", "tr_id",
-        _cosine(F.col("te"), F.col("tre")).alias("cos"),
-    )
-    w_rank = Window.partitionBy("t_id").orderBy(F.desc("cos"), "tr_id")
-    votes = (
-        scored.withColumn("rk", F.row_number().over(w_rank))
-        .filter(F.col("rk") <= KNN_K)
-        .groupBy("t_id", "actual", "nb_label")
-        .agg(F.count(F.lit(1)).alias("n_votes"))
-    )
-    w_vote = Window.partitionBy("t_id").orderBy(F.desc("n_votes"), "nb_label")
-    return (
-        votes.withColumn("pr", F.row_number().over(w_vote))
-        .filter(F.col("pr") == 1)
-        .groupBy("actual", F.col("nb_label").alias("predicted"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("actual", "predicted")
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH v AS (SELECT vec_id, label, CAST(embedding AS array<double>) AS e
+                   FROM embeddings WHERE vec_id < {KNN_POOL}),
+        scored AS (
+            SELECT /*+ BROADCAST(test) */ t_id, actual, nb_label, tr_id,
+                   aggregate(zip_with(te, tre, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (sqrt(aggregate(te, 0D, (acc, x) -> acc + x * x)) * sqrt(aggregate(tre, 0D, (acc, x) -> acc + x * x))) AS cos
+            FROM (SELECT vec_id AS t_id, label AS actual, e AS te FROM v
+                  WHERE vec_id % {KNN_TEST_MOD} = 0) test
+            CROSS JOIN (SELECT vec_id AS tr_id, label AS nb_label, e AS tre
+                        FROM v WHERE vec_id % {KNN_TEST_MOD} <> 0) train),
+        votes AS (
+            SELECT t_id, actual, nb_label, count(1) AS n_votes
+            FROM (SELECT *, row_number() OVER (PARTITION BY t_id
+                                               ORDER BY cos DESC, tr_id) AS rk
+                  FROM scored)
+            WHERE rk <= {KNN_K}
+            GROUP BY t_id, actual, nb_label)
+        SELECT actual, nb_label AS predicted, count(1) AS n
+        FROM (SELECT *, row_number() OVER (PARTITION BY t_id
+                                           ORDER BY n_votes DESC, nb_label)
+                          AS pr
+              FROM votes)
+        WHERE pr = 1
+        GROUP BY actual, nb_label
+        ORDER BY actual, predicted
+        """,
     )
 
 
