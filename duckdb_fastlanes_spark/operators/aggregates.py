@@ -125,18 +125,11 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTER (WHERE ...) conditional aggregation — Spark supports the same
     syntax via expr(); stays in whole-stage codegen."""
-    li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr("count(*) FILTER (WHERE l_quantity > 25)").alias("n_bulk"),
-            F.round(
-                F.expr("sum(l_extendedprice) FILTER (WHERE l_discount > 0.05)"), 2
-            ).alias("discounted_rev"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("l_returnflag")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "agg_filtered")
 
 
 @register(
@@ -213,14 +206,8 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (stddev/variance/corr/median) — DuckDB ordered-set
     family (SURVEY §2.C); Spark has native equivalents (median since 3.4)."""
-    li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
-            F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
-            F.round(F.median("l_quantity"), 2).alias("median_qty"),
-        )
-        .orderBy("l_returnflag")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "agg_stats")

@@ -72,14 +72,11 @@ def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER with an extra join-side predicate; count(col) skips NULLs so
     customers with no 'F' orders report 0."""
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
-    cond = (o.o_custkey == c.c_custkey) & (o.o_orderstatus == F.lit("F"))
-    return (
-        c.join(o, cond, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "join_left_outer")
 
 
 @register(
@@ -133,9 +130,11 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI join — customers having at least one big order."""
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "join_semi")
 
 
 @register(

@@ -186,15 +186,11 @@ def scalar_distinct_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_types_single_threaded.test:32-34) + COALESCE (B6, :25). NULLs are
     synthesized with nullif since the driver tables are NOT NULL-clean
     (the fls format cannot store NULLs, fls_reader.cpp:200)."""
-    li = table(spark, sf_dir, "lineitem")
-    a = F.nullif(F.col("l_returnflag"), F.lit("N"))
-    b = F.nullif(F.col("l_linestatus"), F.lit("O"))
-    distinct_from = ~a.eqNullSafe(b)
-    return li.agg(
-        F.sum(F.when(distinct_from, 1).otherwise(0)).alias("n_distinct_from"),
-        F.sum(F.when(~distinct_from, 1).otherwise(0)).alias("n_not_distinct"),
-        F.count(F.coalesce(a, b)).alias("n_coalesced"),
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "scalar_distinct_from")
 
 
 @register(
@@ -208,10 +204,11 @@ def scalar_distinct_from(spark: SparkSession, sf_dir: str) -> DataFrame:
 def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL — bag difference (keeps multiplicity), completing the
     set-op family (SURVEY.md §2.C)."""
-    li = table(spark, sf_dir, "lineitem")
-    lo = li.filter(F.col("l_quantity") > 10).select("l_orderkey", "l_partkey")
-    hi = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_partkey")
-    return lo.exceptAll(hi)
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "setop_except_all")
 
 
 @register(

@@ -27,13 +27,11 @@ from duckdb_fastlanes_spark.registry import ROUND_SCALE, register
 def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIGHT OUTER JOIN — preserved side is the build side; Spark plans it as
     a mirrored left-outer, same shuffle profile."""
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
-    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
-    return (
-        li.join(p, li.l_partkey == p.p_partkey, "right_outer")
-        .select("p_partkey", "p_brand", "l_orderkey", "l_linenumber")
-        .orderBy("p_partkey", "l_orderkey", "l_linenumber")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "join_right_outer")
 
 
 @register(
@@ -184,11 +182,11 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit NULLS FIRST multi-key sort — always spell the null position:
     DuckDB defaults NULLS LAST on ASC, Spark NULLS FIRST (SURVEY §7 risk
     register), so implicit defaults silently diverge."""
-    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
-    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
-    return c.select("c_custkey", seg.alias("seg")).orderBy(
-        F.col("seg").asc_nulls_first(), F.col("c_custkey").desc()
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "sort_nulls_ordering")
 
 
 @register(
@@ -323,16 +321,11 @@ def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     failing the job — at 100 TB a single bad row must never kill the query.
     (lang is never numeric → count 0; the props slice is digits for 2-digit
     k values only.)"""
-    d = table(spark, sf_dir, "documents")
-    e = table(spark, sf_dir, "events")
-    j = d.join(e, d.doc_id == e.event_id)
-    k_prefix = F.try_to_number(F.substring("props", 8, 2), F.lit("99"))
-    return j.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count(F.col("lang").try_cast("int")).alias("n_numeric_lang"),
-        F.count(k_prefix).alias("n_k_prefix"),
-        F.sum(F.coalesce(k_prefix, F.lit(0))).cast("bigint").alias("sum_k_prefix"),
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "scalar_try_cast")
 
 
 @register(
@@ -351,17 +344,11 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram via floor-bucketing — one partial-aggregated
     shuffle at bucket cardinality; the building block for distribution
     profiling over any numeric column."""
-    ev = table(spark, sf_dir, "events")
-    bucket = F.floor(F.col("value") / 10.0).cast("bigint")
-    return (
-        ev.groupBy(bucket.alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min("value"), 2).alias("lo"),
-            F.round(F.max("value"), 2).alias("hi"),
-        )
-        .orderBy("bucket")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "agg_histogram")
 
 
 @register(
@@ -408,18 +395,11 @@ def agg_array_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-regression aggregates (slope/intercept/R²) — single-pass
     algebraic moments, so they partial-aggregate map-side like sum/count."""
-    li = table(spark, sf_dir, "lineitem")
-    y, x = F.col("l_extendedprice"), F.col("l_quantity")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.regr_slope(y, x), ROUND_SCALE).alias("slope"),
-            F.round(F.regr_intercept(y, x), ROUND_SCALE).alias("intercept"),
-            F.round(F.regr_r2(y, x), ROUND_SCALE).alias("r2"),
-            F.regr_count(y, x).cast("bigint").alias("n"),
-        )
-        .orderBy("l_returnflag")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "agg_regression")
 
 
 @register(
@@ -446,20 +426,11 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     nondeterministic, DuckDB first-encountered), so the mode is computed from
     explicit counts with max_by on (count, value) — ties resolve to the
     lexicographically largest value on both engines, deterministically."""
-    o = table(spark, sf_dir, "orders")
-    counted = o.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    return (
-        counted.groupBy("o_orderpriority")
-        .agg(
-            F.max_by(
-                "o_orderstatus", F.struct(F.col("cnt"), F.col("o_orderstatus"))
-            ).alias("status_mode"),
-            F.sum("cnt").cast("bigint").alias("n"),
-        )
-        .orderBy("o_orderpriority")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "agg_mode")
 
 
 @register(

@@ -231,16 +231,11 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE / COALESCE / NULLIF / IS DISTINCT FROM (reference B5, B6) / IF."""
-    o = table(spark, sf_dir, "orders")
-    tp = F.col("o_totalprice")
-    return o.select(
-        "o_orderkey",
-        F.when(tp > 300000, "big").when(tp > 100000, "mid").otherwise("small").alias("size_class"),
-        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias("status_or_open"),
-        (~F.col("o_orderstatus").eqNullSafe(F.lit("F"))).alias("not_finished"),
-        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).isNull().alias("is_urgent"),
-        F.when(tp > 200000, 1).otherwise(0).alias("big_flag"),
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "scalar_conditional")
 
 
 @register(

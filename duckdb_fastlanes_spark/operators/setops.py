@@ -40,8 +40,11 @@ _ORACLE_B = "SELECT l_orderkey AS key FROM lineitem WHERE l_quantity >= 48"
 )
 def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION (distinct) of two key sets; re-aggregated so the result is a set."""
-    u = _big_order_keys(spark, sf_dir).union(_heavy_lineitem_keys(spark, sf_dir)).distinct()
-    return u.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "setop_union")
 
 
 @register(
@@ -50,8 +53,11 @@ def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL keeps duplicates — counts reflect multiplicity from both sides."""
-    u = _big_order_keys(spark, sf_dir).union(_heavy_lineitem_keys(spark, sf_dir))
-    return u.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "setop_union_all")
 
 
 @register(
@@ -60,7 +66,11 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT (distinct) — big orders that also have a heavy line."""
-    return _big_order_keys(spark, sf_dir).intersect(_heavy_lineitem_keys(spark, sf_dir))
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "setop_intersect")
 
 
 @register(
@@ -69,7 +79,11 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct) — big orders with no heavy line (DataFrame.subtract)."""
-    return _big_order_keys(spark, sf_dir).subtract(_heavy_lineitem_keys(spark, sf_dir))
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "setop_except")
 
 
 @register(
@@ -82,10 +96,8 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT ALL — multiplicity = min(left count, right count) per key."""
-    heavy = _heavy_lineitem_keys(spark, sf_dir)
-    discounted = (
-        table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_discount") > 0.08)
-        .select(F.col("l_orderkey").alias("key"))
-    )
-    return heavy.intersectAll(discounted).groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "setop_intersect_all")

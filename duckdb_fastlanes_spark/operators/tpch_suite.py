@@ -151,22 +151,11 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 order-priority checking, adapted: 'late' = any line shipped >80 days
     after the order date (the driver schema has no commit/receipt dates).
     Correlated EXISTS → left-semi join."""
-    o = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= _ts("1997-07-01"))
-        & (F.col("o_orderdate") < _ts("1997-10-01"))
-    )
-    li = table(spark, sf_dir, "lineitem")
-    late = o.join(
-        li,
-        (li.l_orderkey == o.o_orderkey)
-        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 80 DAYS")),
-        "left_semi",
-    )
-    return (
-        late.groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "tpch_q4")
 
 
 @register(
@@ -213,18 +202,11 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6 forecasting revenue change: pure scan-filter-agg; every predicate
     reaches PushedFilters so row groups outside the ship-year are skipped."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.filter(
-        (F.col("l_shipdate") >= _ts("1996-01-01"))
-        & (F.col("l_shipdate") < _ts("1997-01-01"))
-        & (F.col("l_discount") >= 0.03)
-        & (F.col("l_discount") <= 0.05)
-        & (F.col("l_quantity") < 24)
-    ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), ROUND_SCALE).alias(
-            "revenue"
-        )
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "tpch_q6")
 
 
 @register(
@@ -449,25 +431,11 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12 shipping-mode priority split, adapted: grouped by l_linestatus
     (no l_shipmode column) over lines shipped within 90 days of ordering."""
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= _ts("1996-01-01"))
-        & (F.col("l_shipdate") < _ts("1997-01-01"))
-    )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(
-            o,
-            (li.l_orderkey == o.o_orderkey)
-            & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
-        )
-        .groupBy("l_linestatus")
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
-        )
-        .orderBy("l_linestatus")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "tpch_q12")
 
 
 @register(
@@ -487,16 +455,11 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13 customer order-count distribution: left-outer join preserving
     zero-order customers, then a second aggregation over the first."""
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-        .groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "tpch_q13")
 
 
 @register(
@@ -514,23 +477,11 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 promotion effect: conditional-aggregate ratio over a month window."""
-    li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= _ts("1997-03-01"))
-        & (F.col("l_shipdate") < _ts("1997-04-01"))
-    )
-    p = table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .agg(
-            F.round(
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                4,
-            ).alias("promo_revenue")
-        )
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "tpch_q14")
 
 
 @register(
@@ -591,18 +542,11 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16 parts/supplier relationship, adapted: supplier-per-part counted
     through lineitem (no partsupp table); NOT-predicates + IN-list + distinct
     aggregate is the query's shape."""
-    p = table(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#9")
-        & (F.col("p_type") != "PROMO")
-        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
-    )
-    li = table(spark, sf_dir, "lineitem")
-    return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "tpch_q16")
 
 
 @register(
@@ -620,17 +564,11 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 small-quantity-order revenue: correlated scalar subquery
     decorrelated into an aggregate join (per-part avg joined back)."""
-    li = table(spark, sf_dir, "lineitem")
-    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
-        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
-    )
-    return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .join(part_avg, F.col("l_partkey") == F.col("avg_partkey"))
-        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, ROUND_SCALE).alias("avg_yearly"))
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "tpch_q17")
 
 
 @register(
@@ -679,25 +617,11 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     (adapted: size/brand/quantity bands; no container/shipmode columns).
     The OR-of-ANDs stays a single join condition — Catalyst pushes the
     per-side conjuncts (p_brand/p_size to part, l_quantity to lineitem)."""
-    li = table(spark, sf_dir, "lineitem")
-    p = table(spark, sf_dir, "part")
-    band = (
-        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
-         & F.col("l_quantity").between(1, 11))
-        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
-           & F.col("l_quantity").between(10, 20))
-        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
-           & F.col("l_quantity").between(20, 30))
-    )
-    return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .filter(band)
-        .agg(
-            _usum_col(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue")
-        )
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "tpch_q19")
 
 
 @register(

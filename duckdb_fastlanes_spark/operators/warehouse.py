@@ -149,18 +149,11 @@ def binning_equal_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the same output comes from approx_percentile boundaries + a
     row-local range assignment (agg_percentiles has the boundary half) —
     this operator keeps the exact-semantics variant the oracle can check."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min("o_totalprice"), 2).alias("lo"),
-            F.round(F.max("o_totalprice"), 2).alias("hi"),
-        )
-        .orderBy("bucket")
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "binning_equal_frequency")
 
 
 @register(

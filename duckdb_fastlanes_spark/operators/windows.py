@@ -65,18 +65,11 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the synthesized 100× cell, where an underspecified ntile order
     assigned tied rows to different quartiles per engine; the extra sort
     keys pin it on every corpus."""
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
-    w_qty = Window.partitionBy("l_orderkey").orderBy("l_quantity")
-    w_ln = Window.partitionBy("l_orderkey").orderBy(
-        "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
-    )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.rank().over(w_qty).alias("qty_rank"),
-        F.dense_rank().over(w_qty).alias("qty_dense_rank"),
-        F.ntile(4).over(w_ln).alias("quartile"),
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "window_rank_dense")
 
 
 @register(
@@ -92,16 +85,11 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead analytics per user ordered by time (event_id tiebreak)."""
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.round("value", 2).alias("value"),
-        F.round(F.lag("value").over(w), 2).alias("prev_value"),
-        F.round(F.lead("value").over(w), 2).alias("next_value"),
-        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2).alias("delta"),
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "window_lag_lead")
 
 
 @register(
@@ -123,20 +111,11 @@ def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-decimal grid, and Spark's retractable sliding-sum accumulates different
     low-order bits than DuckDB's recompute — integer cents are engine-stable
     while round(avg, 2) flips on exact .005 boundaries (2-row frames)."""
-    ev = table(spark, sf_dir, "events")
-    w3 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
-    wrun = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.round(F.sum("value").over(w3) * 100).cast("bigint").alias("moving_sum3_cents"),
-        F.count(F.lit(1)).over(w3).alias("n_frame"),
-        F.round(F.min("value").over(wrun), 2).alias("running_min"),
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "window_moving_frame")
 
 
 @register(
@@ -151,14 +130,11 @@ def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE BETWEEN value frame — peers within ±50k price per customer."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-50000, 50000)
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.round("o_totalprice", 2).alias("price"),
-        F.count(F.lit(1)).over(w).alias("n_similar_price"),
-    )
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "window_range_frame")
 
 
 @register(
@@ -175,17 +151,11 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value/last_value with full-partition frame, collapsed to one row
     per user."""
-    ev = table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return ev.select(
-        "user_id",
-        F.first("event_type").over(w).alias("first_event"),
-        F.last("event_type").over(w).alias("last_event"),
-    ).distinct()
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "window_first_last")
 
 
 @register(
@@ -273,19 +243,11 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     total report. The window runs on the already-reduced group table
     (|statuses × priorities| rows), so the expensive pass is the map-side-
     combined aggregate; the share window is nearly free at any scale."""
-    o = table(spark, sf_dir, "orders")
-    g = o.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.sum("o_totalprice").alias("revenue")
-    )
-    w = Window.partitionBy("o_orderstatus")
-    return g.select(
-        "o_orderstatus",
-        "o_orderpriority",
-        F.round(F.col("revenue") * 100).cast("bigint").alias("revenue_cents"),
-        F.round(F.col("revenue") / F.sum("revenue").over(w), 4).alias(
-            "share_of_status"
-        ),
-    ).orderBy("o_orderstatus", "o_orderpriority")
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    # r7: pure-ANSI surface — both engines run the identical oracle
+    # text; plan-feature-gated substitution (see catalog.shared_ansi)
+    return shared_ansi(spark, sf_dir, "window_ratio_to_report")
 
 
 @register(
