@@ -308,16 +308,18 @@ def main() -> None:
         "Extrapolation: each further 10× multiplies DuckDB's wall by ~its",
         "growth factor while Spark's fixed cost stays fixed — and past one",
         "machine DuckDB cannot scale out at all, while every plan here",
-        "partitions (plan audit: PLANS_r6.md, no cartesians, broadcasts on",
-        "dim sides, key-local aggregation before every shuffle).",
+        "partitions (plan audit: the latest PLANS_r{N}.md — no cartesians,",
+        "broadcasts on dim sides, key-local aggregation pre-shuffle).",
         "",
-        "Measurement noise: the 1000× cells are single timed runs on a",
-        "shared VM whose available CPU swings minute-to-minute — across",
-        "three identical back-to-back experiment runs the SAME query/config",
-        "moved up to 2× on BOTH engines (e.g. DuckDB's ngram 1000× cell:",
-        "108 → 76 → 51 s). Read the growth columns (min-of-2 cells,",
-        "geometric mean per decade), not a single 1000× ratio, as the",
-        "scale signal; every growth factor stays below ×10 per 10× —",
+        "Measurement noise: the host is a shared VM whose available CPU",
+        "swings minute-to-minute — identical cells have measured up to 2×",
+        "apart across runs on BOTH engines (r6's committed minhash 1000×",
+        "read 2.3×; two interleaved re-runs read 0.95× and this artifact",
+        "0.8× on unchanged code). Since r7 every 1000× cell except the",
+        "census is min-of-2 interleaved and every raw run is recorded in",
+        "SCALE_RUNS.json, so min-vs-median drift is answerable from the",
+        "artifact. Read the growth columns (geometric mean per decade) as",
+        "the scale signal; every factor stays below ×10 per 10× —",
         "sub-quadratic across three decades, which is the claim under test.",
     ]
     with open(out, "w") as f:
