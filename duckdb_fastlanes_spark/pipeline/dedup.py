@@ -924,3 +924,100 @@ def dedup_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "shingle")
         .limit(BP_TOPK)
     )
+
+
+#: boilerplate-prefix fingerprint length (normalized chars): long enough to
+#: exclude coincidental short openings, short enough that a shared template
+#: header fingerprints identically whatever follows
+PREFIX_FP_CHARS = 64
+
+
+@register(
+    "dedup_exact_prefix",
+    oracle=f"""
+    SELECT md5(substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+               1, {PREFIX_FP_CHARS})) AS prefix_fp,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    ORDER BY prefix_fp
+    """,
+)
+def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint dedup: group on the md5 of the FIRST
+    {PREFIX_FP_CHARS} normalized characters — catches template/boilerplate
+    headers (scraped pages, license preambles, chat-log prompts) that full-
+    text dedup misses because the tails differ. Same one-narrow-shuffle
+    shape as dedup_exact; n_sources shows whether a prefix family is one
+    crawl artifact or cross-source boilerplate. Single-parse SQL body."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        SELECT md5(substr(lower(regexp_replace(trim(text), '\\\\s+', ' ')),
+                   1, {PREFIX_FP_CHARS})) AS prefix_fp,
+               min(doc_id) AS keep_doc_id,
+               count(1) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents
+        GROUP BY 1
+        HAVING count(1) > 1
+        ORDER BY prefix_fp
+        """,
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+    WITH fp AS (
+        SELECT source,
+               md5(substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                   1, {PREFIX_FP_CHARS})) AS f
+        FROM documents
+    ),
+    cnt AS (SELECT f, count(*) AS n FROM fp GROUP BY f)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared_prefix_docs,
+           round(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS dup_rate
+    FROM fp JOIN cnt USING (f)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication rate — the curation dashboard number that
+    decides which ingest feeds get trimmed: fraction of each source's docs
+    whose normalized {PREFIX_FP_CHARS}-char prefix is shared with ANY other
+    doc (cross-source included; within-source-only rates hide mirror-site
+    duplication). Two aggregates on the fingerprint + one broadcast-sized
+    join back; never touches text twice. Single-parse SQL body."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH fp AS (
+            SELECT source,
+                   md5(substr(lower(regexp_replace(trim(text), '\\\\s+', ' ')),
+                       1, {PREFIX_FP_CHARS})) AS f
+            FROM documents),
+        cnt AS (SELECT f, count(1) AS n FROM fp GROUP BY f)
+        SELECT source, count(1) AS n_docs,
+               CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS shared_prefix_docs,
+               round(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1.0D / count(1), 4)
+                   AS dup_rate
+        FROM fp JOIN cnt USING (f)
+        GROUP BY source
+        ORDER BY source
+        """,
+    )

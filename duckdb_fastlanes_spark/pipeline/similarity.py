@@ -1200,3 +1200,54 @@ def sim_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .selectExpr("vec_id", "round(_cos, 4) AS cosine")
     )
+
+
+#: radius search threshold: random 64-d vectors' cosine is ~N(0, 1/8), so
+#: 0.25 (~2σ) keeps the result non-trivial (~tens of rows at sf0.01) while
+#: production embeddings would use a semantic threshold (0.8+)
+RANGE_TAU = 0.25
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = {QUERY_VEC_ID})
+    SELECT v.vec_id, round(list_cosine_similarity(v.e, q.qe), 4) AS cosine
+    FROM v, q
+    WHERE v.vec_id <> {QUERY_VEC_ID}
+      AND list_cosine_similarity(v.e, q.qe) >= {RANGE_TAU}
+    ORDER BY v.vec_id
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search — ALL neighbors within a cosine
+    threshold, the top-k family's complement (dedup candidates, recall
+    sweeps, abuse clustering take every match, not a fixed k). One scan +
+    broadcast query vector + row-local filter: embarrassingly parallel,
+    output-bounded by the radius, no sort, no window. At 100 TB the same
+    predicate runs inside the IVF/LSH cell restriction (sim_ivf_topk /
+    sim_srp_lsh_topk) — the filter is unchanged, only the scanned cells
+    shrink. Single-parse SQL body."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS array<double>) AS e
+                   FROM embeddings)
+        SELECT vec_id, round(_cos, 4) AS cosine
+        FROM (SELECT /*+ BROADCAST(q) */ v.vec_id,
+                     aggregate(zip_with(v.e, q.qe, (x, y) -> x * y), 0D,
+                               (acc, x) -> acc + x)
+                     / (sqrt(aggregate(v.e, 0D, (acc, x) -> acc + x * x))
+                        * sqrt(aggregate(q.qe, 0D, (acc, x) -> acc + x * x)))
+                       AS _cos
+              FROM (SELECT * FROM v WHERE vec_id <> {QUERY_VEC_ID}) v
+              CROSS JOIN (SELECT e AS qe FROM v
+                          WHERE vec_id = {QUERY_VEC_ID}) q)
+        WHERE _cos >= {RANGE_TAU}
+        ORDER BY vec_id
+        """,
+    )

@@ -1156,3 +1156,51 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "term")
         .limit(50)
     )
+
+
+@register(
+    "text_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+           round(len(list_distinct(w)) * 1.0 / len(w), 4) AS ttr,
+           len(list_distinct(w)) * 1.0 / len(w) < 0.3 AS low_diversity
+    FROM toks
+    WHERE len(w) > 0
+    ORDER BY doc_id
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document — the lexical-diversity quality gate
+    (spam, keyword stuffing, and template text all crater the TTR; a
+    curation pipeline drops or down-weights low_diversity docs before
+    training). Pure row-local array expressions inside whole-stage codegen:
+    one scan, no shuffle except the presentation sort — scale-linear.
+    Single-parse SQL body (array_distinct here = list_distinct in the
+    oracle; the ratio of two exact ints divides identically in IEEE double
+    on both engines)."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT doc_id,
+               CAST(size(w) AS BIGINT) AS n_tokens,
+               CAST(size(array_distinct(w)) AS BIGINT) AS n_types,
+               round(size(array_distinct(w)) * 1.0D / size(w), 4) AS ttr,
+               size(array_distinct(w)) * 1.0D / size(w) < 0.3D
+                 AS low_diversity
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS w
+              FROM documents)
+        WHERE size(w) > 0
+        ORDER BY doc_id
+        """,
+    )
