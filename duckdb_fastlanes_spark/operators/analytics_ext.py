@@ -143,21 +143,25 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival gap statistics per user: lag window then aggregate —
     the cadence profile behind rate limiting / bot detection. One shuffle
     on user_id shared with every other per-user operator."""
-    from pyspark.sql.window import Window
+    from duckdb_fastlanes_spark.catalog import sql_q
 
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    gaps = ev.select("user_id", gap.alias("gap_s")).filter(F.col("gap_s").isNotNull())
-    return (
-        gaps.groupBy("user_id")
-        .agg(
-            F.count("gap_s").alias("n_gaps"),
-            F.min("gap_s").cast("bigint").alias("min_gap_s"),
-            F.max("gap_s").cast("bigint").alias("max_gap_s"),
-            F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
-        )
-        .orderBy("user_id")
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT user_id, count(gap_s) AS n_gaps,
+               CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+               CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+               round(avg(gap_s), 2) AS avg_gap_s
+        FROM (SELECT user_id,
+                     unix_timestamp(ts) - unix_timestamp(
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)) AS gap_s
+              FROM events WHERE user_id < 50)
+        WHERE gap_s IS NOT NULL
+        GROUP BY user_id
+        ORDER BY user_id
+        """,
     )
 
 
@@ -506,28 +510,24 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; nothing leaves the executors until the final scalar row. Welch df
     via Welch–Satterthwaite. Scale-indifferent: the only shuffle is the
     2-group aggregate."""
-    ev = table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "view")
-    )
-    g = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("value").alias("m"),
-        F.var_samp("value").alias("v"),
-    )
-    a = g.filter(F.col("event_type") == "click").alias("a")
-    b = g.filter(F.col("event_type") == "view").alias("b")
-    se2 = F.col("a.v") / F.col("a.n") + F.col("b.v") / F.col("b.n")
-    return a.crossJoin(b).select(
-        F.col("a.n").alias("n_click"),
-        F.col("b.n").alias("n_view"),
-        F.round(F.col("a.m") - F.col("b.m"), 4).alias("mean_diff"),
-        F.round((F.col("a.m") - F.col("b.m")) / F.sqrt(se2), 3).alias("t_stat"),
-        F.round(
-            F.pow(se2, 2)
-            / (
-                F.pow(F.col("a.v") / F.col("a.n"), 2) / (F.col("a.n") - 1)
-                + F.pow(F.col("b.v") / F.col("b.n"), 2) / (F.col("b.n") - 1)
-            ),
-            1,
-        ).alias("welch_df"),
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH g AS (
+            SELECT event_type, count(1) AS n, avg(value) AS m,
+                   var_samp(value) AS v
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY event_type)
+        SELECT a.n AS n_click, b.n AS n_view,
+               round(a.m - b.m, 4) AS mean_diff,
+               round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 3) AS t_stat,
+               round(pow(a.v / a.n + b.v / b.n, 2)
+                     / (pow(a.v / a.n, 2) / (a.n - 1)
+                        + pow(b.v / b.n, 2) / (b.n - 1)), 1) AS welch_df
+        FROM (SELECT * FROM g WHERE event_type = 'click') a
+        CROSS JOIN (SELECT * FROM g WHERE event_type = 'view') b
+        """,
     )

@@ -142,29 +142,32 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_fastlanes_spark.functions.ordering import ordered_small
     from pyspark.sql.window import Window
 
-    ev = table(spark, sf_dir, "events")
-    hourly = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return ordered_small(
+        sql_q(
+            spark,
+            sf_dir,
+            """
+            WITH hourly AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       count(1) AS n_events,
+                       round(sum(value), 2) AS total_value
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            spine AS (
+                SELECT explode(sequence(lo, hi, INTERVAL 1 HOUR)) AS hour
+                FROM (SELECT min(hour) AS lo, max(hour) AS hi FROM hourly))
+            SELECT s.hour,
+                   coalesce(h.n_events, 0) AS n_events,
+                   last(h.total_value, true) OVER (
+                       ORDER BY s.hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS locf_value
+            FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+            """,
+        ),
+        "hour",
     )
-    spine = (
-        hourly.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
-        .selectExpr("explode(sequence(lo, hi, INTERVAL 1 HOUR)) AS hour")
-    )
-    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
-    joined = (
-        spine.join(hourly, "hour", "left")
-        .select(
-            "hour",
-            F.coalesce("n_events", F.lit(0)).alias("n_events"),
-            F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
-        )
-    )
-    return ordered_small(joined, "hour")
 
 
 @register(
@@ -297,28 +300,26 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ts are broken by event_id so the sequence, and hence the matrix, is
     partition-layout-invariant.
     """
+    from duckdb_fastlanes_spark.catalog import sql_q
     from duckdb_fastlanes_spark.functions.ordering import ordered_small
-    from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
-    seq = ev.select(
-        F.col("event_type").alias("prev"),
-        F.lead("event_type")
-        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("next"),
-    )
-    trans = (
-        seq.where(F.col("next").isNotNull())
-        .groupBy("prev", "next")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    row_tot = Window.partitionBy("prev")
     return ordered_small(
-        trans.select(
-            "prev",
-            "next",
-            "cnt",
-            F.round(F.col("cnt") / F.sum("cnt").over(row_tot), 6).alias("p"),
+        sql_q(
+            spark,
+            sf_dir,
+            """
+            WITH seq AS (
+                SELECT event_type AS prev,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS next
+                FROM events),
+            trans AS (
+                SELECT prev, next, count(1) AS cnt
+                FROM seq WHERE next IS NOT NULL GROUP BY prev, next)
+            SELECT prev, next, cnt,
+                   round(cnt / sum(cnt) OVER (PARTITION BY prev), 6) AS p
+            FROM trans
+            """,
         ),
         "prev",
         "next",
@@ -354,21 +355,24 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines run the same left-to-right IEEE double chain (oracle uses
     DuckDB's list_reduce with list(... ORDER BY) — same fold, same order).
     """
-    ev = table(spark, sf_dir, "events")
-    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
-    vals = F.transform(arr, lambda s: s["value"])
-    ewma = F.aggregate(
-        F.slice(vals, 2, F.size(vals) - 1),
-        F.element_at(vals, 1).cast("double"),
-        lambda acc, x: F.lit(EWMA_ALPHA) * x + F.lit(1 - EWMA_ALPHA) * acc,
-    )
-    return (
-        ev.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(ewma, 6).alias("ewma"),
-        )
-        .orderBy("user_id")
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        SELECT user_id, size(vals) AS n_events,
+               round(aggregate(slice(vals, 2, size(vals) - 1),
+                               CAST(element_at(vals, 1) AS DOUBLE),
+                               (acc, x) -> {EWMA_ALPHA}D * x
+                                           + {1 - EWMA_ALPHA}D * acc), 6)
+                 AS ewma
+        FROM (SELECT user_id,
+                     transform(array_sort(collect_list(
+                         struct(ts, event_id, value))), s -> s.value) AS vals
+              FROM events GROUP BY user_id)
+        ORDER BY user_id
+        """,
     )
 
 
@@ -405,34 +409,31 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties in ts are broken by event_id so the carried touch is deterministic
     under any partition layout.
     """
+    from duckdb_fastlanes_spark.catalog import sql_q
     from duckdb_fastlanes_spark.functions.ordering import ordered_small
-    from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    touch = F.last(
-        F.when(
-            F.col("event_type") != "purchase",
-            F.struct(F.col("ts").alias("t"), F.col("event_type").alias("c")),
-        ),
-        ignorenulls=True,
-    ).over(w)
-    seq = ev.select("event_type", "ts", touch.alias("touch"))
     return ordered_small(
-        seq.where(F.col("event_type") == "purchase")
-        .groupBy(F.coalesce(F.col("touch.c"), F.lit("(direct)")).alias("touch_channel"))
-        .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            F.round(
-                F.avg(
-                    (F.unix_micros("ts") - F.unix_micros("touch.t")) / F.lit(60000000.0)
-                ),
-                4,
-            ).alias("avg_minutes_to_purchase"),
+        sql_q(
+            spark,
+            sf_dir,
+            """
+            WITH seq AS (
+                SELECT event_type, ts,
+                       last(CASE WHEN event_type <> 'purchase'
+                                 THEN struct(ts AS t, event_type AS c) END,
+                            true) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS touch
+                FROM events)
+            SELECT coalesce(touch.c, '(direct)') AS touch_channel,
+                   count(1) AS n_purchases,
+                   round(avg((unix_micros(ts) - unix_micros(touch.t))
+                             / 60000000.0D), 4) AS avg_minutes_to_purchase
+            FROM seq
+            WHERE event_type = 'purchase'
+            GROUP BY coalesce(touch.c, '(direct)')
+            """,
         ),
         "touch_channel",
     )
@@ -518,31 +519,26 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-total share over the tiny aggregate (the window runs on 168 rows,
     not the stream). Spark's dayofweek is 1=Sunday; DuckDB's is 0=Sunday —
     normalized here."""
-    from pyspark.sql.window import Window
+    from duckdb_fastlanes_spark.catalog import sql_q
 
-    ev = table(spark, sf_dir, "events")
-    cells = ev.groupBy(
-        (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hod")
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value") * 100).cast("bigint").alias("total_value_cents"),
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT dow, hod, n_events, total_value_cents,
+               -- scale INTO the round: see the r6 note — round(x, 4) at a
+               -- half-boundary flips between engines; n*10^4/total rounds
+               -- identically as an exactly-representable odd/2
+               round(n_events * 10000.0D / sum(n_events) OVER ()) / 10000.0D
+                 AS share
+        FROM (SELECT dayofweek(ts) - 1 AS dow, hour(ts) AS hod,
+                     count(1) AS n_events,
+                     CAST(round(sum(value) * 100) AS BIGINT)
+                       AS total_value_cents
+              FROM events GROUP BY 1, 2)
+        ORDER BY dow, hod
+        """,
     )
-    total = Window.partitionBy()
-    return cells.select(
-        "dow",
-        "hod",
-        "n_events",
-        "total_value_cents",
-        # scale INTO the round: n·10⁴/total reaches an integer half-boundary
-        # only as an exactly-representable odd/2 (both engines round it away
-        # from zero identically); round(x, 4) instead evaluates within one
-        # ulp of the boundary whenever the quotient has >4 decimal digits —
-        # observed flipping 0.0057 vs 0.0056 at sf0.1
-        (
-            F.round(F.col("n_events") * 10000.0 / F.sum("n_events").over(total))
-            / 10000.0
-        ).alias("share"),
-    ).orderBy("dow", "hod")
 
 
 @register(
@@ -610,27 +606,28 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partitioned by user_id (the shared events partitioning key), then
     one aggregate; ties on ts break on event_id so lead() is total-order
     deterministic on both engines."""
-    from pyspark.sql.window import Window
+    from duckdb_fastlanes_spark.catalog import sql_q
 
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "user_id",
-        "value",
-        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us"),
-    ).filter(F.col("dur_us").isNotNull())
-    return (
-        seq.groupBy("user_id")
-        .agg(
-            F.round(F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 2).alias(
-                "twap"
-            ),
-            F.round(F.sum("dur_us") / 3600000000.0, 2).alias("observed_hours"),
-            F.count(F.lit(1)).alias("n_holds"),
-        )
-        .filter(F.col("n_holds") >= 5)
-        .drop("n_holds")
-        .orderBy("user_id")
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH seq AS (
+            SELECT user_id, value,
+                   unix_micros(lead(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id))
+                   - unix_micros(ts) AS dur_us
+            FROM events)
+        SELECT user_id, twap, observed_hours
+        FROM (SELECT user_id,
+                     round(sum(value * dur_us) / sum(dur_us), 2) AS twap,
+                     round(sum(dur_us) / 3600000000.0D, 2) AS observed_hours,
+                     count(1) AS n_holds
+              FROM seq WHERE dur_us IS NOT NULL
+              GROUP BY user_id)
+        WHERE n_holds >= 5
+        ORDER BY user_id
+        """,
     )
 
 

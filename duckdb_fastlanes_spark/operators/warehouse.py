@@ -315,31 +315,25 @@ def orders_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
     band predicates evaluate inside the join — pair cost is per-customer
     O(orders²) with small per-customer counts, which is why this scales
     where an unkeyed band join would not."""
-    o = table(spark, sf_dir, "orders")
-    a = o.alias("a")
-    b = o.alias("b")
-    days_apart = F.abs(
-        F.datediff(F.col("a.o_orderdate"), F.col("b.o_orderdate"))
-    )
-    price_gap = F.abs(
-        F.col("a.o_totalprice") - F.col("b.o_totalprice")
-    ) / F.greatest(F.col("a.o_totalprice"), F.col("b.o_totalprice"))
-    return (
-        a.join(
-            b,
-            (F.col("a.o_custkey") == F.col("b.o_custkey"))
-            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
-            & (days_apart <= 30)
-            & (price_gap <= 0.1),
-        )
-        .select(
-            F.col("a.o_orderkey").alias("key_a"),
-            F.col("b.o_orderkey").alias("key_b"),
-            F.col("a.o_custkey").alias("custkey"),
-            days_apart.alias("days_apart"),
-            F.round(price_gap, 4).alias("price_gap"),
-        )
-        .orderBy("key_a", "key_b")
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+               a.o_custkey AS custkey,
+               abs(datediff(a.o_orderdate, b.o_orderdate)) AS days_apart,
+               round(abs(a.o_totalprice - b.o_totalprice)
+                     / greatest(a.o_totalprice, b.o_totalprice), 4)
+                 AS price_gap
+        FROM orders a JOIN orders b
+          ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+             AND abs(datediff(a.o_orderdate, b.o_orderdate)) <= 30
+             AND abs(a.o_totalprice - b.o_totalprice)
+                 / greatest(a.o_totalprice, b.o_totalprice) <= 0.1D
+        ORDER BY key_a, key_b
+        """,
     )
 
 

@@ -311,27 +311,31 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     T>1 upsamples tail domains, downsamples the head. sample_factor is the
     per-domain repeat/thin rate a sampler would apply. After the first
     aggregate everything is broadcast-sized scalar math."""
-    d = table(spark, sf_dir, "documents")
-    per_src = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum(_n_tokens_col()).alias("src_tokens")
-    )
-    tot = per_src.agg(F.sum("src_tokens").alias("total_tokens"))
-    p_df = per_src.crossJoin(F.broadcast(tot)).withColumn(
-        "p", F.col("src_tokens").cast("double") / F.col("total_tokens")
-    )
-    w_raw = F.pow("p", 1.0 / MIX_TEMPERATURE)
-    z = p_df.agg(F.sum(w_raw).alias("z"))
-    return (
-        p_df.crossJoin(F.broadcast(z))
-        .select(
-            "source",
-            "n_docs",
-            "src_tokens",
-            F.round("p", 6).alias("p"),
-            F.round(w_raw / F.col("z"), 6).alias("weight"),
-            F.round(w_raw / F.col("z") / F.col("p"), 4).alias("sample_factor"),
-        )
-        .orderBy("source")
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH per_src AS (
+            SELECT source, count(1) AS n_docs,
+                   sum(size(regexp_extract_all(lower(text), '{_TOKENS}', 0)))
+                     AS src_tokens
+            FROM documents GROUP BY source),
+        p_df AS (
+            SELECT /*+ BROADCAST(tot) */ per_src.*,
+                   CAST(src_tokens AS DOUBLE) / total_tokens AS p
+            FROM per_src CROSS JOIN
+                 (SELECT sum(src_tokens) AS total_tokens FROM per_src) tot),
+        z AS (SELECT sum(pow(p, {1.0 / MIX_TEMPERATURE}D)) AS z FROM p_df)
+        SELECT /*+ BROADCAST(z) */ source, n_docs, src_tokens,
+               round(p, 6) AS p,
+               round(pow(p, {1.0 / MIX_TEMPERATURE}D) / z, 6) AS weight,
+               round(pow(p, {1.0 / MIX_TEMPERATURE}D) / z / p, 4)
+                 AS sample_factor
+        FROM p_df CROSS JOIN z
+        ORDER BY source
+        """,
     )
 
 

@@ -859,37 +859,31 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode never leaves its partition until the per-doc aggregate (one
     shuffle on doc_id). This is the OOV gate a BPE/tokenizer-training
     pipeline runs before committing a vocab."""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), F.lit(0))
-        ).alias("tok"),
-    )
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), "tok")
-        .limit(500)
-        .select(F.col("tok").alias("v_tok"))
-    )
-    per_doc = (
-        toks.join(F.broadcast(vocab), toks.tok == F.col("v_tok"), "left")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.avg(
-                F.when(F.col("v_tok").isNull(), F.lit(1.0)).otherwise(F.lit(0.0))
-            ).alias("oov")
-        )
-    )
-    return (
-        per_doc.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("oov"), 4).alias("avg_oov_rate"),
-        )
-        .orderBy("lang")
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0))
+                     AS tok
+            FROM documents),
+        vocab AS (
+            SELECT tok AS v_tok
+            FROM (SELECT tok, count(1) AS cnt FROM toks GROUP BY tok)
+            ORDER BY cnt DESC, tok LIMIT 500),
+        per_doc AS (
+            SELECT /*+ BROADCAST(vocab) */ doc_id, lang,
+                   avg(CASE WHEN v_tok IS NULL THEN 1.0D ELSE 0.0D END) AS oov
+            FROM toks LEFT JOIN vocab ON toks.tok = vocab.v_tok
+            GROUP BY doc_id, lang)
+        SELECT lang, count(1) AS n_docs, round(avg(oov), 4) AS avg_oov_rate
+        FROM per_doc
+        GROUP BY lang
+        ORDER BY lang
+        """,
     )
 
 
