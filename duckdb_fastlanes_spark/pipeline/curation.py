@@ -368,30 +368,30 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     The persisted form for a 100 TB embedding store — 4× smaller, and the
     max_abs_err column is the quality gate a pipeline would alert on.
     Row-local array math: no shuffle, codegen'd, scale-linear."""
-    e = table(spark, sf_dir, "embeddings")
-    vec = F.transform("embedding", lambda x: x.cast("double"))
-    sc = e.select(
-        "vec_id",
-        vec.alias("vec"),
-        # NOT named "scale": the output select aliases round(...,6) to "scale",
-        # and Spark's lateral-column-alias resolution would silently rebind the
-        # lambda's reference to the rounded value (DuckDB keeps the raw one)
-        (F.array_max(F.transform(vec, F.abs)) / 127.0).alias("scale_raw"),
-    )
-    scale = F.col("scale_raw")
-    # floor(x/scale + 0.5), not round(): both engines' round() differ in the
-    # half-rule on doubles, while floor/+/÷ are exact IEEE — bit-identical
-    q = lambda x: F.floor(x / scale + 0.5)  # noqa: E731
-    return sc.select(
-        "vec_id",
-        F.size("vec").alias("n_dims"),
-        F.round(scale, 6).alias("scale"),
-        F.array_max(F.transform("vec", lambda x: F.abs(q(x)))).cast("bigint").alias(
-            "q_max"
-        ),
-        F.round(
-            F.array_max(F.transform("vec", lambda x: F.abs(q(x) * scale - x))), 6
-        ).alias("max_abs_err"),
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    # floor(x/scale + 0.5), not round(): both engines' round() differ in
+    # the half-rule on doubles, while floor/+/÷ are exact IEEE. scale_raw
+    # is computed in the inner SELECT so the outer "scale" alias (the
+    # rounded value) can never be lateral-alias-rebound into the lambdas.
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT vec_id, size(vec) AS n_dims,
+               round(scale_raw, 6) AS scale,
+               CAST(array_max(transform(vec,
+                        x -> abs(floor(x / scale_raw + 0.5D)))) AS BIGINT)
+                 AS q_max,
+               round(array_max(transform(vec,
+                        x -> abs(floor(x / scale_raw + 0.5D) * scale_raw - x))),
+                     6) AS max_abs_err
+        FROM (SELECT vec_id,
+                     CAST(embedding AS array<double>) AS vec,
+                     array_max(transform(CAST(embedding AS array<double>),
+                                         x -> abs(x))) / 127.0D AS scale_raw
+              FROM embeddings)
+        """,
     )
 
 

@@ -243,31 +243,33 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus) → score → per-doc ranking window. The canonical keyword-extraction
     shape for a training-data pipeline; every step is a partial-aggregated
     shuffle on (doc, term) or term."""
-    from pyspark.sql.window import Window
+    from duckdb_fastlanes_spark.catalog import sql_q
 
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    toks = d.select(
-        "doc_id",
-        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), F.lit(0))).alias("term"),
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "term",
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("doc_id", "term", "tfidf")
-        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH toks AS (
+            SELECT doc_id,
+                   explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0))
+                     AS term
+            FROM documents WHERE doc_id < 100),
+        tf AS (SELECT doc_id, term, count(1) AS tf
+               FROM toks GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df
+               FROM toks GROUP BY term),
+        nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+        scored AS (
+            SELECT /*+ BROADCAST(df), BROADCAST(nd) */ doc_id, tf.term,
+                   round(tf * log(n_docs / df), 4) AS tfidf
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd)
+        SELECT doc_id, term, tfidf
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, term) AS rk
+              FROM scored)
+        WHERE rk <= 3
+        ORDER BY doc_id, tfidf DESC, term
+        """,
     )
 
 
