@@ -407,3 +407,83 @@ def test_dsir_weights_kl_invariant(spark):
     assert [(r.doc_id, r.log_weight) for r in top] == [
         (r.doc_id, r.log_weight) for r in best
     ]
+
+
+def test_range_search_is_topk_superset_and_thresholded(spark):
+    """sim_range_search returns EVERY neighbor with cosine >= RANGE_TAU:
+    it must contain exactly the top-k hits that clear the threshold, and
+    nothing below it."""
+    from duckdb_fastlanes_spark.pipeline.similarity import (
+        RANGE_TAU,
+        sim_bruteforce_topk,
+        sim_range_search,
+    )
+
+    rng = {r.vec_id: r.cosine for r in sim_range_search(spark, SF_DIR).collect()}
+    assert all(c >= RANGE_TAU for c in rng.values())
+    topk = {r.vec_id: r.cosine for r in sim_bruteforce_topk(spark, SF_DIR).collect()}
+    for vid, c in topk.items():
+        assert (vid in rng) == (c >= RANGE_TAU)
+
+
+def test_prefix_dedup_catches_planted_template(spark, tmp_path):
+    """Docs sharing a 64-char template header but differing afterwards are
+    INVISIBLE to full-text dedup and MUST be caught by dedup_exact_prefix."""
+    from duckdb_fastlanes_spark import catalog
+    from duckdb_fastlanes_spark.pipeline.dedup import (
+        dedup_exact,
+        dedup_exact_prefix,
+    )
+
+    header = (
+        "terms of service please read carefully before using this site "
+        "and its contents "
+    )
+    assert len(header) >= 64  # prefix fp covers the first 64 normalized chars
+    rows = [
+        (1, header + "alpha body text one two three", "en", "srcA", 90),
+        (2, header + "completely different tail words", "en", "srcB", 92),
+        (3, "an unrelated document body with no template", "en", "srcA", 44),
+    ]
+    src = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(src)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{src}/documents.parquet")
+    try:
+        got = dedup_exact_prefix(spark, src).collect()
+        assert len(got) == 1
+        assert got[0].n_docs == 2 and got[0].keep_doc_id == 1
+        assert got[0].n_sources == 2  # cross-source template
+        assert dedup_exact(spark, src).count() == 0  # full-text misses it
+    finally:
+        catalog._CACHE.clear()
+        catalog._VIEWS_CURRENT.clear()
+
+
+def test_lexical_diversity_flags_repetitive_text(spark):
+    """TTR must be 1.0 for all-distinct tokens and low for repeated ones;
+    low_diversity flags exactly ttr < 0.3 (checked on the real corpus)."""
+    from duckdb_fastlanes_spark.pipeline.text import text_lexical_diversity
+
+    rows = text_lexical_diversity(spark, SF_DIR).collect()
+    assert rows, "corpus produced no rows"
+    for r in rows:
+        assert 0 < r.n_types <= r.n_tokens
+        assert r.low_diversity == (r.n_types / r.n_tokens < 0.3)
+
+
+def test_dup_rate_by_source_is_consistent_with_prefix_groups(spark):
+    """Σ shared_prefix_docs over sources == Σ n_docs over dup groups from
+    dedup_exact_prefix — the two views of the same fingerprint space."""
+    from duckdb_fastlanes_spark.pipeline.dedup import (
+        dedup_exact_prefix,
+        dedup_rate_by_source,
+    )
+
+    groups = dedup_exact_prefix(spark, SF_DIR).collect()
+    rates = dedup_rate_by_source(spark, SF_DIR).collect()
+    assert sum(r.shared_prefix_docs for r in rates) == sum(g.n_docs for g in groups)
+    assert all(0.0 <= r.dup_rate <= 1.0 for r in rates)
