@@ -94,27 +94,28 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-minus-row_number trick (consecutive values share the difference),
     one aggregate per island, islands of 3+ hours kept. Single shuffle on
     user_id; the distinct collapses to active-hour cardinality first."""
-    from pyspark.sql.window import Window
+    from duckdb_fastlanes_spark.catalog import sql_q
 
-    ev = table(spark, sf_dir, "events")
-    hours = ev.select(
-        "user_id",
-        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
-    ).distinct()
-    w = Window.partitionBy("user_id").orderBy("h")
-    numbered = hours.select(
-        "user_id", "h", (F.col("h") - F.row_number().over(w)).alias("grp")
-    )
-    return (
-        numbered.groupBy("user_id", "grp")
-        .agg(
-            F.min("h").alias("island_start"),
-            F.max("h").alias("island_end"),
-            F.count(F.lit(1)).alias("island_len"),
-        )
-        .filter(F.col("island_len") >= 3)
-        .select("user_id", "island_start", "island_end", "island_len")
-        .orderBy("user_id", "island_start")
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH hours AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT) AS h
+            FROM events),
+        numbered AS (
+            SELECT user_id, h,
+                   h - row_number() OVER (PARTITION BY user_id ORDER BY h)
+                     AS grp
+            FROM hours)
+        SELECT user_id, island_start, island_end, island_len
+        FROM (SELECT user_id, grp, min(h) AS island_start,
+                     max(h) AS island_end, count(1) AS island_len
+              FROM numbered GROUP BY user_id, grp)
+        WHERE island_len >= 3
+        ORDER BY user_id, island_start
+        """,
     )
 
 

@@ -797,22 +797,21 @@ def distinct_on_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, keep rank 1 — one shuffle on the key, and Catalyst plans a
     WindowGroupLimit (per-partition top-1 pre-filter before the shuffle)
     rather than a full per-key sort-materialize."""
-    from pyspark.sql.window import Window
+    from duckdb_fastlanes_spark.catalog import sql_q
 
-    orders = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            F.round("o_totalprice", 2).alias("total"),
-        )
-        .orderBy("o_custkey")
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS total
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders)
+        WHERE rn = 1
+        ORDER BY o_custkey
+        """,
     )
 
 

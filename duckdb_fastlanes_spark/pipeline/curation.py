@@ -93,21 +93,29 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     in doc_id order and split into PACK_CTX-token bins (a doc belongs to the
     bin its start offset falls in). Returns per-bin occupancy so downstream
     writers can emit one packed sequence per (source, bin_id)."""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("source", "doc_id", _n_tokens_col().alias("n_tokens"))
-    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = toks.withColumn("start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-    return (
-        offs.groupBy("source", F.floor(F.col("start_off") / PACK_CTX).alias("bin_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("bin_tokens"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-        )
-        .orderBy("source", "bin_id")
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH offs AS (
+            SELECT source, doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS start_off
+            FROM (SELECT source, doc_id,
+                         size(regexp_extract_all(lower(text), '{_TOKENS}', 0))
+                           AS n_tokens
+                  FROM documents))
+        SELECT source, floor(start_off / {PACK_CTX}) AS bin_id,
+               count(1) AS n_docs, sum(n_tokens) AS bin_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM offs
+        GROUP BY source, floor(start_off / {PACK_CTX})
+        ORDER BY source, bin_id
+        """,
     )
 
 
@@ -225,21 +233,24 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio and most-frequent-word mass. Low distinct_ratio or high
     top_word_ratio is the standard signal for generated/boilerplate text.
     Two map-side-combining aggregations; the text never shuffles."""
-    d = table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id",
-        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(_TOKENS), F.lit(0))).alias(
-            "word"
-        ),
-    )
-    counts = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
-    n_words, n_dist, top = F.sum("cnt"), F.count(F.lit(1)), F.max("cnt")
-    return counts.groupBy("doc_id").agg(
-        n_words.alias("n_words"),
-        n_dist.alias("n_distinct_words"),
-        F.round(n_dist.cast("double") / n_words, 4).alias("distinct_ratio"),
-        F.round(top.cast("double") / n_words, 4).alias("top_word_ratio"),
-        (top.cast("double") / n_words >= 0.08).alias("is_repetitive"),
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        SELECT doc_id, sum(cnt) AS n_words, count(1) AS n_distinct_words,
+               round(CAST(count(1) AS DOUBLE) / sum(cnt), 4) AS distinct_ratio,
+               round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS top_word_ratio,
+               CAST(max(cnt) AS DOUBLE) / sum(cnt) >= 0.08D AS is_repetitive
+        FROM (SELECT doc_id, word, count(1) AS cnt
+              FROM (SELECT doc_id,
+                           explode(regexp_extract_all(lower(text),
+                                                      '{_TOKENS}', 0)) AS word
+                    FROM documents)
+              GROUP BY doc_id, word)
+        GROUP BY doc_id
+        """,
     )
 
 
@@ -266,19 +277,19 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform u ∈ [0,1), kept iff u < the stratum's rate. Hash-based (not
     rand()) so the sample is reproducible across retries, executors, and
     engines — a requirement for resumable 100 TB pipeline runs."""
-    d = table(spark, sf_dir, "documents")
-    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    ) / F.lit(4294967295.0)
-    rate = F.when(F.lit(False), F.lit(1.0))
-    for lang, r in STRATA_RATES.items():
-        rate = rate.when(F.col("lang") == lang, F.lit(r))
-    rate = rate.otherwise(F.lit(1.0))
-    return d.select(
-        "doc_id",
-        "lang",
-        F.round(u, 6).alias("u"),
-        (u < rate).alias("sampled"),
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    u_sql = ("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+             " AS BIGINT) / 4294967295.0D")
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        SELECT doc_id, lang,
+               round({u_sql}, 6) AS u,
+               {u_sql} < {_strata_case_sql()} AS sampled
+        FROM documents
+        """,
     )
 
 
