@@ -218,7 +218,7 @@ def customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH rev AS (
         SELECT l_suppkey,
                round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount))
-                                         * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                                         * 1000000, 0) AS DECIMAL(25,0))) AS DOUBLE)
                      / 1000000.0, 2) AS revenue
         FROM lineitem GROUP BY l_suppkey
     )

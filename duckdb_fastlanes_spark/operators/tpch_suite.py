@@ -95,9 +95,17 @@ def _usum_col(col: F.Column) -> F.Column:
 
 
 def _usum_sql(expr: str) -> str:
-    """DuckDB twin of _usum_col (sum(BIGINT) auto-widens to HUGEINT)."""
+    """Micro-unit exact money sum as SHARED SQL text (both engines run it).
+
+    The accumulator is DECIMAL(25,0), not BIGINT: Spark (ANSI off) would
+    silently WRAP an overflowing bigint sum — micro-unit revenue sums cross
+    2^63 around a few TB per group, below the 100 TB design point — while
+    sum(DECIMAL(25,0)) widens to DECIMAL(35,0) in Spark and DECIMAL(38,0)
+    in DuckDB, both exact past 1e28 currency units. Per-row micro values
+    (≤ ~1e11) are exact in double and in the decimal, so the two engines
+    still agree bit-for-bit after the final cast-to-double."""
     return (
-        f"round(CAST(sum(CAST(round(({expr}) * {_USCALE}, 0) AS BIGINT))"
+        f"round(CAST(sum(CAST(round(({expr}) * {_USCALE}, 0) AS DECIMAL(25,0)))"
         f" AS DOUBLE) / {_USCALE}.0, {ROUND_SCALE})"
     )
 
@@ -107,7 +115,7 @@ def _usum_sql(expr: str) -> str:
     oracle="""
     SELECT
         l_orderkey,
-        round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS revenue,
+        round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS DECIMAL(25,0))) AS DOUBLE) / 1000000.0, 2) AS revenue,
         o_orderdate
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -161,7 +169,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q5",
     oracle="""
-    SELECT n_name, round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS revenue
+    SELECT n_name, round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS DECIMAL(25,0))) AS DOUBLE) / 1000000.0, 2) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -386,7 +394,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10",
     oracle="""
     SELECT c_custkey, c_name,
-           round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS revenue,
+           round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS DECIMAL(25,0))) AS DOUBLE) / 1000000.0, 2) AS revenue,
            round(c_acctbal, 2) AS acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey
@@ -601,7 +609,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q19",
     oracle="""
-    SELECT round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS revenue
+    SELECT round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS DECIMAL(25,0))) AS DOUBLE) / 1000000.0, 2) AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15

@@ -76,3 +76,31 @@ def test_usum_matches_exact_decimal(spark, groups):
             assert got[g] == pytest.approx(_exact(vals), abs=0), (
                 f"group {g} parts {parts}: {got[g]} != {_exact(vals)}"
             )
+
+
+def test_usum_sql_shared_text_survives_int64_overflow(spark):
+    """The SHARED SQL accumulator (tpch_suite._usum_sql, executed verbatim by
+    BOTH engines for the shared_ansi money sums) must not wrap where a BIGINT
+    sum would: 1M rows of 1e7 currency units = 1e19 micro-units > 2^63. With
+    ANSI off Spark silently wraps a bigint sum negative (the r7 ADVICE
+    hazard); the DECIMAL(25,0) accumulator stays exact."""
+    import duckdb
+
+    from duckdb_fastlanes_spark.operators.tpch_suite import _usum_sql
+
+    frag = _usum_sql("v")
+    n, v = 1_000_000, 1e7  # micro total 1e19 — past int64's 9.22e18
+    spark.range(n).selectExpr(f"{v!r} AS v").createOrReplaceTempView(
+        "usum_overflow_probe"
+    )
+    got = spark.sql(
+        f"SELECT {frag} AS s FROM usum_overflow_probe"
+    ).collect()[0]["s"]
+    expect = float(n * v)
+    assert got == expect, f"spark wrapped: {got} != {expect}"
+    # the identical text on DuckDB agrees (the parity contract)
+    con = duckdb.connect()
+    duck = con.execute(
+        f"SELECT {frag} AS s FROM (SELECT {v!r} AS v FROM range({n}))"
+    ).fetchone()[0]
+    assert duck == expect
