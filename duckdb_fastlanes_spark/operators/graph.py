@@ -190,20 +190,30 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (d, id) pairs. Valid while d < 2³¹ and id < 2³² (any real corpus;
     # degree is bounded by |V|). Triangle totals are label-invariant, so
     # the id-oriented DuckDB oracle is unchanged.
-    # degree lookups broadcast: |nodes| ≪ |edges| always; on a graph whose
-    # vertex set outgrows broadcast, drop the hint and the same plan runs as
-    # a shuffle join — shape unchanged
+    # degree lookups are NODE-sized: below the input gauge they broadcast
+    # (the vertex set is bounded by the tiny input), above it the gauge
+    # picks a shuffled hash join — at 100 TB the node table is itself
+    # fact-sized and an unconditional broadcast would blow the
+    # driver/exchange memory (same gauge as graph_link_prediction's degree
+    # join below; plan-asserted for both branches in tests/test_plans.py)
+    from duckdb_fastlanes_spark.session import SMALL_INPUT_BYTES, input_gauge_bytes
+
+    _big = input_gauge_bytes(sf_dir) >= SMALL_INPUT_BYTES
+
+    def _dim(df):
+        return df.hint("shuffle_hash") if _big else F.broadcast(df)
+
     _PACK = 1 << 32
     nodek = deg.select(
         F.col("node"), (F.col("d") * F.lit(_PACK) + F.col("node")).alias("k")
     )
     oriented = (
         pairs.join(
-            F.broadcast(nodek.select(F.col("node").alias("s1"), F.col("k").alias("ka"))),
+            _dim(nodek.select(F.col("node").alias("s1"), F.col("k").alias("ka"))),
             "s1",
         )
         .join(
-            F.broadcast(nodek.select(F.col("node").alias("s2"), F.col("k").alias("kb"))),
+            _dim(nodek.select(F.col("node").alias("s2"), F.col("k").alias("kb"))),
             "s2",
         )
         .select(
@@ -245,9 +255,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32 partitions put ~2 GB in each at the 1000× cell (spill). Above the
     # input gauge, widen this one exchange so partitions hold ~100-300 MB;
     # below it the default narrow shuffle is already right.
-    from duckdb_fastlanes_spark.session import SMALL_INPUT_BYTES, input_gauge_bytes
-
-    if input_gauge_bytes(sf_dir) >= SMALL_INPUT_BYTES:
+    if _big:
         import os
 
         probe = probe.repartition(

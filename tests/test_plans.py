@@ -377,3 +377,32 @@ def test_link_prediction_degree_join_degrades_to_hash_join_above_gauge(
     plan = explain_str(df, "simple")
     assert "ShuffledHashJoin" in plan
     assert "BroadcastExchange" not in plan
+
+
+def test_triangle_count_degree_join_gauges_broadcast_vs_hash_join(
+    spark, monkeypatch
+):
+    """r8 hygiene (the r7 verdict's last unconditional broadcast): the packed
+    degree-key table in graph_triangle_count is NODE-sized. Below the input
+    gauge it broadcasts (vertex set bounded by the tiny input); above it the
+    gauge must pick shuffled hash joins for BOTH orientation legs — at 100 TB
+    the node table is fact-sized and a broadcast OOMs the executors."""
+    from duckdb_fastlanes_spark import session
+    from duckdb_fastlanes_spark.registry import queries
+
+    # below the gauge: both degree legs ride broadcasts
+    monkeypatch.setattr(session, "input_gauge_bytes", lambda *_a, **_k: 0)
+    plan = explain_str(queries()["graph_triangle_count"](spark, SF_DIR), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "ShuffledHashJoin" not in plan
+
+    # above the gauge: no broadcast of the node table anywhere
+    monkeypatch.setattr(
+        session, "input_gauge_bytes", lambda *_a, **_k: session.SMALL_INPUT_BYTES * 2
+    )
+    plan = explain_str(queries()["graph_triangle_count"](spark, SF_DIR), "simple")
+    assert plan.count("ShuffledHashJoin") >= 2
+    # no node-table broadcast remains; the only broadcasts left are the
+    # single-row census scalars (n_edges x n_wedges x n_triangles), which
+    # are 1-row by construction at any corpus size
+    assert "BroadcastHashJoin" not in plan
