@@ -420,6 +420,13 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: product quantization: M subspaces × SUBDIM dims, K centroids per subspace
 PQ_M, PQ_SUBDIM, PQ_K = 8, 8, 16
 
+#: the SQL-text twin of _subvectors, DERIVED from PQ_M/PQ_SUBDIM exactly as
+#: the DuckDB oracle derives its slices — hardcoding the eight 8-wide slices
+#: in the Spark body silently desyncs it from the constants (r7 ADVICE)
+_PQ_SLICES_SQL = ", ".join(
+    f"slice(e, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})" for m in range(PQ_M)
+)
+
 
 def _subvectors(col: Column) -> Column:
     """Split a PQ_M×PQ_SUBDIM vector into an array of PQ_M subvectors."""
@@ -518,10 +525,10 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS cid, e
                 FROM v) WHERE cid < {PQ_K}),
         cb AS (SELECT cid, m, sub AS c_sub FROM (
-                   SELECT cid, posexplode(array(slice(e, 1, 8), slice(e, 9, 8), slice(e, 17, 8), slice(e, 25, 8), slice(e, 33, 8), slice(e, 41, 8), slice(e, 49, 8), slice(e, 57, 8))) AS (m, sub)
+                   SELECT cid, posexplode(array({_PQ_SLICES_SQL})) AS (m, sub)
                    FROM seeds)),
         corpus AS (SELECT vec_id, m, sub FROM (
-                       SELECT vec_id, posexplode(array(slice(e, 1, 8), slice(e, 9, 8), slice(e, 17, 8), slice(e, 25, 8), slice(e, 33, 8), slice(e, 41, 8), slice(e, 49, 8), slice(e, 57, 8))) AS (m, sub)
+                       SELECT vec_id, posexplode(array({_PQ_SLICES_SQL})) AS (m, sub)
                        FROM v)),
         codes AS (
             SELECT /*+ BROADCAST(cb) */ vec_id, m,
@@ -532,7 +539,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT m, cid,
                    CAST(round(aggregate(zip_with(sub, c_sub, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, v) -> acc + v) * 1e9) AS BIGINT) AS du
             FROM (SELECT m, sub FROM (
-                      SELECT vec_id, posexplode(array(slice(e, 1, 8), slice(e, 9, 8), slice(e, 17, 8), slice(e, 25, 8), slice(e, 33, 8), slice(e, 41, 8), slice(e, 49, 8), slice(e, 57, 8))) AS (m, sub)
+                      SELECT vec_id, posexplode(array({_PQ_SLICES_SQL})) AS (m, sub)
                       FROM v) WHERE vec_id = {QUERY_VEC_ID}) q
             JOIN cb USING (m))
         SELECT vec_id, adc_u / 1e9 AS adc_dist
