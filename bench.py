@@ -373,6 +373,16 @@ def main() -> None:
         makespans.append(time.perf_counter() - t0)
     drain_persists()
     payload["concurrent_wall"] = round(min(makespans), 3)
+    # dispersion for the CONCURRENT phase too (r7 verdict item 3): the
+    # sequential phases already record per-rep walls; without these the
+    # shared-VM swing band on the concurrent ratio is unreadable from the
+    # artifact. Median in the summary line (3 small floats), raw walls in
+    # the side record.
+    _sorted_walls = sorted(makespans)
+    payload["concurrent_wall_median"] = round(
+        _sorted_walls[len(_sorted_walls) // 2], 3
+    )
+    side["concurrent_walls"] = [round(w, 3) for w in makespans]
     if conc_failed:
         payload["concurrent_failed"] = sorted(set(conc_failed))
     if base:
@@ -386,6 +396,20 @@ def main() -> None:
         payload["ratio_vs_baseline_native_concurrent"] = round(
             payload["concurrent_wall"] / payload["baseline_native_total"], 2
         )
+    # hard guard FIRST: the driver json.loads the last ~2000 stdout chars; if
+    # the summary outgrows the cap (r6's 4.1 KB dispersion line parsed as
+    # null; all-mode's 245-entry queries map is ~7 KB), spill the biggest
+    # maps to the side artifact until the final line fits. The spill runs in
+    # EVERY mode and BEFORE the side record is emitted, so the stdout side
+    # line and BENCH_SIDE.json never diverge (r7 ADVICE).
+    line = json.dumps(payload)
+    for bulk_key in ("queries_constructed", "queries"):
+        if len(line) <= 1500:
+            break
+        if bulk_key in payload:
+            side[bulk_key] = payload.pop(bulk_key)
+            payload[f"{bulk_key}_in"] = "BENCH_SIDE.json"
+            line = json.dumps(payload)
     # side artifact: own stdout line FIRST (outside the driver's tail window)
     # plus a file next to this script, so the bulk maps stay inspectable
     side_path = os.path.join(
@@ -397,19 +421,6 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(side))
-    line = json.dumps(payload)
-    if len(line) > 1500 and not all_mode:
-        # hard guard: the driver json.loads the last ~2000 stdout chars; if
-        # the summary ever outgrows the cap again, spill the biggest map to
-        # the side artifact rather than ship an unparseable record
-        side["queries_constructed"] = payload.pop("queries_constructed", None)
-        payload["queries_constructed_in"] = "BENCH_SIDE.json"
-        try:
-            with open(side_path, "w") as f:
-                json.dump(side, f, indent=1)
-        except OSError:
-            pass
-        line = json.dumps(payload)
     print(line)
 
 
