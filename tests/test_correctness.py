@@ -101,3 +101,45 @@ def test_query_matches_oracle(name, spark, duck):
         if _spark_family(f.dataType) != _duck_family(duck_types[f.name.lower()])
     ]
     assert not mismatches, f"repr-family mismatch (driver hash would differ): {mismatches}"
+
+
+def test_exact_quartiles_bracketed_matches_percentile(spark):
+    """The sketch-refine quartile helper (r8, replaces percentile()'s O(ndv)
+    value-histogram buffer in summarize_table) must reproduce percentile()'s
+    interpolated values BIT-FOR-BIT on adversarial shapes: heavy ties (90%
+    mass on 3 values), near-all-distinct continuous values, skewed
+    log-normal, tiny n, and a quartile landing exactly on an integer rank."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from duckdb_fastlanes_spark.operators.scan import _exact_quartiles_bracketed
+
+    rng = np.random.default_rng(20260815)
+    n = 40_001  # odd -> p50 on an integer rank; p25/p75 interpolate
+    cases = {
+        "ties": np.where(
+            rng.random(n) < 0.9,
+            rng.choice([1.0, 2.0, 3.0], n),
+            np.round(rng.uniform(0, 10, n), 2),
+        ),
+        "cont": rng.normal(50_000, 20_000, n),
+        "skew": np.exp(rng.normal(0, 2, n)),
+        "small": np.concatenate([rng.uniform(0, 1, 17), np.full(n - 17, np.nan)]),
+    }
+    rows = [tuple(float(v) for v in vals) for vals in zip(*cases.values())]
+    df = spark.createDataFrame(
+        rows, ", ".join(f"{c} DOUBLE" for c in cases)
+    ).select(*[F.nanvl(c, F.lit(None)).alias(c) for c in cases])
+    cols = list(cases)
+    got = _exact_quartiles_bracketed(spark, df, cols).collect()[0]
+    ref = df.agg(
+        *[
+            F.expr(f"percentile({c}, array(0.25D, 0.50D, 0.75D)) AS qs_{c}")
+            for c in cols
+        ]
+    ).collect()[0]
+    for c in cols:
+        for p, q in zip((25, 50, 75), ref[f"qs_{c}"]):
+            assert got[f"q{p}_{c}"] == round(q, 2), (
+                f"{c} p{p}: {got[f'q{p}_{c}']} != {round(q, 2)}"
+            )
