@@ -469,9 +469,24 @@ def text_embed_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # single-parse SQL body (r7): the embed_text pipeline inlined as SQL
     # text (same expressions; embed_text itself stays the API helper for
-    # DataFrame callers and keeps its pytest)
+    # DataFrame callers and keeps its pytest).
+    #
+    # r8 HOF diet: Catalyst never codegens higher-order-function lambdas —
+    # the former 4 chained layers (dense transform → norm aggregate → /nrm
+    # transform → 64-wide zip_with checksum) evaluated ~1.3M interpreted
+    # lambdas at sf0.1 and dominated the 1.5 s wall (every earlier stage
+    # measures ≤0.03 s). Now: the norm is a plain codegen'd sum(w*w) in the
+    # doc aggregate (zeros contribute nothing), the dense unit vector is
+    # built in ONE transform, and the position-weighted checksum runs over
+    # the SPARSE map entries only (absent dims contribute round(1e4·0) = 0
+    # exactly, so the digest is unchanged — same floor CASE, same FLOAT
+    # cast as the dense element, integer summation order-free).
     e0 = '(CASE WHEN CAST(element_at(embedding, 1) AS DOUBLE) * 10000.0D < 0 THEN -floor(-(CAST(element_at(embedding, 1) AS DOUBLE) * 10000.0D) + 0.5D) ELSE floor((CAST(element_at(embedding, 1) AS DOUBLE) * 10000.0D) + 0.5D) END)'
-    vterm = '(CASE WHEN CAST(v AS DOUBLE) * 10000.0D < 0 THEN -floor(-(CAST(v AS DOUBLE) * 10000.0D) + 0.5D) ELSE floor((CAST(v AS DOUBLE) * 10000.0D) + 0.5D) END)'
+    sval = "CAST(CAST(kv.value / nrm AS FLOAT) AS DOUBLE) * 10000.0D"
+    sterm = (
+        f"(CASE WHEN {sval} < 0 THEN -floor(-({sval}) + 0.5D) "
+        f"ELSE floor(({sval}) + 0.5D) END)"
+    )
     return sql_q(
         spark,
         sf_dir,
@@ -489,26 +504,23 @@ def text_embed_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM toks GROUP BY 1, 2),
         sparse AS (
             SELECT doc_id,
+                   sqrt(sum(w * w)) AS nrm,
                    map_from_entries(sort_array(collect_list(struct(dim, w))))
                      AS m
             FROM weights GROUP BY doc_id),
-        densed AS (
-            SELECT doc_id, d,
-                   sqrt(aggregate(d, 0D, (acc, v) -> acc + v * v)) AS nrm
-            FROM (SELECT doc_id,
-                         transform(sequence(0, {EMBED_DIMS - 1}),
-                                   i -> coalesce(element_at(m, CAST(i AS BIGINT)),
-                                                 0.0D)) AS d
-                  FROM sparse)),
         emb AS (
-            SELECT doc_id, transform(d, v -> CAST(v / nrm AS FLOAT)) AS embedding
-            FROM densed)
+            SELECT doc_id, nrm, m,
+                   transform(sequence(0, {EMBED_DIMS - 1}),
+                             i -> CAST(coalesce(element_at(m, CAST(i AS BIGINT)),
+                                                0.0D) / nrm AS FLOAT))
+                     AS embedding
+            FROM sparse)
         SELECT doc_id,
                CAST({e0} AS BIGINT) AS e0_u,
-               aggregate(zip_with(embedding, sequence(1, {EMBED_DIMS}),
-                                  (v, i) -> CAST({vterm} AS BIGINT)
-                                            * CAST(i AS BIGINT)),
-                         CAST(0 AS BIGINT), (acc, x) -> acc + x) AS vec_sum_u,
+               aggregate(map_entries(m), CAST(0 AS BIGINT),
+                         (acc, kv) -> acc + CAST({sterm} AS BIGINT)
+                                            * (CAST(kv.key AS BIGINT) + 1))
+                 AS vec_sum_u,
                size(embedding) AS dims
         FROM emb
         ORDER BY doc_id
