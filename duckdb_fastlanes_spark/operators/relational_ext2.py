@@ -539,36 +539,42 @@ def dq_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     before publishing a snapshot. Each probe is an independent aggregate;
     the FK checks are anti-join counts (broadcast when the parent side is a
     dimension). All-zero on the driver data; non-zero values localize the
-    broken edge."""
+    broken edge.
+
+    The five probes assemble as 1-row aggregates cross-joined into ONE
+    plan (the census-scalars pattern), not five driver-side .count()
+    round-trips: one action instead of five job floors + Py4J hops, and
+    nothing is collected (r8; 0.86 s → one job)."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
 
-    null_orderkeys = li.filter(F.col("l_orderkey").isNull()).count()
-    dup_line_ids = (
-        li.groupBy("l_orderkey", "l_linenumber")
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    orphan_lines = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").count()
-    orphan_orders = o.join(c, o.o_custkey == c.c_custkey, "left_anti").count()
-    orphan_customers = c.join(
-        F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_anti"
-    ).count()
-    return spark.createDataFrame(
-        [
-            (
-                null_orderkeys,
-                dup_line_ids,
-                orphan_lines,
-                orphan_orders,
-                orphan_customers,
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        cnt(li.filter(F.col("l_orderkey").isNull()), "null_orderkeys")
+        .crossJoin(
+            cnt(
+                li.groupBy("l_orderkey", "l_linenumber")
+                .count()
+                .filter(F.col("count") > 1),
+                "dup_line_ids",
             )
-        ],
-        "null_orderkeys long, dup_line_ids long, orphan_lines long, "
-        "orphan_orders long, orphan_customers long",
+        )
+        .crossJoin(
+            cnt(li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"), "orphan_lines")
+        )
+        .crossJoin(
+            cnt(o.join(c, o.o_custkey == c.c_custkey, "left_anti"), "orphan_orders")
+        )
+        .crossJoin(
+            cnt(
+                c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_anti"),
+                "orphan_customers",
+            )
+        )
     )
 
 
