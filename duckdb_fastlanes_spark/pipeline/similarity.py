@@ -1319,3 +1319,103 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY vec_id
         """,
     )
+
+
+def _centroid_outliers_oracle() -> str:
+    # sign-aware floor micro quantization, identical CASE on both engines
+    xu = (
+        "(CASE WHEN CAST(x AS DOUBLE) * 1000000.0 < 0 "
+        "THEN -floor(-(CAST(x AS DOUBLE) * 1000000.0) + 0.5) "
+        "ELSE floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) END)"
+    )
+    return f"""
+    WITH raw AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS x
+        FROM embeddings
+    ),
+    flat AS (
+        SELECT vec_id, label, dim, CAST({xu} AS BIGINT) AS x_u FROM raw
+    ),
+    cent AS (
+        SELECT label, dim, sum(x_u) AS s_u, count(*) AS n
+        FROM flat GROUP BY label, dim
+    ),
+    d2 AS (
+        SELECT f.vec_id, f.label, max(c.n) AS n,
+               sum(CAST(f.x_u * c.n - c.s_u AS HUGEINT)
+                   * CAST(f.x_u * c.n - c.s_u AS HUGEINT)) AS d2_u
+        FROM flat f JOIN cent c ON f.label = c.label AND f.dim = c.dim
+        GROUP BY f.vec_id, f.label
+    )
+    SELECT label, vec_id, rn,
+           round(CAST(d2_u AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n * 1e12), 6) AS dist2
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY label ORDER BY d2_u DESC, vec_id) AS rn
+          FROM d2)
+    WHERE rn <= 5
+    ORDER BY label, rn
+    """
+
+
+@register("sim_centroid_outliers", oracle=_centroid_outliers_oracle())
+def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: squared L2 distance of every
+    vector to its LABEL CENTROID, top-5 per label — the embedding-QA gate
+    (mislabeled rows, encoder failures, and corrupt payloads all land far
+    from their cluster's center; curation drops or re-routes them before
+    the index is built).
+
+    Exactness discipline (the money-sum pattern applied to geometry): both
+    the centroid mean and every squared distance are ORDER-DEPENDENT in
+    float, so values are quantized to micro-unit BIGINTs first and the
+    distance is computed in exact integer arithmetic —
+    Σ(x_u·n − s_u)² / (n·1e6)² — with the numerator summed in
+    DECIMAL(38,0) (HUGEINT in DuckDB; < 1e33 even at 1e9 rows/label).
+    The outlier RANK orders on the exact integer numerator, so the top-5
+    pick is layout-invariant and bit-identical across engines.
+
+    Scale shape: posexplode → one (label, dim)-keyed aggregate (64·L rows
+    out, map-side combinable), broadcast-joined back (centroid table is
+    dims × labels — bounded, NOT corpus-sized), one (vec)-keyed aggregate,
+    and a top-5-per-label window that Catalyst runs as WindowGroupLimit.
+    No pairwise work anywhere."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    xu = (
+        "(CASE WHEN CAST(xf AS DOUBLE) * 1000000.0D < 0 "
+        "THEN -floor(-(CAST(xf AS DOUBLE) * 1000000.0D) + 0.5D) "
+        "ELSE floor(CAST(xf AS DOUBLE) * 1000000.0D + 0.5D) END)"
+    )
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH flat AS (
+            SELECT vec_id, label, dim0 + 1 AS dim, CAST({xu} AS BIGINT) AS x_u
+            FROM (SELECT vec_id, label, posexplode(embedding) AS (dim0, xf)
+                  FROM embeddings)
+        ),
+        cent AS (
+            SELECT label, dim, sum(x_u) AS s_u, count(1) AS n
+            FROM flat GROUP BY label, dim
+        ),
+        d2 AS (
+            SELECT /*+ BROADCAST(c) */ f.vec_id, f.label, max(c.n) AS n,
+                   sum(CAST(f.x_u * c.n - c.s_u AS DECIMAL(19,0))
+                       * CAST(f.x_u * c.n - c.s_u AS DECIMAL(19,0))) AS d2_u
+            FROM flat f JOIN cent c ON f.label = c.label AND f.dim = c.dim
+            GROUP BY f.vec_id, f.label
+        )
+        SELECT label, vec_id, rn,
+               round(CAST(d2_u AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * n * 1e12), 6) AS dist2
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY label ORDER BY d2_u DESC, vec_id) AS rn
+              FROM d2)
+        WHERE rn <= 5
+        ORDER BY label, rn
+        """,
+    )

@@ -1212,3 +1212,67 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id
         """,
     )
+
+
+def _novelty_oracle() -> str:
+    from duckdb_fastlanes_spark.pipeline.dedup import _ORACLE_SHINGLES, _ORACLE_WORDS
+
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM (
+            SELECT doc_id, {_ORACLE_SHINGLES} AS shingles
+            FROM (SELECT doc_id, {_ORACLE_WORDS} AS w FROM documents)
+            WHERE len(w) >= 3)
+    ),
+    firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS novelty
+    FROM sh s JOIN firsts f USING (shingle)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """
+
+
+@register("text_ngram_novelty", oracle=_novelty_oracle())
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the share of a document's distinct
+    3-gram shingles whose corpus-wide FIRST occurrence (min doc_id) is the
+    document itself. The training-data curation read-off: low-novelty late
+    documents are recombinations of text the corpus already has (template
+    spam, scraped mirrors, quote farms) and add little gradient signal;
+    an epoch-ordering or dedup-priority policy keys on exactly this.
+
+    Scale shape: one shuffle keyed on the shingle computes first-occurrence
+    (min doc_id, map-side combinable); the join back to the doc-shingle
+    rows reuses that shingle partitioning (co-partitioned exchange reuse),
+    and the final per-doc aggregate is a second narrow shuffle — linear in
+    total shingle volume, no pairwise work anywhere (contrast the dedup
+    family, which pays Σ bucket² for pair evidence; novelty needs none).
+    Spark body reuses dedup's zipped-slices shingle CTE (regex evaluated
+    once per row, no interpreted HOF over element_at)."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+    from duckdb_fastlanes_spark.pipeline.dedup import _SHINGLE_CTE
+
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH {_SHINGLE_CTE},
+        sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+        firsts AS (
+            SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+        SELECT s.doc_id,
+               count(*) AS n_shingles,
+               sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 AS n_novel,
+               round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0
+                                   END) AS DOUBLE) / count(*), 4) AS novelty
+        FROM sh s JOIN firsts f USING (shingle)
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id
+        """,
+    )

