@@ -71,6 +71,13 @@ REPRESENTATIVE = [
     # top-k must be layout-independent
     "scan_bucketed_agg",  # r5 exchange-free bucket-key rollup: histogram
     # must match whatever layout fed the bucketed ingest
+    "summarize_table",  # r8 sketch-refine quartiles: approx_percentile's
+    # BRACKETS are layout-dependent (QuantileSummaries merge order), but any
+    # valid bracket must select the identical exact quantile
+    "text_ngram_novelty",  # r8: first-occurrence is min(doc_id) — a content
+    # property that must not move with file layout
+    "sim_centroid_outliers",  # r8: exact-integer centroid distances; the
+    # top-5 ranking must be identical for any partitioning of the corpus
 ]
 
 
