@@ -948,3 +948,65 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY grain, day, hour, event_type
         """,
     )
+
+
+@register(
+    "events_sequence_pattern",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                 AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(seq, 'vcp')) AS BIGINT)
+             AS vcp_conversions,
+           seq LIKE '%pe%' AS err_after_purchase
+    FROM seqs
+    ORDER BY user_id
+    """,
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTIGUOUS event-sequence pattern matching per user — the
+    MATCH_RECOGNIZE shape (view→click→purchase with NO events in between,
+    and the error-immediately-after-purchase incident signature). The
+    funnel operators count subsequences (steps in order, gaps allowed);
+    this is the strict-adjacency complement dashboards use for flow
+    integrity and incident forensics.
+
+    Plan: one groupBy(user) folds each user's history into an
+    initial-letter string in deterministic (ts, event_id) total order
+    (event types here have distinct initials: c/e/p/s/v), then pattern
+    counts are row-local regexes inside codegen. ONE light HOF layer
+    (field-extraction transform over the sorted per-user array) — the
+    collect_list + array_sort is the same per-key fold every sessionization
+    query uses; per-user history length is bounded by retention policy at
+    100 TB, and the single shuffle is user-keyed. Non-overlapping counts:
+    regexp_extract_all consumes matches identically on both engines."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH seqs AS (
+            SELECT user_id,
+                   count(1) AS n_events,
+                   concat_ws('',
+                       transform(
+                           array_sort(collect_list(struct(
+                               ts AS t, event_id AS i,
+                               substring(event_type, 1, 1) AS c))),
+                           x -> x.c)) AS seq
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               CAST(size(regexp_extract_all(seq, 'vcp', 0)) AS BIGINT)
+                 AS vcp_conversions,
+               seq LIKE '%pe%' AS err_after_purchase
+        FROM seqs
+        ORDER BY user_id
+        """,
+    )
