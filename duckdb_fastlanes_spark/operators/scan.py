@@ -270,9 +270,16 @@ def _exact_quartiles_bracketed(spark, li, cols, extra_aggs=None):
     brackets = li.agg(*probes).collect()[0]
 
     below_aggs, stack_entries, targets, bracket_ranges = [], [], [], []
+    null_quartiles: list[str] = []
     for c in cols:
         n = brackets[f"n_{c}"]
         br = brackets[f"br_{c}"]
+        if n == 0 or br is None:
+            # an all-NULL column has no quantiles: emit literal NULLs, the
+            # same answer percentile()/quantile_cont give (and what the
+            # oracle computes), instead of crashing on the empty sketch
+            null_quartiles += [f"q{int(p * 100)}_{c}" for p in ps]
+            continue
         for j, p in enumerate(ps):
             lo, hi = float(br[2 * j]), float(br[2 * j + 1])
             h = p * (n - 1)
@@ -291,6 +298,13 @@ def _exact_quartiles_bracketed(spark, li, cols, extra_aggs=None):
 
     below = li.agg(*below_aggs, *extra_aggs)
     extra_names = [c for c in below.columns if not c.startswith("below_")]
+    if not targets:
+        # every column all-NULL: no refine scan exists; NULL quantiles (the
+        # same answer percentile()/quantile_cont give) plus the extras
+        return below.select(
+            *[F.expr("CAST(NULL AS DOUBLE)").alias(n) for n in null_quartiles],
+            *extra_names,
+        )
     # pre-filter before the 12-branch stack: only rows inside at least one
     # bracket survive, so the Expand runs over the refine set, not the corpus
     any_bracket = " OR ".join(
@@ -340,6 +354,7 @@ def _exact_quartiles_bracketed(spark, li, cols, extra_aggs=None):
             )
         p_tag = tag.rsplit("_", 1)[1]
         per_key.append(F.expr(f"round({q_expr}, 2)").alias(f"q{p_tag}_{c}"))
+    per_key += [F.expr("CAST(NULL AS DOUBLE)").alias(name) for name in null_quartiles]
     # extras are crossJoined constants — first() recovers each unchanged
     per_key += [F.first(name).alias(name) for name in extra_names]
     return ranked.agg(*per_key)

@@ -143,3 +143,31 @@ def test_exact_quartiles_bracketed_matches_percentile(spark):
             assert got[f"q{p}_{c}"] == round(q, 2), (
                 f"{c} p{p}: {got[f'q{p}_{c}']} != {round(q, 2)}"
             )
+
+
+def test_exact_quartiles_all_null_column(spark):
+    """All-NULL columns have no quantiles: the helper must emit NULL (what
+    percentile()/quantile_cont return), not crash on the empty sketch —
+    both when one column of several is all-NULL and when every column is."""
+    from pyspark.sql import functions as F
+
+    from duckdb_fastlanes_spark.operators.scan import _exact_quartiles_bracketed
+
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("ok"),
+        F.expr("CAST(NULL AS DOUBLE)").alias("allnull"),
+    )
+    row = _exact_quartiles_bracketed(
+        spark, df, ["ok", "allnull"], extra_aggs=[F.count(F.lit(1)).alias("n")]
+    ).collect()[0]
+    assert row["q50_ok"] == 49.5 and row["q25_ok"] == 24.75
+    assert row["q50_allnull"] is None and row["q75_allnull"] is None
+    assert row["n"] == 100
+
+    row2 = _exact_quartiles_bracketed(
+        spark,
+        df.select("allnull"),
+        ["allnull"],
+        extra_aggs=[F.count(F.lit(1)).alias("n")],
+    ).collect()[0]
+    assert row2["q25_allnull"] is None and row2["n"] == 100
