@@ -378,10 +378,9 @@ def main() -> None:
     # shared-VM swing band on the concurrent ratio is unreadable from the
     # artifact. Median in the summary line (3 small floats), raw walls in
     # the side record.
-    _sorted_walls = sorted(makespans)
-    payload["concurrent_wall_median"] = round(
-        _sorted_walls[len(_sorted_walls) // 2], 3
-    )
+    # statistics.median, not sorted[n//2]: with the 2-rep all-mode count the
+    # latter picks the MAX and labels it median (r8 code review)
+    payload["concurrent_wall_median"] = round(statistics.median(makespans), 3)
     side["concurrent_walls"] = [round(w, 3) for w in makespans]
     if conc_failed:
         payload["concurrent_failed"] = sorted(set(conc_failed))

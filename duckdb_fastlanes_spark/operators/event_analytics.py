@@ -958,7 +958,7 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_events,
                string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
                  AS seq
-        FROM events GROUP BY user_id
+        FROM events WHERE event_type IS NOT NULL GROUP BY user_id
     )
     SELECT user_id, n_events,
            CAST(len(regexp_extract_all(seq, 'vcp')) AS BIGINT)
@@ -984,7 +984,10 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_list + array_sort is the same per-key fold every sessionization
     query uses; per-user history length is bounded by retention policy at
     100 TB, and the single shuffle is user-keyed. Non-overlapping counts:
-    regexp_extract_all consumes matches identically on both engines."""
+    regexp_extract_all consumes matches identically on both engines.
+    NULL event_type rows are filtered identically on both sides —
+    without the filter Spark's concat_ws('') yields '' where DuckDB's
+    string_agg yields NULL for an all-NULL user (r8 code review)."""
     from duckdb_fastlanes_spark.catalog import sql_q
 
     return sql_q(
@@ -1000,7 +1003,7 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ts AS t, event_id AS i,
                                substring(event_type, 1, 1) AS c))),
                            x -> x.c)) AS seq
-            FROM events GROUP BY user_id
+            FROM events WHERE event_type IS NOT NULL GROUP BY user_id
         )
         SELECT user_id, n_events,
                CAST(size(regexp_extract_all(seq, 'vcp', 0)) AS BIGINT)

@@ -12,6 +12,8 @@ Reference parity (SURVEY.md §2.A):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -280,6 +282,16 @@ def _exact_quartiles_bracketed(spark, li, cols, extra_aggs=None):
             # oracle computes), instead of crashing on the empty sketch
             null_quartiles += [f"q{int(p * 100)}_{c}" for p in ps]
             continue
+        if any(not math.isfinite(float(v)) for v in br):
+            # NaN/Infinity near a quartile: the bracket edges are not
+            # orderable literals (repr() would splice an unparseable
+            # 'nanD'). percentile()'s NaN semantics (NaN sorts greatest)
+            # are not reproducible with value-range brackets, so refuse
+            # loudly rather than return a silently different quantile.
+            raise ValueError(
+                f"column {c!r} has non-finite values near a quartile; "
+                "use percentile() directly for NaN/Inf-bearing columns"
+            )
         for j, p in enumerate(ps):
             lo, hi = float(br[2 * j]), float(br[2 * j + 1])
             h = p * (n - 1)
@@ -389,8 +401,12 @@ def summarize_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"round(stddev_samp({c}), 2) AS std_{c}"),
         ]
     # the plain statistics piggyback on the quartile helper's below-count
-    # scan (one global aggregate computes both), leaving exactly two corpus
-    # scans end-to-end: plain+below+brackets, and the ndv Expand
+    # aggregate (one global aggregate computes both). Corpus passes
+    # end-to-end: (1) the bracket-sketch aggregate, (2) plain+below,
+    # (3) the pre-filtered bracket value-count scan (reads the corpus,
+    # keeps only in-bracket rows), (4) the ndv Expand — all cheap
+    # codegen'd scans of the cached layout; what the rewrite removed is
+    # percentile()'s O(ndv) hash-map buffer, not a scan
     quart = _exact_quartiles_bracketed(spark, li, _SUMMARIZE_COLS, extra_aggs=plain)
     wide = quart.crossJoin(li.agg(*ndv))
     stack_args = ", ".join(

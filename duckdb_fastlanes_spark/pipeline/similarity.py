@@ -93,27 +93,63 @@ def _ivf_centroids(sf_dir: str) -> dict[int, list[float]]:
     }
 
 
-def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
-    """Cell-clustered embedding index: one pass assigns every vector to its
-    nearest fixed centroid (broadcast join + max_by, the same expression the
-    previous per-query form ran) and lands the corpus as parquet PARTITIONED
-    BY cell — ingest once, query many, exactly like _srp_index. Memoized on
-    the source parquet's (name, size, mtime) and the index derivation."""
+def _staged_index(
+    sf_dir: str, family: str, key_parts: list, partition_col: str, build
+) -> str:
+    """Shared memoized-staging discipline for every embedding index
+    (_ivf_index / _kmeans_index / _srp_index): fingerprint the source
+    parquet (path, size, mtime_ns, ino) + the index derivation, build ONCE,
+    serve forever for that corpus version.
+
+    The publish is ATOMIC (r8 code review): each builder writes into its
+    own pid-suffixed tmp root and os.rename()s it into place only when
+    complete, so two concurrent first callers (parallel pytest + bench on
+    the shared VM) can never interleave part-files under one marker — the
+    rename loser simply discards its copy and serves the winner's. The
+    _INDEX_OK marker is written inside the tmp root BEFORE the rename, so
+    a crash mid-build leaves only an ignored tmp dir, never a half-index
+    that looks finished."""
     import hashlib
     import json
     import os
+    import shutil
     import tempfile
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     key = hashlib.md5(
         json.dumps(
-            [os.path.abspath(src), st.st_size, st.st_mtime_ns, st.st_ino, NLIST, "ivf_index_v1"]
+            [os.path.abspath(src), st.st_size, st.st_mtime_ns, st.st_ino]
+            + key_parts
         ).encode()
     ).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), "dfs_ivf_index", key)
+    root = os.path.join(tempfile.gettempdir(), f"dfs_{family}", key)
     marker = os.path.join(root, "_INDEX_OK")
-    if not os.path.exists(marker):
+    if os.path.exists(marker):
+        return root
+    tmp = f"{root}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build().repartition(partition_col).write.mode("overwrite").partitionBy(
+        partition_col
+    ).parquet(tmp)
+    with open(os.path.join(tmp, "_INDEX_OK"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        # a concurrent builder won the rename; serve its complete copy
+        shutil.rmtree(tmp, ignore_errors=True)
+    return root
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Cell-clustered embedding index: one pass assigns every vector to its
+    nearest fixed centroid (broadcast join + max_by, the same expression the
+    previous per-query form ran) and lands the corpus as parquet PARTITIONED
+    BY cell — ingest once, query many, exactly like _srp_index. Memoized +
+    atomically published via _staged_index."""
+
+    def build() -> DataFrame:
         v = _doubled(table(spark, sf_dir, "embeddings"))
         cents = F.broadcast(
             v.filter(F.col("vec_id") < NLIST).select(
@@ -125,16 +161,12 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
         )
         # nearest centroid per vector: max_by on (score, -cent_id) with the
         # same DESC, cent_id ASC tie rule as the oracle's ORDER BY ... LIMIT 1
-        assigned = scored.groupBy("vec_id").agg(
+        return scored.groupBy("vec_id").agg(
             F.expr("max_by(cent_id, struct(cscore, -cent_id))").alias("cell"),
             F.first("e").alias("e"),
         )
-        assigned.repartition("cell").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(root)
-        with open(marker, "w") as fh:
-            fh.write("ok")
-    return root
+
+    return _staged_index(sf_dir, "ivf_index", [NLIST, "ivf_index_v1"], "cell", build)
 
 
 def _doubled(df: DataFrame) -> DataFrame:
@@ -392,32 +424,10 @@ def _kmeans_index(spark: SparkSession, sf_dir: str) -> str:
     INDEX artifact, not per-query work: production IVF trains its coarse
     quantizer once per corpus version and serves millions of queries from
     it, so refitting on every top-k call both mismodels the workload and
-    burns a full training job per query. Memoized on the source parquet's
-    (path, size, mtime_ns, ino) + k + seed, same fingerprint discipline as
-    every other staged artifact in the repo."""
-    import hashlib
-    import json
-    import os
-    import tempfile
+    burns a full training job per query. Memoized + atomically published
+    via _staged_index (fingerprint: source parquet + k + seed)."""
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        json.dumps(
-            [
-                os.path.abspath(src),
-                st.st_size,
-                st.st_mtime_ns,
-                st.st_ino,
-                NLIST,
-                42,
-                "kmeans_index_v1",
-            ]
-        ).encode()
-    ).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), "dfs_kmeans_index", key)
-    marker = os.path.join(root, "_INDEX_OK")
-    if not os.path.exists(marker):
+    def build() -> DataFrame:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -427,13 +437,11 @@ def _kmeans_index(spark: SparkSession, sf_dir: str) -> str:
         model = KMeans(
             k=NLIST, seed=42, featuresCol="fv", predictionCol="cell"
         ).fit(v)
-        assigned = model.transform(v).select("vec_id", "e", "cell")
-        assigned.repartition("cell").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(root)
-        with open(marker, "w") as fh:
-            fh.write("ok")
-    return root
+        return model.transform(v).select("vec_id", "e", "cell")
+
+    return _staged_index(
+        sf_dir, "kmeans_index", [NLIST, 42, "kmeans_index_v1"], "cell", build
+    )
 
 
 @register("sim_ivf_kmeans_topk")  # no oracle: learned centroids aren't SQL-expressible
@@ -465,10 +473,20 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"vec_id <> {QUERY_VEC_ID}"
     )
     qarr = "array(" + ", ".join(f"{x!r}D" for x in qe) + ")"
+    # the query norm is a CONSTANT: computed once driver-side (same
+    # left-to-right IEEE fold as the HOF would run) and embedded as a
+    # literal instead of re-folding the 64-element array per candidate row
+    # in an interpreted lambda — this query has no SQL oracle requiring
+    # expression-level parity (r8 code review)
+    qn = 0.0
+    for x in qe:
+        qn += x * x
+    import math
+
     cos = (
         f"aggregate(zip_with(e, {qarr}, (p, q) -> p * q), 0D, (a, v) -> a + v)"
         f" / (sqrt(aggregate(e, 0D, (a, v) -> a + v * v))"
-        f" * sqrt(aggregate({qarr}, 0D, (a, v) -> a + v * v)))"
+        f" * {math.sqrt(qn)!r}D)"
     )
     return (
         cand.selectExpr("vec_id", f"{cos} AS _cos")
@@ -1134,38 +1152,22 @@ def _srp_index(spark: SparkSession, sf_dir: str) -> str:
     (≤ 2^SRP_PLANES directories) — the ingest-once-query-many structure the
     multi-probe search needs so a probe reads ~37/2^SRP_PLANES of the data
     via partition pruning instead of re-hashing and scanning the whole
-    corpus per query. Memoized like streaming's staged_input: the key
-    fingerprints the source parquet (name, size, mtime) AND the index
-    derivation (plane count/dim/version), so regenerated testdata or a
-    changed hash family rebuilds automatically."""
-    import hashlib
-    import json
-    import os
-    import tempfile
+    corpus per query. Memoized + atomically published via _staged_index:
+    the key fingerprints the source parquet AND the index derivation
+    (plane count/dim/version), so regenerated testdata or a changed hash
+    family rebuilds automatically; the repartition("sig") inside the
+    helper makes each task emit only its own buckets (≤ one file per
+    present sig, not per task)."""
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        json.dumps(
-            [os.path.abspath(src), st.st_size, st.st_mtime_ns, st.st_ino,
-             SRP_PLANES, SRP_DIM, "srp_index_v1"]
-        ).encode()
-    ).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), "dfs_srp_index", key)
-    marker = os.path.join(root, "_INDEX_OK")
-    if not os.path.exists(marker):
+    def build() -> DataFrame:
         v = _doubled(table(spark, sf_dir, "embeddings"))
-        sigs = v.selectExpr(
+        return v.selectExpr(
             "vec_id", "e", f"CAST({_srp_sig_int_spark()} AS INT) AS sig"
         )
-        # cluster by sig before the partitioned write so each task emits
-        # only its own buckets (≤ one file per present sig, not per task)
-        sigs.repartition("sig").write.mode("overwrite").partitionBy(
-            "sig"
-        ).parquet(root)
-        with open(marker, "w") as fh:
-            fh.write("ok")
-    return root
+
+    return _staged_index(
+        sf_dir, "srp_index", [SRP_PLANES, SRP_DIM, "srp_index_v1"], "sig", build
+    )
 
 
 def _srp_sig_duck() -> str:

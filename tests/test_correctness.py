@@ -171,3 +171,18 @@ def test_exact_quartiles_all_null_column(spark):
         extra_aggs=[F.count(F.lit(1)).alias("n")],
     ).collect()[0]
     assert row2["q25_allnull"] is None and row2["n"] == 100
+
+
+def test_exact_quartiles_refuses_nonfinite_brackets(spark):
+    """NaN near a quartile is not reproducible with value-range brackets
+    (percentile() sorts NaN greatest); the helper must refuse LOUDLY rather
+    than return a silently different quantile (r8 code review)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from duckdb_fastlanes_spark.operators.scan import _exact_quartiles_bracketed
+
+    vals = [float("nan")] * 80 + [float(v) for v in np.linspace(0, 1, 20)]
+    df = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
+    with _pytest.raises(ValueError, match="non-finite"):
+        _exact_quartiles_bracketed(spark, df, ["x"])
