@@ -596,6 +596,82 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_threshold_sweep",
+    oracle="""
+    WITH emb AS (
+        SELECT vec_id, label,
+               CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                            x -> x * x))) AS nrm
+        FROM embeddings),
+    pairs AS (
+        SELECT CAST(round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 4)
+                    * 10000 AS INTEGER) AS cos_u
+        FROM emb a JOIN emb b
+          ON a.label = b.label AND a.vec_id < b.vec_id),
+    binned AS (
+        SELECT (cos_u + 10000) // 500 AS bin, count(*) AS n_pairs
+        FROM pairs GROUP BY 1)
+    SELECT round(CAST(bin * 500 - 10000 AS DOUBLE) / 10000.0, 2) AS threshold,
+           n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY bin DESC) AS BIGINT)
+             AS pairs_at_or_above
+    FROM binned
+    ORDER BY threshold
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup THRESHOLD SELECTION curve: in-bucket pair counts per cosine
+    bin (width 0.05) with the descending cumulative — "how many pairs would
+    a threshold of t flag". This is the knob-setting operator curators run
+    BEFORE committing a dedup pass: the knee of the cumulative curve
+    separates the near-dup mass from the random-similarity background, and
+    eyeballing it on a sample beats guessing COSINE_THRESHOLD.
+
+    Exactness: the cosine is rounded to 4 dp first (the bit-identical value
+    dedup_embedding_cosine already hash-matches on), scaled to an exact
+    integer, SHIFTED non-negative and floor-divided — no float bin edge and
+    no negative-division dialect skew (Spark DIV truncates toward zero,
+    DuckDB // floors; on the shifted non-negative domain they agree).
+
+    Scale shape: the same label-blocked pair join as dedup_embedding_cosine
+    (never n² — Σ bucket²), one ≤41-row aggregate after it, and the
+    cumulative window runs over those ≤41 bins — bounded at any corpus
+    size. Norms use the per-VECTOR fold (n rows), and the per-pair dot
+    stays a fold: the unrolled-codegen form measured 8× WORSE here (the
+    pushed filter duplicates the giant expression; r8 notes)."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH emb AS (
+            SELECT vec_id, label,
+                   CAST(embedding AS array<double>) AS e,
+                   sqrt(aggregate(CAST(embedding AS array<double>), 0D,
+                                  (acc, v) -> acc + v * v)) AS nrm
+            FROM embeddings),
+        pairs AS (
+            SELECT CAST(round(
+                       aggregate(zip_with(a.e, b.e, (p, q) -> p * q), 0D,
+                                 (acc, v) -> acc + v) / (a.nrm * b.nrm), 4)
+                       * 10000 AS INT) AS cos_u
+            FROM emb a JOIN emb b
+              ON a.label = b.label AND a.vec_id < b.vec_id),
+        binned AS (
+            SELECT (cos_u + 10000) DIV 500 AS bin, count(1) AS n_pairs
+            FROM pairs GROUP BY 1)
+        SELECT round((bin * 500 - 10000) / 10000.0D, 2) AS threshold,
+               n_pairs,
+               sum(n_pairs) OVER (ORDER BY bin DESC) AS pairs_at_or_above
+        FROM binned
+        ORDER BY threshold
+        """,
+    )
+
+
 #: recursive-CTE connected components shared by the clustering oracles;
 #: defined before first use (module-level f-strings evaluate top-down)
 _ORACLE_CC_CTES = ""  # assigned below, after helper definitions
