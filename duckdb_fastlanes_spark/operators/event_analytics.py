@@ -1013,3 +1013,90 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id
         """,
     )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type
+        FROM events WHERE user_id < 100),
+    lagged AS (
+        SELECT user_id, t_us, event_id, event_type,
+               CASE WHEN lag(t_us) OVER (
+                        PARTITION BY user_id ORDER BY t_us, event_id)
+                        IS NULL
+                    OR t_us - lag(t_us) OVER (
+                        PARTITION BY user_id ORDER BY t_us, event_id)
+                       > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e),
+    sess AS (
+        SELECT user_id, t_us, event_type,
+               CAST(sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY t_us, event_id)
+                 AS BIGINT) AS session_seq
+        FROM lagged)
+    SELECT user_id, session_seq,
+           min(t_us)             AS session_start_us,
+           max(t_us) - min(t_us) AS duration_us,
+           count(*)              AS n_events,
+           count(DISTINCT event_type) AS n_types
+    FROM sess GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization: a new session starts when a user is
+    idle > 30 minutes (the classic web-analytics cut; the batch complement
+    of streaming/events.py's session windows). lag() marks boundaries, a
+    running sum of the boundary flags numbers the sessions, one aggregate
+    per session emits start/duration/size — the textbook two-window shape.
+
+    Scale shape: ONE shuffle on user_id serves both windows AND the final
+    per-session aggregate (same partitioning key prefix — Catalyst reuses
+    the exchange), so the whole query is a single user-keyed pass no matter
+    the corpus size; per-user state is a sort of that user's events only.
+    Timestamps are carried as epoch MICROSECONDS (unix_micros/epoch_us) —
+    exact BIGINTs on both engines, immune to the sub-second rounding skew
+    between Spark's unix_timestamp (floor) and DuckDB's extract(epoch)
+    (round). user_id < 100 bounds the audited slice, as the interarrival
+    and gaps-islands siblings do.
+
+    Reference parity: session-window semantics per the reference's event
+    test corpus (gap-based grouping); cf. SURVEY.md §2.C event analytics.
+    """
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH e AS (
+            SELECT user_id, unix_micros(ts) AS t_us, event_id, event_type
+            FROM events WHERE user_id < 100),
+        lagged AS (
+            SELECT user_id, t_us, event_id, event_type,
+                   CASE WHEN lag(t_us) OVER (
+                            PARTITION BY user_id ORDER BY t_us, event_id)
+                            IS NULL
+                        OR t_us - lag(t_us) OVER (
+                            PARTITION BY user_id ORDER BY t_us, event_id)
+                           > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e),
+        sess AS (
+            SELECT user_id, t_us, event_type,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY t_us, event_id)
+                     AS session_seq
+            FROM lagged)
+        SELECT user_id, session_seq,
+               min(t_us)             AS session_start_us,
+               max(t_us) - min(t_us) AS duration_us,
+               count(1)              AS n_events,
+               count(DISTINCT event_type) AS n_types
+        FROM sess GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+        """,
+    )

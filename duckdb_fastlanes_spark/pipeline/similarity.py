@@ -1421,3 +1421,80 @@ def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY label, rn
         """,
     )
+
+
+@register(
+    "sim_label_margin",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id % 20 = 0)
+    SELECT q.vec_id, q.label,
+           round(max(CASE WHEN c.label = q.label
+                          THEN list_cosine_similarity(c.e, q.e) END), 4)
+             AS best_same,
+           round(max(CASE WHEN c.label <> q.label
+                          THEN list_cosine_similarity(c.e, q.e) END), 4)
+             AS best_other,
+           round(round(max(CASE WHEN c.label = q.label
+                                THEN list_cosine_similarity(c.e, q.e) END), 4)
+                 - round(max(CASE WHEN c.label <> q.label
+                                  THEN list_cosine_similarity(c.e, q.e) END),
+                         4), 4) AS margin
+    FROM q JOIN v c ON c.vec_id <> q.vec_id
+    GROUP BY q.vec_id, q.label
+    ORDER BY q.vec_id
+    """,
+)
+def sim_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: for each audited vector, the best cosine to its
+    OWN label (excluding itself) vs the best cosine to any OTHER label;
+    margin = best_same − best_other. A negative margin means the vector's
+    nearest neighborhood belongs to a different class — the standard
+    triage signal for mislabeled training examples before a fine-tune.
+
+    Determinism: max() over cosines is order-independent; each max is
+    snapped to round(4) BEFORE the subtraction so the margin is a
+    difference of already-quantized values (then one final round(4) to
+    kill repr noise). The Spark HOF fold and DuckDB's
+    list_cosine_similarity pair bit-identically (established across the
+    sim_* family).
+
+    Scale shape: the audited slice (vec_id % 20 = 0, a 5% deterministic
+    sample) broadcasts against the corpus — a BroadcastNestedLoopJoin by
+    construction, because the work IS all-pairs for the audited rows; the
+    per-query reduction is a map-side max, so nothing corpus-sized
+    shuffles. At 100 TB the audit slice rate is the knob, and the
+    blocked/IVF siblings (sim_ivf_*) are the sub-linear path when the
+    full corpus must be audited."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH v AS (SELECT vec_id, label, CAST(embedding AS array<double>) AS e
+                   FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id % 20 = 0),
+        pairs AS (
+            SELECT /*+ BROADCAST(q) */ q.vec_id, q.label,
+                   c.label = q.label AS same_label,
+                   aggregate(zip_with(c.e, q.e, (x, y) -> x * y), 0D,
+                             (acc, x) -> acc + x)
+                   / (sqrt(aggregate(c.e, 0D, (acc, x) -> acc + x * x))
+                      * sqrt(aggregate(q.e, 0D, (acc, x) -> acc + x * x)))
+                     AS _cos
+            FROM v c JOIN q ON c.vec_id <> q.vec_id)
+        SELECT vec_id, label,
+               round(max(CASE WHEN same_label THEN _cos END), 4)
+                 AS best_same,
+               round(max(CASE WHEN NOT same_label THEN _cos END), 4)
+                 AS best_other,
+               round(round(max(CASE WHEN same_label THEN _cos END), 4)
+                     - round(max(CASE WHEN NOT same_label THEN _cos END), 4),
+                     4) AS margin
+        FROM pairs
+        GROUP BY vec_id, label
+        ORDER BY vec_id
+        """,
+    )

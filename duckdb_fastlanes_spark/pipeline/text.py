@@ -1276,3 +1276,219 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.doc_id
         """,
     )
+
+
+@register(
+    "text_char_class_profile",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source,
+               length(text)                                    AS n_chars,
+               len(regexp_extract_all(text, '[A-Za-z]'))       AS n_alpha,
+               len(regexp_extract_all(text, '[0-9]'))          AS n_digit,
+               len(regexp_extract_all(text, '[ \t\n\r]'))      AS n_space
+        FROM documents)
+    SELECT source,
+           count(*)                      AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)  AS total_chars,
+           round(CAST(sum(n_alpha) AS DOUBLE) / sum(n_chars), 4) AS alpha_share,
+           round(CAST(sum(n_digit) AS DOUBLE) / sum(n_chars), 4) AS digit_share,
+           round(CAST(sum(n_space) AS DOUBLE) / sum(n_chars), 4) AS space_share,
+           round(CAST(sum(n_chars) - sum(n_alpha) - sum(n_digit) - sum(n_space)
+                      AS DOUBLE) / sum(n_chars), 4)               AS other_share
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source: alpha / digit / whitespace /
+    other shares of the raw byte stream — the corpus-level profile that
+    flags a feed gone binary, table-dumpy, or boilerplate-heavy before it
+    poisons a training mix (complements text_quality_score's per-doc gate).
+
+    Determinism: all four counts are exact BIGINT sums (no float
+    accumulation); each share is ONE division of exact integers, then a
+    fixed round(4) — bit-stable on both engines. 'other' is computed as
+    the integer remainder rather than a punctuation regex, so no
+    Java-vs-RE2 character-class dialect risk exists at all.
+
+    Scale shape: a row-local project then one aggregate keyed on `source`
+    (bounded domain) — map-side partial aggregation collapses the corpus
+    before the single tiny shuffle; no window, no join. At 100 TB this is
+    a pure scan-side pass."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH per_doc AS (
+            SELECT source,
+                   length(text)                                      AS n_chars,
+                   size(regexp_extract_all(text, '[A-Za-z]', 0))     AS n_alpha,
+                   size(regexp_extract_all(text, '[0-9]', 0))        AS n_digit,
+                   size(regexp_extract_all(text, '[ \t\n\r]', 0))    AS n_space
+            FROM documents)
+        SELECT source,
+               count(1)                 AS n_docs,
+               sum(n_chars)             AS total_chars,
+               round(CAST(sum(n_alpha) AS DOUBLE) / sum(n_chars), 4)
+                 AS alpha_share,
+               round(CAST(sum(n_digit) AS DOUBLE) / sum(n_chars), 4)
+                 AS digit_share,
+               round(CAST(sum(n_space) AS DOUBLE) / sum(n_chars), 4)
+                 AS space_share,
+               round(CAST(sum(n_chars) - sum(n_alpha) - sum(n_digit)
+                          - sum(n_space) AS DOUBLE) / sum(n_chars), 4)
+                 AS other_share
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+        """,
+    )
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '[A-Za-z]+'))          AS n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+               len(regexp_extract_all(text, '[aeiouAEIOU]+'))      AS n_vgroups
+        FROM documents),
+    scored AS (
+        SELECT lang, n_words, n_sents,
+               CAST(round((206.835
+                           - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                           - 84.6 * (CAST(n_vgroups AS DOUBLE) / n_words))
+                          * 100) AS BIGINT) AS flesch_c
+        FROM per_doc WHERE n_words > 0)
+    SELECT lang,
+           count(*)                                        AS n_docs,
+           round(CAST(sum(n_words) AS DOUBLE) / sum(n_sents), 2)
+                                                           AS words_per_sentence,
+           round(avg(flesch_c) / 100.0, 2)                 AS avg_flesch
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per language: words-per-sentence and a
+    reading-ease score with vowel-group runs as the syllable proxy (the
+    standard regex-only approximation — no dictionary). The
+    low-readability tail is a classic pretraining-quality drop signal.
+
+    Determinism: word/sentence/vowel-group counts are exact integers; the
+    per-doc score is ONE fixed double expression snapped to a centi-unit
+    BIGINT (round half-away-from-zero agrees on both engines), so the
+    per-lang average divides an exact integer sum — no float-order drift.
+    Corpus words-per-sentence is a ratio of exact sums, not an avg of
+    ratios.
+
+    Scale shape: row-local scoring, one aggregate on the bounded `lang`
+    key with map-side combine — scan-dominated at any corpus size."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH per_doc AS (
+            SELECT lang,
+                   size(regexp_extract_all(text, '[A-Za-z]+', 0)) AS n_words,
+                   greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)
+                     AS n_sents,
+                   size(regexp_extract_all(text, '[aeiouAEIOU]+', 0))
+                     AS n_vgroups
+            FROM documents),
+        scored AS (
+            SELECT lang, n_words, n_sents,
+                   CAST(round((206.835
+                               - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                               - 84.6 * (CAST(n_vgroups AS DOUBLE) / n_words))
+                              * 100) AS BIGINT) AS flesch_c
+            FROM per_doc WHERE n_words > 0)
+        SELECT lang,
+               count(1)                                        AS n_docs,
+               round(CAST(sum(n_words) AS DOUBLE) / sum(n_sents), 2)
+                 AS words_per_sentence,
+               round(avg(flesch_c) / 100.0, 2)                 AS avg_flesch
+        FROM scored
+        GROUP BY lang
+        ORDER BY lang
+        """,
+    )
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents),
+    counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT sum(cnt) AS total_toks FROM counts),
+    top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 2000),
+    ranked AS (
+        SELECT tok, cnt,
+               row_number() OVER (ORDER BY cnt DESC, tok) AS vocab_rank,
+               sum(cnt) OVER (ORDER BY cnt DESC, tok
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM top)
+    SELECT vocab_rank, tok, cnt AS tok_count,
+           CAST(cum AS BIGINT) AS cum_tokens,
+           round(CAST(cum AS DOUBLE) / total_toks, 4) AS coverage
+    FROM ranked CROSS JOIN total
+    WHERE vocab_rank IN (1, 2, 5, 10, 20, 30, 100, 500, 2000)
+    ORDER BY vocab_rank
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token-coverage curve at candidate vocabulary sizes: what
+    share of all corpus tokens the top-N vocab entries cover, sampled at
+    the ranks a tokenizer-budget decision actually compares (1..2000;
+    the synthetic corpus vocab is ~31 tokens, so the low ranks carry the
+    curve there while the high ranks activate on real corpora).
+    The corpus-level complement of vocab_oov_rate's per-doc OOV gate —
+    this is the curve that picks N in the first place.
+
+    Determinism: the vocab order (count desc, token asc) is a total order;
+    cumulative counts are exact BIGINTs; coverage is one division by the
+    exact corpus total, round(4).
+
+    Scale shape: token explode collapses to vocab cardinality via ONE
+    hash aggregate with map-side combine; the candidate list is a
+    top-2000 TakeOrdered (never a global sort of the vocab), the running
+    sum is a window over those 2000 rows only, and the corpus total is a
+    scalar aggregate cross-joined in as a 1-row broadcast. The curve's
+    window work is constant-size regardless of corpus scale."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH toks AS (
+            SELECT explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0))
+                     AS tok
+            FROM documents),
+        counts AS (SELECT tok, count(1) AS cnt FROM toks GROUP BY tok),
+        total AS (SELECT sum(cnt) AS total_toks FROM counts),
+        top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 2000),
+        ranked AS (
+            SELECT tok, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, tok) AS vocab_rank,
+                   sum(cnt) OVER (ORDER BY cnt DESC, tok
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM top)
+        SELECT vocab_rank, tok, cnt AS tok_count,
+               CAST(cum AS BIGINT) AS cum_tokens,
+               round(CAST(cum AS DOUBLE) / total_toks, 4) AS coverage
+        FROM ranked CROSS JOIN total
+        WHERE vocab_rank IN (1, 2, 5, 10, 20, 30, 100, 500, 2000)
+        ORDER BY vocab_rank
+        """,
+    )

@@ -78,6 +78,10 @@ REPRESENTATIVE = [
     # property that must not move with file layout
     "sim_centroid_outliers",  # r8: exact-integer centroid distances; the
     # top-5 ranking must be identical for any partitioning of the corpus
+    "events_sessionization",  # r8: session numbering rides a (ts, event_id)
+    # total order inside each user — boundaries must not move with file split
+    "vocab_coverage_curve",  # r8: the vocab rank order (count desc, tok asc)
+    # and exact cumulative counts must be identical for any corpus layout
 ]
 
 

@@ -530,3 +530,129 @@ def test_centroid_outliers_invariants(spark):
         assert rns == list(range(1, len(rows) + 1)) and len(rows) <= 5
         dists = [d for _, d in sorted(rows)]
         assert dists == sorted(dists, reverse=True), f"label {label} not rank-ordered"
+
+
+def test_char_class_profile_shares_partition_unity(spark):
+    """The four class shares partition each source's character mass: they are
+    each in [0,1] and sum to ~1 (4-decimal quantization slack), and
+    total_chars is positive for every source."""
+    from duckdb_fastlanes_spark.pipeline.text import text_char_class_profile
+
+    rows = text_char_class_profile(spark, SF_DIR).collect()
+    assert rows, "no sources profiled"
+    for r in rows:
+        assert r.total_chars > 0 and r.n_docs > 0
+        shares = [r.alpha_share, r.digit_share, r.space_share, r.other_share]
+        assert all(0.0 <= s <= 1.0 for s in shares)
+        assert abs(sum(shares) - 1.0) < 5e-4, f"{r.source}: {shares}"
+
+
+def test_readability_matches_hand_computation(spark):
+    """Recompute one language's corpus words-per-sentence and average flesch
+    from raw per-doc regex counts in Python; the operator must agree exactly
+    (the per-doc score snaps to centi-units, so the average is exact)."""
+    import re
+
+    from duckdb_fastlanes_spark.pipeline.text import text_readability
+
+    rows = {r.lang: r for r in text_readability(spark, SF_DIR).collect()}
+    assert rows
+    lang = sorted(rows)[0]
+    docs = (
+        table(spark, SF_DIR, "documents")
+        .filter(F.col("lang") == lang)
+        .select("text")
+        .collect()
+    )
+    scores, tot_w, tot_s = [], 0, 0
+    for (text,) in docs:
+        w = len(re.findall(r"[A-Za-z]+", text))
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        vg = len(re.findall(r"[aeiouAEIOU]+", text))
+        if w == 0:
+            continue
+        tot_w, tot_s = tot_w + w, tot_s + s
+        f = 206.835 - 1.015 * (w / s) - 84.6 * (vg / w)
+        scores.append(round(f * 100))
+    r = rows[lang]
+    assert r.n_docs == len(scores)
+    assert r.words_per_sentence == round(tot_w / tot_s, 2)
+    assert r.avg_flesch == round(sum(scores) / len(scores) / 100.0, 2)
+
+
+def test_vocab_coverage_curve_is_monotone(spark):
+    """Coverage is non-decreasing in rank, within (0,1]; cumulative token
+    counts strictly increase; per-token counts are non-increasing down the
+    rank order (it IS the frequency order)."""
+    from duckdb_fastlanes_spark.pipeline.text import vocab_coverage_curve
+
+    rows = sorted(
+        vocab_coverage_curve(spark, SF_DIR).collect(), key=lambda r: r.vocab_rank
+    )
+    assert rows, "empty coverage curve"
+    for a, b in zip(rows, rows[1:]):
+        assert a.vocab_rank < b.vocab_rank
+        assert a.cum_tokens < b.cum_tokens
+        assert a.coverage <= b.coverage
+        assert a.tok_count >= b.tok_count
+    for r in rows:
+        assert 0.0 < r.coverage <= 1.0
+
+
+def test_label_margin_agrees_with_bruteforce(spark):
+    """For one audited vector, best_same/best_other must equal the max cosine
+    computed driver-side with numpy over the collected embeddings."""
+    import numpy as np
+
+    from duckdb_fastlanes_spark.pipeline.similarity import sim_label_margin
+
+    rows = {r.vec_id: r for r in sim_label_margin(spark, SF_DIR).collect()}
+    assert rows and all(
+        r.margin == round(r.best_same - r.best_other, 4) for r in rows.values()
+    )
+    vecs = table(spark, SF_DIR, "embeddings").collect()
+    by_id = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label) for r in vecs}
+    qid = sorted(rows)[0]
+    qe, qlabel = by_id[qid]
+    best_same = best_other = -2.0
+    for vid, (e, label) in by_id.items():
+        if vid == qid:
+            continue
+        cos = float(e @ qe / (np.linalg.norm(e) * np.linalg.norm(qe)))
+        if label == qlabel:
+            best_same = max(best_same, cos)
+        else:
+            best_other = max(best_other, cos)
+    assert rows[qid].best_same == round(best_same, 4)
+    assert rows[qid].best_other == round(best_other, 4)
+
+
+def test_sessionization_invariants(spark):
+    """Sessions per user are 1..N contiguous; per-user event counts reconcile
+    with the raw table; every intra-session duration is consistent with the
+    30-minute gap rule (duration <= 1800s * (n_events - 1) worst case)."""
+    from duckdb_fastlanes_spark.operators.event_analytics import (
+        events_sessionization,
+    )
+
+    rows = events_sessionization(spark, SF_DIR).collect()
+    assert rows
+    per_user: dict = {}
+    for r in rows:
+        assert r.n_events >= 1 and 1 <= r.n_types <= r.n_events
+        assert r.duration_us >= 0
+        # a session of k events never spans more than (k-1) max-gap steps
+        assert r.duration_us <= 1_800_000_000 * (r.n_events - 1)
+        per_user.setdefault(r.user_id, []).append(r)
+    raw = (
+        table(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 100)
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    raw_counts = {r.user_id: r["count"] for r in raw}
+    for uid, sess in per_user.items():
+        seqs = sorted(s.session_seq for s in sess)
+        assert seqs == list(range(1, len(seqs) + 1)), f"user {uid} gaps in seq"
+        assert sum(s.n_events for s in sess) == raw_counts[uid]
