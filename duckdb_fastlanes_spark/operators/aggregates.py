@@ -211,3 +211,80 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r7: pure-ANSI surface — both engines run the identical oracle
     # text; plan-feature-gated substitution (see catalog.shared_ansi)
     return shared_ansi(spark, sf_dir, "agg_stats")
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(l_quantity AS BIGINT)                   AS qty,
+               l_orderkey, l_linenumber
+        FROM lineitem),
+    cum AS (
+        SELECT l_returnflag, price_c, qty,
+               CAST(sum(qty) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY price_c, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+               CAST(sum(qty) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                 AS totw
+        FROM w)
+    SELECT l_returnflag,
+           CAST(max(totw) AS BIGINT) AS total_weight,
+           round(min(CASE WHEN 2 * cumw >= totw THEN price_c END)
+                 / CAST(100 AS DOUBLE), 2) AS weighted_median_price
+    FROM cum
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the price at which half of all SHIPPED QUANTITY sits
+    below — the inventory-weighted center a plain median (agg_stats) cannot
+    express. Lower weighted median by the standard cumulative-weight rule:
+    the first price (in a total order) whose running weight reaches half
+    the group total.
+
+    Determinism: prices snap to exact integer cents, weights are exact
+    BIGINTs, the running sum rides a (price, orderkey, linenumber) total
+    order, and the selection (min over a threshold predicate of integers)
+    is order-independent — no float accumulation anywhere.
+
+    Scale shape: one shuffle on the group key; the running sum is a
+    per-group sorted pass (Spark's Window sorts within the hash partition,
+    no global sort). The threshold-crossing pick is a map-side min. For a
+    skew-heavy group key at 100 TB the two-phase histogram route
+    (bucket-count then refine, cf. summarize_table's sketch-refine
+    quartiles) bounds per-partition sort memory; at TPC-H group
+    cardinality (3 flags) the direct window is the right plan."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH w AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                   CAST(l_quantity AS BIGINT)                   AS qty,
+                   l_orderkey, l_linenumber
+            FROM lineitem),
+        cum AS (
+            SELECT l_returnflag, price_c, qty,
+                   sum(qty) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY price_c, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING) AS cumw,
+                   sum(qty) OVER (PARTITION BY l_returnflag) AS totw
+            FROM w)
+        SELECT l_returnflag,
+               max(totw) AS total_weight,
+               round(min(CASE WHEN 2 * cumw >= totw THEN price_c END)
+                     / CAST(100 AS DOUBLE), 2) AS weighted_median_price
+        FROM cum
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+    )

@@ -1100,3 +1100,65 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id, session_seq
         """,
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type IS NOT NULL),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM seq WHERE rn <= 5 GROUP BY user_id)
+    SELECT path, count(*) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first five event types in time order,
+    joined into a path string, ranked by how many users share the journey.
+    The funnel-discovery complement of events_markov_transitions (which
+    models one step) and events_funnel (which checks ONE prescribed path) —
+    this surfaces which paths exist at all.
+
+    Determinism: the per-user order is the (ts, event_id) total order;
+    Spark's collect_list is order-free because the struct array is
+    array_sort-ed by the row number before joining (the ordered-string_agg
+    twin); the final ranking ties break on the path string.
+
+    Scale shape: one shuffle on user_id builds the prefix (row_number
+    window + per-user aggregate share the partitioning); the path census
+    is a second aggregate whose key space is bounded by #event_types^5,
+    and the leaderboard is a top-20 TakeOrdered, never a global sort."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type IS NOT NULL),
+        paths AS (
+            SELECT user_id,
+                   array_join(transform(
+                       array_sort(collect_list(struct(rn AS r,
+                                                      event_type AS t))),
+                       x -> x.t), '>') AS path
+            FROM seq WHERE rn <= 5 GROUP BY user_id)
+        SELECT path, count(1) AS n_users
+        FROM paths
+        GROUP BY path
+        ORDER BY n_users DESC, path
+        LIMIT 20
+        """,
+    )

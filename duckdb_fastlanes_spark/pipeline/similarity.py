@@ -1498,3 +1498,98 @@ def sim_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY vec_id
         """,
     )
+
+
+@register(
+    "sim_auc_same_label",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id % 20 = 0),
+    pairs AS (
+        SELECT CAST(round(list_cosine_similarity(c.e, q.e) * 1000000)
+                    AS BIGINT) AS score_u,
+               CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS pos
+        FROM q JOIN v c ON c.vec_id <> q.vec_id),
+    by_score AS (
+        SELECT score_u,
+               CAST(sum(pos) AS BIGINT)     AS n_pos,
+               CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+        FROM pairs GROUP BY score_u),
+    cum AS (
+        SELECT n_pos, n_neg,
+               CAST(coalesce(sum(n_neg) OVER (
+                   ORDER BY score_u
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS neg_below
+        FROM by_score),
+    u AS (
+        SELECT CAST(sum(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS u2,
+               CAST(sum(n_pos) AS BIGINT) AS npos,
+               CAST(sum(n_neg) AS BIGINT) AS nneg
+        FROM cum)
+    SELECT npos + nneg AS n_pairs, npos AS n_pos, nneg AS n_neg,
+           round(u2 / (CAST(2 AS DOUBLE) * npos * nneg), 4) AS auc
+    FROM u
+    """,
+)
+def sim_auc_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality AUC: how well cosine similarity separates same-label
+    from cross-label pairs — the single-number retrieval health check run
+    before trusting an embedding column for dedup or ANN labeling. Exact
+    tie-aware Mann-Whitney: AUC = U / (n_pos·n_neg) with ties counted half,
+    computed as 2U = Σ_s n_pos(s)·(2·negatives_below(s) + n_neg(s)) over
+    DISTINCT quantized scores — every term an exact integer; the only
+    float op is the final division, round(4).
+
+    Determinism: scores snap to micro-units before grouping; the running
+    negative count rides the integer score order; sums of integers are
+    order-free.
+
+    Scale shape: pairs come from the audited 5% slice broadcast against
+    the corpus (map-side, as sim_label_margin); the per-score histogram
+    collapses to AT MOST ~2M rows (micro-quantized cosine ∈ [-1, 1]) no
+    matter the corpus size, so the single-partition cumulative window is
+    bounded by the quantization grid, not the data."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH v AS (SELECT vec_id, label, CAST(embedding AS array<double>) AS e
+                   FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id % 20 = 0),
+        pairs AS (
+            SELECT /*+ BROADCAST(q) */
+                   CAST(round((aggregate(zip_with(c.e, q.e,
+                                                  (x, y) -> x * y), 0D,
+                                         (acc, x) -> acc + x)
+                        / (sqrt(aggregate(c.e, 0D, (acc, x) -> acc + x * x))
+                           * sqrt(aggregate(q.e, 0D,
+                                            (acc, x) -> acc + x * x))))
+                        * 1000000) AS BIGINT) AS score_u,
+                   CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS pos
+            FROM v c JOIN q ON c.vec_id <> q.vec_id),
+        by_score AS (
+            SELECT score_u,
+                   sum(pos)            AS n_pos,
+                   count(1) - sum(pos) AS n_neg
+            FROM pairs GROUP BY score_u),
+        cum AS (
+            SELECT n_pos, n_neg,
+                   coalesce(sum(n_neg) OVER (
+                       ORDER BY score_u
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS neg_below
+            FROM by_score),
+        u AS (
+            SELECT sum(n_pos * (2 * neg_below + n_neg)) AS u2,
+                   sum(n_pos) AS npos,
+                   sum(n_neg) AS nneg
+            FROM cum)
+        SELECT npos + nneg AS n_pairs, npos AS n_pos, nneg AS n_neg,
+               round(u2 / (CAST(2 AS DOUBLE) * npos * nneg), 4) AS auc
+        FROM u
+        """,
+    )

@@ -82,6 +82,10 @@ REPRESENTATIVE = [
     # total order inside each user — boundaries must not move with file split
     "vocab_coverage_curve",  # r8: the vocab rank order (count desc, tok asc)
     # and exact cumulative counts must be identical for any corpus layout
+    "agg_weighted_median",  # r8: cumulative weights ride a (price, orderkey,
+    # linenumber) total order — the crossing row must not move with layout
+    "events_top_paths",  # r8: per-user prefix rides the (ts, event_id) total
+    # order; the path census must be identical for any file split
 ]
 
 

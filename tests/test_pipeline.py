@@ -656,3 +656,108 @@ def test_sessionization_invariants(spark):
         seqs = sorted(s.session_seq for s in sess)
         assert seqs == list(range(1, len(seqs) + 1)), f"user {uid} gaps in seq"
         assert sum(s.n_events for s in sess) == raw_counts[uid]
+
+
+def test_weighted_median_matches_hand_computation(spark):
+    """Recompute each flag's weighted median driver-side from exact integer
+    cents and quantities; the operator must agree exactly, and the result
+    must sit between the group's min and max price."""
+    from duckdb_fastlanes_spark.operators.aggregates import agg_weighted_median
+
+    rows = {r.l_returnflag: r for r in agg_weighted_median(spark, SF_DIR).collect()}
+    assert rows
+    raw = (
+        table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity",
+                "l_orderkey", "l_linenumber")
+        .collect()
+    )
+    groups: dict = {}
+    for r in raw:
+        groups.setdefault(r.l_returnflag, []).append(
+            (round(r.l_extendedprice * 100), int(r.l_quantity),
+             r.l_orderkey, r.l_linenumber)
+        )
+    for flag, items in groups.items():
+        items.sort()
+        total = sum(q for _, q, _, _ in items)
+        cum = 0
+        med = None
+        for price_c, q, _, _ in items:
+            cum += q
+            if 2 * cum >= total:
+                med = price_c
+                break
+        got = rows[flag]
+        assert got.total_weight == total
+        assert got.weighted_median_price == round(med / 100.0, 2)
+
+
+def test_auc_same_label_matches_hand_computation(spark):
+    """Recompute the tie-aware Mann-Whitney AUC driver-side with numpy over
+    the identical quantized pair scores; counts and the rounded AUC must
+    agree exactly. AUC must also land in [0, 1]."""
+    import numpy as np
+
+    from duckdb_fastlanes_spark.pipeline.similarity import sim_auc_same_label
+
+    row = sim_auc_same_label(spark, SF_DIR).collect()[0]
+    assert row.n_pairs == row.n_pos + row.n_neg
+    assert 0.0 <= row.auc <= 1.0
+    vecs = table(spark, SF_DIR, "embeddings").collect()
+    by_id = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label) for r in vecs}
+    scores, labels = [], []
+    for qid, (qe, ql) in by_id.items():
+        if qid % 20 != 0:
+            continue
+        qn = np.linalg.norm(qe)
+        for vid, (e, lbl) in by_id.items():
+            if vid == qid:
+                continue
+            cos = float(e @ qe / (np.linalg.norm(e) * qn))
+            scores.append(round(cos * 1_000_000))
+            labels.append(1 if lbl == ql else 0)
+    scores = np.asarray(scores)
+    labels = np.asarray(labels)
+    npos, nneg = int(labels.sum()), int((1 - labels).sum())
+    assert (row.n_pos, row.n_neg) == (npos, nneg)
+    # tie-aware U via per-score histogram (the operator's own recurrence,
+    # but computed in numpy over the raw pair list)
+    u2 = 0
+    neg_below = 0
+    for s in np.unique(scores):
+        at = scores == s
+        p, n = int(labels[at].sum()), int((~labels[at].astype(bool)).sum())
+        u2 += p * (2 * neg_below + n)
+        neg_below += n
+    assert row.auc == round(u2 / (2.0 * npos * nneg), 4)
+
+
+def test_top_paths_invariants(spark):
+    """Paths have at most 5 segments; counts are descending with path
+    tiebreak; the heaviest path matches a driver-side recomputation from
+    the raw events."""
+    from duckdb_fastlanes_spark.operators.event_analytics import events_top_paths
+
+    rows = events_top_paths(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    keys = [(-r.n_users, r.path) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert 1 <= len(r.path.split(">")) <= 5
+    ev = (
+        table(spark, SF_DIR, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user: dict = {}
+    for e in ev:
+        per_user.setdefault(e.user_id, []).append((e.ts, e.event_id, e.event_type))
+    from collections import Counter
+
+    census = Counter(
+        ">".join(t for _, _, t in sorted(evs)[:5]) for evs in per_user.values()
+    )
+    best = min(((-n, p) for p, n in census.items()))
+    assert (rows[0].n_users, rows[0].path) == (-best[0], best[1])
