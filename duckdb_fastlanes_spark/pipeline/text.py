@@ -1492,3 +1492,109 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY vocab_rank
         """,
     )
+
+
+def _bpe_sql(dialect: str, n_rounds: int = 3) -> str:
+    """Build the unrolled BPE-merge SQL for either engine.
+
+    Both dialects express the identical algorithm; only the primitive
+    names differ (explode/unnest, size/len, element_at/[], $1/\\1):
+    symbolize word types as space-separated characters, then per round
+    (a) count adjacent symbol pairs weighted by word frequency, (b) pick
+    the heaviest pair (count desc, pair asc — a total order), (c) fuse
+    its occurrences via a padded left-to-right replace (both engines
+    scan forward non-overlapping, and the fused token cannot recreate
+    the pattern, so the rewrite is engine-agnostic)."""
+    if dialect == "spark":
+        symbolize = "trim(regexp_replace(w, '(.)', '$1 '))"
+        pairs = (
+            "transform(sequence(1, size(split(w_sym, ' ')) - 1),"
+            " i -> concat(element_at(split(w_sym, ' '), i), ' ',"
+            " element_at(split(w_sym, ' '), i + 1)))"
+        )
+        unnest = "explode"
+        toks = (
+            "SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w"
+            " FROM documents"
+        )
+    else:
+        symbolize = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+        pairs = (
+            "list_transform(range(1, len(string_split(w_sym, ' '))),"
+            " i -> string_split(w_sym, ' ')[i] || ' ' ||"
+            " string_split(w_sym, ' ')[i + 1])"
+        )
+        unnest = "unnest"
+        toks = (
+            "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w"
+            " FROM documents"
+        )
+    ctes = [
+        f"toks AS ({toks})",
+        "words0 AS (SELECT {sym} AS w_sym, count(*) AS freq"
+        " FROM toks GROUP BY w)".format(sym=symbolize),
+    ]
+    selects = []
+    for r in range(1, n_rounds + 1):
+        prev, cur = f"words{r - 1}", f"words{r}"
+        ctes.append(
+            f"p{r} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM"
+            f" (SELECT {unnest}({pairs.replace('w_sym', prev + '.w_sym')})"
+            f" AS pair, freq FROM {prev} WHERE size(split(w_sym, ' ')) >= 2) GROUP BY pair)"
+            if dialect == "spark"
+            else f"p{r} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt"
+            f" FROM (SELECT {unnest}({pairs.replace('w_sym', prev + '.w_sym')})"
+            f" AS pair, freq FROM {prev} WHERE len(string_split(w_sym, ' ')) >= 2) GROUP BY pair)"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT pair, cnt FROM p{r}"
+            f" ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"{cur} AS (SELECT trim(replace(concat(' ', {prev}.w_sym, ' '),"
+            f" concat(' ', b{r}.pair, ' '),"
+            f" concat(' ', replace(b{r}.pair, ' ', ''), ' '))) AS w_sym,"
+            f" freq FROM {prev} CROSS JOIN b{r})"
+            if dialect == "spark"
+            else f"{cur} AS (SELECT trim(replace(' ' || {prev}.w_sym || ' ',"
+            f" ' ' || b{r}.pair || ' ',"
+            f" ' ' || replace(b{r}.pair, ' ', '') || ' ')) AS w_sym,"
+            f" freq FROM {prev} CROSS JOIN b{r})"
+        )
+        selects.append(
+            f"SELECT {r} AS round, pair AS merged_pair, cnt AS pair_count"
+            f" FROM b{r}"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (" + body + ")"
+        " ORDER BY round"
+    )
+
+
+@register("text_bpe_merge_rounds", oracle=_bpe_sql("duckdb"))
+def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first three merge rounds, entirely in SQL on
+    both engines: word types are symbolized to space-separated characters,
+    each round counts adjacent symbol pairs weighted by word frequency,
+    fuses the heaviest pair corpus-wide, and feeds the rewritten vocabulary
+    to the next round — the core loop of byte-pair-encoding vocabulary
+    learning (Sennrich et al.), unrolled as chained CTEs. Complements
+    text_bpe_pair_stats (which reports round-0 statistics only).
+
+    Determinism: pair weights are exact integer sums; the winning pair is
+    a (count desc, pair asc) total order; the rewrite is a padded
+    left-to-right non-overlapping replace whose semantics agree across
+    engines, and the fused token (no inner space) can never recreate the
+    pattern mid-scan.
+
+    Scale shape: every round operates on the WORD-TYPE table (vocabulary
+    cardinality), not the corpus — the corpus is touched once, by the
+    freq-counting aggregate with map-side combine. Pair counting explodes
+    ≤ (max word length) pairs per type; the argmax is a 1-row TakeOrdered
+    broadcast back into the rewrite. That is exactly why BPE trainers run
+    on word counts: rounds cost O(vocab), so 100 TB of text costs the
+    same per round as the deduplicated vocabulary it induces."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(spark, sf_dir, _bpe_sql("spark"))

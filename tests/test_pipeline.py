@@ -761,3 +761,36 @@ def test_top_paths_invariants(spark):
     )
     best = min(((-n, p) for p, n in census.items()))
     assert (rows[0].n_users, rows[0].path) == (-best[0], best[1])
+
+
+def test_bpe_merge_rounds_match_reference_algorithm(spark):
+    """Run the textbook BPE trainer (Sennrich-style, greedy left-to-right
+    merge) in Python over the collected word-frequency table; the three
+    SQL rounds must pick the same pairs with the same weighted counts."""
+    import re
+    from collections import Counter
+
+    from duckdb_fastlanes_spark.pipeline.text import text_bpe_merge_rounds
+
+    rows = sorted(
+        text_bpe_merge_rounds(spark, SF_DIR).collect(), key=lambda r: r.round
+    )
+    assert [r.round for r in rows] == [1, 2, 3]
+
+    docs = table(spark, SF_DIR, "documents").select("text").collect()
+    freq: Counter = Counter()
+    for (text,) in docs:
+        freq.update(re.findall(r"[a-z]+", text.lower()))
+    vocab = {" ".join(w): n for w, n in freq.items()}
+    for expect in rows:
+        pairs: Counter = Counter()
+        for sym, n in vocab.items():
+            parts = sym.split(" ")
+            for a, b in zip(parts, parts[1:]):
+                pairs[f"{a} {b}"] += n
+        best = min(((-n, p) for p, n in pairs.items()))
+        assert (expect.merged_pair, expect.pair_count) == (best[1], -best[0])
+        pat, fused = f" {best[1]} ", f" {best[1].replace(' ', '')} "
+        vocab = {
+            f" {sym} ".replace(pat, fused).strip(): n for sym, n in vocab.items()
+        }
