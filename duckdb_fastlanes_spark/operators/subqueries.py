@@ -88,3 +88,57 @@ def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     outer join over a pre-aggregated subquery."""
     register_views(spark, sf_dir)
     return spark.sql(_CORR_SCALAR_SQL)
+
+
+@register(
+    "subquery_quantified",
+    oracle="""
+    WITH ref AS (SELECT p_retailprice FROM part WHERE p_brand = 'Brand#4')
+    SELECT 'gt_all' AS leg, count(*) AS n
+    FROM part WHERE p_retailprice > ALL (SELECT p_retailprice FROM ref)
+    UNION ALL
+    SELECT 'lt_any' AS leg, count(*) AS n
+    FROM part WHERE p_retailprice < ANY (SELECT p_retailprice FROM ref)
+    UNION ALL
+    SELECT 'le_all' AS leg, count(*) AS n
+    FROM part WHERE p_retailprice <= ALL (SELECT p_retailprice FROM ref)
+    UNION ALL
+    SELECT 'ge_any' AS leg, count(*) AS n
+    FROM part WHERE p_retailprice >= ANY (SELECT p_retailprice FROM ref)
+    ORDER BY leg
+    """,
+)
+def subquery_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons — ``> ALL``, ``< ANY``, ``<= ALL``, ``>= ANY``
+    — a SQL surface Spark does not parse natively. Each quantifier
+    rewrites to a scalar-aggregate subquery (x > ALL S ≡ x > max(S);
+    x < ANY S ≡ x < max(S); x <= ALL S ≡ x <= min(S); x >= ANY S ≡
+    x >= min(S)), exact here because the reference set is non-empty and
+    null-free (TPC-H retail prices); DuckDB runs the native quantified
+    forms as the oracle, proving the rewrite.
+
+    Scale shape: the four scalar aggregates reduce the reference set
+    map-side to ONE row each, broadcast into the filters — the quantified
+    predicate never materializes a join, so the outer scan stays a single
+    filtered pass regardless of either side's size."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH ref AS (SELECT p_retailprice FROM part WHERE p_brand = 'Brand#4')
+        SELECT 'gt_all' AS leg, count(1) AS n
+        FROM part WHERE p_retailprice > (SELECT max(p_retailprice) FROM ref)
+        UNION ALL
+        SELECT 'lt_any' AS leg, count(1) AS n
+        FROM part WHERE p_retailprice < (SELECT max(p_retailprice) FROM ref)
+        UNION ALL
+        SELECT 'le_all' AS leg, count(1) AS n
+        FROM part WHERE p_retailprice <= (SELECT min(p_retailprice) FROM ref)
+        UNION ALL
+        SELECT 'ge_any' AS leg, count(1) AS n
+        FROM part WHERE p_retailprice >= (SELECT min(p_retailprice) FROM ref)
+        ORDER BY leg
+        """,
+    )

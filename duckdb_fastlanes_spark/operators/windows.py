@@ -367,3 +367,73 @@ def window_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
     )
+
+
+@register(
+    "window_moving_median",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, user_id,
+               CAST(round(value * 100) AS BIGINT) AS v_c, ts
+        FROM events WHERE user_id < 30),
+    framed AS (
+        SELECT event_id, user_id,
+               list_sort(list(v_c) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS sa
+        FROM v)
+    SELECT event_id, user_id, CAST(len(sa) AS INT) AS n_frame,
+           (CASE WHEN len(sa) % 2 = 1
+                 THEN 2 * sa[(len(sa) + 1) // 2]
+                 ELSE sa[len(sa) // 2] + sa[len(sa) // 2 + 1] END)
+             / CAST(2 AS DOUBLE) AS moving_median_cents
+    FROM framed
+    ORDER BY user_id, event_id
+    """,
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median over a 7-row frame per user — the robust smoother a
+    moving average (window_moving_frame) cannot provide under spikes; the
+    dashboard de-noiser for bursty per-user value streams.
+
+    Spark has no median window function, so BOTH engines materialize the
+    frame explicitly (collect_list / list window aggregate), sort it, and
+    pick the middle — identical algorithm, no percentile-interpolation
+    dialect risk. Values snap to exact integer cents first; the even-frame
+    average is (a+b)/2 in CENTS — halves are exactly representable in
+    binary, so the output needs no rounding at all (a /100 rescale would
+    land on .005 ties where the engines' round() disagree).
+
+    Scale shape: one shuffle on user_id; the frame is ≤ 7 BIGINTs per row
+    (constant memory), so the window is a single per-partition sorted
+    pass. The audited slice (user_id < 30) bounds output rows like the
+    sibling per-user windows."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH v AS (
+            SELECT event_id, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS v_c, ts
+            FROM events WHERE user_id < 30),
+        framed AS (
+            SELECT event_id, user_id,
+                   sort_array(collect_list(v_c) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS sa
+            FROM v)
+        SELECT event_id, user_id, size(sa) AS n_frame,
+               (CASE WHEN size(sa) % 2 = 1
+                     THEN 2 * element_at(sa,
+                              CAST((size(sa) + 1) DIV 2 AS INT))
+                     ELSE element_at(sa,
+                              CAST(size(sa) DIV 2 AS INT))
+                          + element_at(sa,
+                              CAST(size(sa) DIV 2 + 1 AS INT)) END)
+                 / CAST(2 AS DOUBLE) AS moving_median_cents
+        FROM framed
+        ORDER BY user_id, event_id
+        """,
+    )

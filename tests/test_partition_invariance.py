@@ -86,6 +86,8 @@ REPRESENTATIVE = [
     # linenumber) total order — the crossing row must not move with layout
     "events_top_paths",  # r8: per-user prefix rides the (ts, event_id) total
     # order; the path census must be identical for any file split
+    "window_moving_median",  # r8: frame membership rides the (ts, event_id)
+    # total order per user — the sorted 7-row frame must not move with layout
 ]
 
 

@@ -794,3 +794,61 @@ def test_bpe_merge_rounds_match_reference_algorithm(spark):
         vocab = {
             f" {sym} ".replace(pat, fused).strip(): n for sym, n in vocab.items()
         }
+
+
+def test_moving_median_matches_hand_computation(spark):
+    """Recompute every user's 7-row moving median driver-side from exact
+    cents; the window operator must agree exactly (half-cent averages are
+    exactly representable, so equality is bit-level)."""
+    from duckdb_fastlanes_spark.operators.windows import window_moving_median
+
+    got = {
+        (r.user_id, r.event_id): (r.n_frame, r.moving_median_cents)
+        for r in window_moving_median(spark, SF_DIR).collect()
+    }
+    assert got
+    raw = (
+        table(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    per_user: dict = {}
+    for r in raw:
+        per_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    n_checked = 0
+    for uid, evs in per_user.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        cents = [round(v * 100) for _, _, v in evs]
+        for i, (_, eid, _) in enumerate(evs):
+            frame = sorted(cents[max(0, i - 6) : i + 1])
+            n = len(frame)
+            med = (
+                float(frame[(n - 1) // 2])
+                if n % 2 == 1
+                else (frame[n // 2 - 1] + frame[n // 2]) / 2.0
+            )
+            assert got[(uid, eid)] == (n, med)
+            n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_quantified_subquery_leg_algebra(spark):
+    """The four quantifier legs obey their set algebra: gt_all ⊆ ge_any
+    (anything above the max is above the min), le_all ⊆ lt_any ∪ {min
+    ties}; and each leg matches a direct min/max recomputation."""
+    from duckdb_fastlanes_spark.operators.subqueries import subquery_quantified
+
+    legs = {r.leg: r.n for r in subquery_quantified(spark, SF_DIR).collect()}
+    assert set(legs) == {"gt_all", "lt_any", "le_all", "ge_any"}
+    part = table(spark, SF_DIR, "part").select("p_brand", "p_retailprice").collect()
+    ref = [r.p_retailprice for r in part if r.p_brand == "Brand#4"]
+    assert ref, "reference brand missing from test data"
+    hi, lo = max(ref), min(ref)
+    prices = [r.p_retailprice for r in part]
+    assert legs["gt_all"] == sum(p > hi for p in prices)
+    assert legs["lt_any"] == sum(p < hi for p in prices)
+    assert legs["le_all"] == sum(p <= lo for p in prices)
+    assert legs["ge_any"] == sum(p >= lo for p in prices)
+    assert legs["gt_all"] <= legs["ge_any"]
+    assert legs["le_all"] <= legs["lt_any"] + sum(p == lo for p in prices)
