@@ -1473,17 +1473,19 @@ def sim_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         """
-        WITH v AS (SELECT vec_id, label, CAST(embedding AS array<double>) AS e
-                   FROM embeddings),
+        WITH v AS (SELECT vec_id, label, e,
+                          sqrt(aggregate(e, 0D, (acc, x) -> acc + x * x))
+                            AS nrm
+                   FROM (SELECT vec_id, label,
+                                CAST(embedding AS array<double>) AS e
+                         FROM embeddings)),
         q AS (SELECT * FROM v WHERE vec_id % 20 = 0),
         pairs AS (
             SELECT /*+ BROADCAST(q) */ q.vec_id, q.label,
                    c.label = q.label AS same_label,
                    aggregate(zip_with(c.e, q.e, (x, y) -> x * y), 0D,
                              (acc, x) -> acc + x)
-                   / (sqrt(aggregate(c.e, 0D, (acc, x) -> acc + x * x))
-                      * sqrt(aggregate(q.e, 0D, (acc, x) -> acc + x * x)))
-                     AS _cos
+                   / (c.nrm * q.nrm) AS _cos
             FROM v c JOIN q ON c.vec_id <> q.vec_id)
         SELECT vec_id, label,
                round(max(CASE WHEN same_label THEN _cos END), 4)
@@ -1557,17 +1559,19 @@ def sim_auc_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         """
-        WITH v AS (SELECT vec_id, label, CAST(embedding AS array<double>) AS e
-                   FROM embeddings),
+        WITH v AS (SELECT vec_id, label, e,
+                          sqrt(aggregate(e, 0D, (acc, x) -> acc + x * x))
+                            AS nrm
+                   FROM (SELECT vec_id, label,
+                                CAST(embedding AS array<double>) AS e
+                         FROM embeddings)),
         q AS (SELECT * FROM v WHERE vec_id % 20 = 0),
         pairs AS (
             SELECT /*+ BROADCAST(q) */
                    CAST(round((aggregate(zip_with(c.e, q.e,
                                                   (x, y) -> x * y), 0D,
                                          (acc, x) -> acc + x)
-                        / (sqrt(aggregate(c.e, 0D, (acc, x) -> acc + x * x))
-                           * sqrt(aggregate(q.e, 0D,
-                                            (acc, x) -> acc + x * x))))
+                        / (c.nrm * q.nrm))
                         * 1000000) AS BIGINT) AS score_u,
                    CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS pos
             FROM v c JOIN q ON c.vec_id <> q.vec_id),
