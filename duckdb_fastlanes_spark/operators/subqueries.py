@@ -117,28 +117,33 @@ def subquery_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-free (TPC-H retail prices); DuckDB runs the native quantified
     forms as the oracle, proving the rewrite.
 
-    Scale shape: the four scalar aggregates reduce the reference set
-    map-side to ONE row each, broadcast into the filters — the quantified
-    predicate never materializes a join, so the outer scan stays a single
-    filtered pass regardless of either side's size."""
+    Scale shape: the reference set reduces map-side to ONE (max, min)
+    bounds row, broadcast-cross-joined into a SINGLE pass over the outer
+    table that evaluates all four quantifiers as conditional counts (a
+    naive per-leg UNION would re-scan the outer table four times); the
+    leg pivot is a 1-row stack. Two scans total regardless of leg count."""
     from duckdb_fastlanes_spark.catalog import sql_q
 
     return sql_q(
         spark,
         sf_dir,
         """
-        WITH ref AS (SELECT p_retailprice FROM part WHERE p_brand = 'Brand#4')
-        SELECT 'gt_all' AS leg, count(1) AS n
-        FROM part WHERE p_retailprice > (SELECT max(p_retailprice) FROM ref)
-        UNION ALL
-        SELECT 'lt_any' AS leg, count(1) AS n
-        FROM part WHERE p_retailprice < (SELECT max(p_retailprice) FROM ref)
-        UNION ALL
-        SELECT 'le_all' AS leg, count(1) AS n
-        FROM part WHERE p_retailprice <= (SELECT min(p_retailprice) FROM ref)
-        UNION ALL
-        SELECT 'ge_any' AS leg, count(1) AS n
-        FROM part WHERE p_retailprice >= (SELECT min(p_retailprice) FROM ref)
+        WITH bounds AS (
+            SELECT max(p_retailprice) AS hi, min(p_retailprice) AS lo
+            FROM part WHERE p_brand = 'Brand#4'),
+        counts AS (
+            SELECT sum(CASE WHEN p_retailprice > hi THEN 1 ELSE 0 END)
+                     AS gt_all,
+                   sum(CASE WHEN p_retailprice < hi THEN 1 ELSE 0 END)
+                     AS lt_any,
+                   sum(CASE WHEN p_retailprice <= lo THEN 1 ELSE 0 END)
+                     AS le_all,
+                   sum(CASE WHEN p_retailprice >= lo THEN 1 ELSE 0 END)
+                     AS ge_any
+            FROM part CROSS JOIN bounds)
+        SELECT leg, n FROM counts
+        LATERAL VIEW stack(4, 'gt_all', gt_all, 'lt_any', lt_any,
+                              'le_all', le_all, 'ge_any', ge_any) AS leg, n
         ORDER BY leg
         """,
     )
