@@ -93,18 +93,21 @@ def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "subquery_quantified",
     oracle="""
-    WITH ref AS (SELECT p_retailprice FROM part WHERE p_brand = 'Brand#4')
-    SELECT 'gt_all' AS leg, count(*) AS n
-    FROM part WHERE p_retailprice > ALL (SELECT p_retailprice FROM ref)
-    UNION ALL
-    SELECT 'lt_any' AS leg, count(*) AS n
-    FROM part WHERE p_retailprice < ANY (SELECT p_retailprice FROM ref)
-    UNION ALL
-    SELECT 'le_all' AS leg, count(*) AS n
-    FROM part WHERE p_retailprice <= ALL (SELECT p_retailprice FROM ref)
-    UNION ALL
-    SELECT 'ge_any' AS leg, count(*) AS n
-    FROM part WHERE p_retailprice >= ANY (SELECT p_retailprice FROM ref)
+    WITH ref AS (SELECT p_retailprice FROM part WHERE p_brand = 'Brand#4'),
+    nref AS (SELECT count(*) AS n_ref FROM ref)
+    SELECT leg, n, n_ref FROM (
+        SELECT 'gt_all' AS leg, count(*) AS n
+        FROM part WHERE p_retailprice > ALL (SELECT p_retailprice FROM ref)
+        UNION ALL
+        SELECT 'lt_any' AS leg, count(*) AS n
+        FROM part WHERE p_retailprice < ANY (SELECT p_retailprice FROM ref)
+        UNION ALL
+        SELECT 'le_all' AS leg, count(*) AS n
+        FROM part WHERE p_retailprice <= ALL (SELECT p_retailprice FROM ref)
+        UNION ALL
+        SELECT 'ge_any' AS leg, count(*) AS n
+        FROM part WHERE p_retailprice >= ANY (SELECT p_retailprice FROM ref)
+    ) CROSS JOIN nref
     ORDER BY leg
     """,
 )
@@ -113,9 +116,14 @@ def subquery_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a SQL surface Spark does not parse natively. Each quantifier
     rewrites to a scalar-aggregate subquery (x > ALL S ≡ x > max(S);
     x < ANY S ≡ x < max(S); x <= ALL S ≡ x <= min(S); x >= ANY S ≡
-    x >= min(S)), exact here because the reference set is non-empty and
-    null-free (TPC-H retail prices); DuckDB runs the native quantified
-    forms as the oracle, proving the rewrite.
+    x >= min(S)), exact when the reference set is non-empty and null-free
+    (TPC-H retail prices) — and the output carries n_ref so that
+    precondition is CHECKED per run, not assumed: an empty reference set
+    would flip > ALL to vacuous truth under the native forms while the
+    max-rewrite compares against NULL, and the n_ref column (plus the
+    engines disagreeing loudly in the sweep) surfaces it instead of
+    silently diverging. DuckDB runs the native quantified forms as the
+    oracle, proving the rewrite.
 
     Scale shape: the reference set reduces map-side to ONE (max, min)
     bounds row, broadcast-cross-joined into a SINGLE pass over the outer
@@ -129,10 +137,12 @@ def subquery_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         """
         WITH bounds AS (
-            SELECT max(p_retailprice) AS hi, min(p_retailprice) AS lo
+            SELECT max(p_retailprice) AS hi, min(p_retailprice) AS lo,
+                   count(*) AS n_ref
             FROM part WHERE p_brand = 'Brand#4'),
         counts AS (
-            SELECT sum(CASE WHEN p_retailprice > hi THEN 1 ELSE 0 END)
+            SELECT n_ref,
+                   sum(CASE WHEN p_retailprice > hi THEN 1 ELSE 0 END)
                      AS gt_all,
                    sum(CASE WHEN p_retailprice < hi THEN 1 ELSE 0 END)
                      AS lt_any,
@@ -140,8 +150,8 @@ def subquery_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS le_all,
                    sum(CASE WHEN p_retailprice >= lo THEN 1 ELSE 0 END)
                      AS ge_any
-            FROM part CROSS JOIN bounds)
-        SELECT leg, n FROM counts
+            FROM part CROSS JOIN bounds GROUP BY n_ref)
+        SELECT leg, n, n_ref FROM counts
         LATERAL VIEW stack(4, 'gt_all', gt_all, 'lt_any', lt_any,
                               'le_all', le_all, 'ge_any', ge_any) AS leg, n
         ORDER BY leg

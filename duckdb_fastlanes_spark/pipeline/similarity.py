@@ -1423,12 +1423,35 @@ def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: audited-pairs scaffold shared by the label-noise audits (sim_label_margin,
+#: sim_auc_same_label): normed vectors, the deterministic 5% audit slice
+#: (vec_id % AUDIT_SLICE_MOD = 0), and the broadcast all-pairs cosine join.
+#: One definition so the slice rate, norm association, and broadcast hint
+#: cannot silently diverge between the two operators.
+AUDIT_SLICE_MOD = 20
+
+_AUDIT_PAIRS_SPARK = f"""
+        v AS (SELECT vec_id, label, e,
+                      sqrt(aggregate(e, 0D, (acc, x) -> acc + x * x))
+                        AS nrm
+               FROM (SELECT vec_id, label,
+                            CAST(embedding AS array<double>) AS e
+                     FROM embeddings)),
+        q AS (SELECT * FROM v WHERE vec_id % {AUDIT_SLICE_MOD} = 0)"""
+
+#: per-pair cosine: JVM HOF dot product over the hoisted norms
+_AUDIT_COS_SPARK = (
+    "aggregate(zip_with(c.e, q.e, (x, y) -> x * y), 0D,"
+    " (acc, x) -> acc + x) / (c.nrm * q.nrm)"
+)
+
+
 @register(
     "sim_label_margin",
-    oracle="""
+    oracle=f"""
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings),
-    q AS (SELECT * FROM v WHERE vec_id % 20 = 0)
+    q AS (SELECT * FROM v WHERE vec_id % {AUDIT_SLICE_MOD} = 0)
     SELECT q.vec_id, q.label,
            round(max(CASE WHEN c.label = q.label
                           THEN list_cosine_similarity(c.e, q.e) END), 4)
@@ -1472,20 +1495,12 @@ def sim_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_q(
         spark,
         sf_dir,
-        """
-        WITH v AS (SELECT vec_id, label, e,
-                          sqrt(aggregate(e, 0D, (acc, x) -> acc + x * x))
-                            AS nrm
-                   FROM (SELECT vec_id, label,
-                                CAST(embedding AS array<double>) AS e
-                         FROM embeddings)),
-        q AS (SELECT * FROM v WHERE vec_id % 20 = 0),
+        f"""
+        WITH {_AUDIT_PAIRS_SPARK},
         pairs AS (
             SELECT /*+ BROADCAST(q) */ q.vec_id, q.label,
                    c.label = q.label AS same_label,
-                   aggregate(zip_with(c.e, q.e, (x, y) -> x * y), 0D,
-                             (acc, x) -> acc + x)
-                   / (c.nrm * q.nrm) AS _cos
+                   {_AUDIT_COS_SPARK} AS _cos
             FROM v c JOIN q ON c.vec_id <> q.vec_id)
         SELECT vec_id, label,
                round(max(CASE WHEN same_label THEN _cos END), 4)
@@ -1504,10 +1519,10 @@ def sim_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_auc_same_label",
-    oracle="""
+    oracle=f"""
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings),
-    q AS (SELECT * FROM v WHERE vec_id % 20 = 0),
+    q AS (SELECT * FROM v WHERE vec_id % {AUDIT_SLICE_MOD} = 0),
     pairs AS (
         SELECT CAST(round(list_cosine_similarity(c.e, q.e) * 1000000)
                     AS BIGINT) AS score_u,
@@ -1558,20 +1573,11 @@ def sim_auc_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_q(
         spark,
         sf_dir,
-        """
-        WITH v AS (SELECT vec_id, label, e,
-                          sqrt(aggregate(e, 0D, (acc, x) -> acc + x * x))
-                            AS nrm
-                   FROM (SELECT vec_id, label,
-                                CAST(embedding AS array<double>) AS e
-                         FROM embeddings)),
-        q AS (SELECT * FROM v WHERE vec_id % 20 = 0),
+        f"""
+        WITH {_AUDIT_PAIRS_SPARK},
         pairs AS (
             SELECT /*+ BROADCAST(q) */
-                   CAST(round((aggregate(zip_with(c.e, q.e,
-                                                  (x, y) -> x * y), 0D,
-                                         (acc, x) -> acc + x)
-                        / (c.nrm * q.nrm))
+                   CAST(round(({_AUDIT_COS_SPARK})
                         * 1000000) AS BIGINT) AS score_u,
                    CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS pos
             FROM v c JOIN q ON c.vec_id <> q.vec_id),

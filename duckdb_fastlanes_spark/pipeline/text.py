@@ -1498,68 +1498,72 @@ def _bpe_sql(dialect: str, n_rounds: int = 3) -> str:
     """Build the unrolled BPE-merge SQL for either engine.
 
     Both dialects express the identical algorithm; only the primitive
-    names differ (explode/unnest, size/len, element_at/[], $1/\\1):
-    symbolize word types as space-separated characters, then per round
-    (a) count adjacent symbol pairs weighted by word frequency, (b) pick
-    the heaviest pair (count desc, pair asc — a total order), (c) fuse
-    its occurrences via a padded left-to-right replace (both engines
-    scan forward non-overlapping, and the fused token cannot recreate
-    the pattern, so the rewrite is engine-agnostic)."""
+    names differ (explode/unnest, size/len, element_at/[], $1/\\1).
+    Word types are symbolized with every symbol WRAPPED in its own
+    spaces — ``hello`` → ``' h  e  l  l  o '`` — so a pair occurrence
+    ``' a  b '`` shares NO characters with an adjacent occurrence, and a
+    plain left-to-right non-overlapping replace is EXACTLY the Sennrich
+    greedy merge (a naive single-space padding shares the boundary space
+    between adjacent occurrences and silently skips every second merge in
+    runs — ``a b a b`` → ``ab a b`` instead of ``ab ab``; caught in the
+    r8 self-review, proven against an independent token-list reference in
+    tests/test_pipeline.py). Per round: (a) count adjacent symbol pairs
+    weighted by word frequency (the symbol array is projected ONCE per
+    word, not re-split per pair index), (b) pick the heaviest pair
+    (count desc, pair asc — a total order), (c) fuse its occurrences."""
     if dialect == "spark":
-        symbolize = "trim(regexp_replace(w, '(.)', '$1 '))"
+        symbolize = "regexp_replace(w, '(.)', ' $1 ')"
+        syms = "transform(split(w_sym, '  '), s -> trim(s))"
+        guard = "size(split(w_sym, '  ')) >= 2"
         pairs = (
-            "transform(sequence(1, size(split(w_sym, ' ')) - 1),"
-            " i -> concat(element_at(split(w_sym, ' '), i), ' ',"
-            " element_at(split(w_sym, ' '), i + 1)))"
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
         )
         unnest = "explode"
         toks = (
             "SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w"
             " FROM documents"
         )
+        concat3 = "concat(' ', replace({pair}, ' ', '  '), ' ')"
+        fused3 = "concat(' ', replace({pair}, ' ', ''), ' ')"
     else:
-        symbolize = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+        symbolize = "regexp_replace(w, '(.)', ' \\1 ', 'g')"
+        syms = "list_transform(string_split(w_sym, '  '), s -> trim(s))"
+        guard = "len(string_split(w_sym, '  ')) >= 2"
         pairs = (
-            "list_transform(range(1, len(string_split(w_sym, ' '))),"
-            " i -> string_split(w_sym, ' ')[i] || ' ' ||"
-            " string_split(w_sym, ' ')[i + 1])"
+            "list_transform(range(1, len(syms)),"
+            " i -> syms[i] || ' ' || syms[i + 1])"
         )
         unnest = "unnest"
         toks = (
             "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w"
             " FROM documents"
         )
+        concat3 = "(' ' || replace({pair}, ' ', '  ') || ' ')"
+        fused3 = "(' ' || replace({pair}, ' ', '') || ' ')"
     ctes = [
         f"toks AS ({toks})",
-        "words0 AS (SELECT {sym} AS w_sym, count(*) AS freq"
-        " FROM toks GROUP BY w)".format(sym=symbolize),
+        f"words0 AS (SELECT {symbolize} AS w_sym, count(*) AS freq"
+        " FROM toks GROUP BY w)",
     ]
     selects = []
     for r in range(1, n_rounds + 1):
         prev, cur = f"words{r - 1}", f"words{r}"
         ctes.append(
             f"p{r} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM"
-            f" (SELECT {unnest}({pairs.replace('w_sym', prev + '.w_sym')})"
-            f" AS pair, freq FROM {prev} WHERE size(split(w_sym, ' ')) >= 2) GROUP BY pair)"
-            if dialect == "spark"
-            else f"p{r} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt"
-            f" FROM (SELECT {unnest}({pairs.replace('w_sym', prev + '.w_sym')})"
-            f" AS pair, freq FROM {prev} WHERE len(string_split(w_sym, ' ')) >= 2) GROUP BY pair)"
+            f" (SELECT {unnest}({pairs}) AS pair, freq FROM"
+            f" (SELECT {syms} AS syms, freq FROM {prev} WHERE {guard}))"
+            f" GROUP BY pair)"
         )
         ctes.append(
             f"b{r} AS (SELECT pair, cnt FROM p{r}"
             f" ORDER BY cnt DESC, pair LIMIT 1)"
         )
+        pat = concat3.format(pair=f"b{r}.pair")
+        fused = fused3.format(pair=f"b{r}.pair")
         ctes.append(
-            f"{cur} AS (SELECT trim(replace(concat(' ', {prev}.w_sym, ' '),"
-            f" concat(' ', b{r}.pair, ' '),"
-            f" concat(' ', replace(b{r}.pair, ' ', ''), ' '))) AS w_sym,"
-            f" freq FROM {prev} CROSS JOIN b{r})"
-            if dialect == "spark"
-            else f"{cur} AS (SELECT trim(replace(' ' || {prev}.w_sym || ' ',"
-            f" ' ' || b{r}.pair || ' ',"
-            f" ' ' || replace(b{r}.pair, ' ', '') || ' ')) AS w_sym,"
-            f" freq FROM {prev} CROSS JOIN b{r})"
+            f"{cur} AS (SELECT replace({prev}.w_sym, {pat}, {fused})"
+            f" AS w_sym, freq FROM {prev} CROSS JOIN b{r})"
         )
         selects.append(
             f"SELECT {r} AS round, pair AS merged_pair, cnt AS pair_count"
@@ -1575,18 +1579,20 @@ def _bpe_sql(dialect: str, n_rounds: int = 3) -> str:
 @register("text_bpe_merge_rounds", oracle=_bpe_sql("duckdb"))
 def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training, first three merge rounds, entirely in SQL on
-    both engines: word types are symbolized to space-separated characters,
-    each round counts adjacent symbol pairs weighted by word frequency,
-    fuses the heaviest pair corpus-wide, and feeds the rewritten vocabulary
-    to the next round — the core loop of byte-pair-encoding vocabulary
-    learning (Sennrich et al.), unrolled as chained CTEs. Complements
-    text_bpe_pair_stats (which reports round-0 statistics only).
+    both engines: word types are symbolized with each symbol wrapped in
+    its own spaces, each round counts adjacent symbol pairs weighted by
+    word frequency, fuses the heaviest pair corpus-wide, and feeds the
+    rewritten vocabulary to the next round — the core loop of
+    byte-pair-encoding vocabulary learning (Sennrich et al.), unrolled as
+    chained CTEs. Complements text_bpe_pair_stats (round-0 stats only).
 
-    Determinism: pair weights are exact integer sums; the winning pair is
-    a (count desc, pair asc) total order; the rewrite is a padded
-    left-to-right non-overlapping replace whose semantics agree across
-    engines, and the fused token (no inner space) can never recreate the
-    pattern mid-scan.
+    Determinism & exactness: pair weights are exact integer sums; the
+    winning pair is a (count desc, pair asc) total order; and because
+    every symbol carries its OWN delimiters, adjacent pair occurrences
+    share no characters, so the engines' left-to-right non-overlapping
+    replace IS the exact Sennrich greedy merge (see _bpe_sql for the
+    boundary-sharing bug this encoding eliminates); the fused token (no
+    inner space) can never recreate the pattern mid-scan.
 
     Scale shape: every round operates on the WORD-TYPE table (vocabulary
     cardinality), not the corpus — the corpus is touched once, by the

@@ -763,10 +763,26 @@ def test_top_paths_invariants(spark):
     assert (rows[0].n_users, rows[0].path) == (-best[0], best[1])
 
 
+def _bpe_greedy_merge(parts: list, a: str, b: str) -> list:
+    """The textbook Sennrich greedy left-to-right merge over a SYMBOL LIST —
+    no string replace anywhere, so this reference cannot share a
+    string-boundary bug with the SQL implementation under test."""
+    out, i = [], 0
+    while i < len(parts):
+        if i + 1 < len(parts) and parts[i] == a and parts[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(parts[i])
+            i += 1
+    return out
+
+
 def test_bpe_merge_rounds_match_reference_algorithm(spark):
-    """Run the textbook BPE trainer (Sennrich-style, greedy left-to-right
-    merge) in Python over the collected word-frequency table; the three
-    SQL rounds must pick the same pairs with the same weighted counts."""
+    """Run the textbook BPE trainer (Sennrich greedy left-to-right merge,
+    implemented over token LISTS — independent of any replace() semantics)
+    over the collected word-frequency table; the three SQL rounds must
+    pick the same pairs with the same weighted counts."""
     import re
     from collections import Counter
 
@@ -781,19 +797,16 @@ def test_bpe_merge_rounds_match_reference_algorithm(spark):
     freq: Counter = Counter()
     for (text,) in docs:
         freq.update(re.findall(r"[a-z]+", text.lower()))
-    vocab = {" ".join(w): n for w, n in freq.items()}
+    vocab = [(list(w), n) for w, n in freq.items()]
     for expect in rows:
         pairs: Counter = Counter()
-        for sym, n in vocab.items():
-            parts = sym.split(" ")
+        for parts, n in vocab:
             for a, b in zip(parts, parts[1:]):
                 pairs[f"{a} {b}"] += n
         best = min(((-n, p) for p, n in pairs.items()))
         assert (expect.merged_pair, expect.pair_count) == (best[1], -best[0])
-        pat, fused = f" {best[1]} ", f" {best[1].replace(' ', '')} "
-        vocab = {
-            f" {sym} ".replace(pat, fused).strip(): n for sym, n in vocab.items()
-        }
+        a, b = best[1].split(" ")
+        vocab = [(_bpe_greedy_merge(parts, a, b), n) for parts, n in vocab]
 
 
 def test_moving_median_matches_hand_computation(spark):
@@ -839,8 +852,10 @@ def test_quantified_subquery_leg_algebra(spark):
     ties}; and each leg matches a direct min/max recomputation."""
     from duckdb_fastlanes_spark.operators.subqueries import subquery_quantified
 
-    legs = {r.leg: r.n for r in subquery_quantified(spark, SF_DIR).collect()}
+    rows = subquery_quantified(spark, SF_DIR).collect()
+    legs = {r.leg: r.n for r in rows}
     assert set(legs) == {"gt_all", "lt_any", "le_all", "ge_any"}
+    assert all(r.n_ref > 0 for r in rows), "reference set empty: rewrite invalid"
     part = table(spark, SF_DIR, "part").select("p_brand", "p_retailprice").collect()
     ref = [r.p_retailprice for r in part if r.p_brand == "Brand#4"]
     assert ref, "reference brand missing from test data"
@@ -852,3 +867,52 @@ def test_quantified_subquery_leg_algebra(spark):
     assert legs["ge_any"] == sum(p >= lo for p in prices)
     assert legs["gt_all"] <= legs["ge_any"]
     assert legs["le_all"] <= legs["lt_any"] + sum(p == lo for p in prices)
+
+
+def test_bpe_merge_handles_adjacent_runs(spark, tmp_path):
+    """Adversarial corpus where the winning pair repeats ADJACENTLY inside
+    words ('ababab', 'aaaa') — the case where a boundary-sharing replace
+    silently merges only every second occurrence. Both engines must match
+    the token-list greedy trainer exactly, round by round."""
+    import duckdb
+    import pandas as pd
+    from collections import Counter
+
+    from duckdb_fastlanes_spark.pipeline.text import (
+        _bpe_sql,
+        text_bpe_merge_rounds,
+    )
+
+    words = ["ababab", "ababab", "abab", "aaaa", "aaa", "bb", "xy"]
+    text = " ".join(words)
+    df = pd.DataFrame(
+        {"doc_id": [1], "text": [text], "lang": ["en"], "source": ["t"],
+         "n_chars": [len(text)]}
+    )
+    sf_dir = str(tmp_path)
+    df.to_parquet(f"{sf_dir}/documents.parquet")
+    # the catalog registers all tables; provide empty twins it may look for
+    spark_rows = sorted(
+        map(tuple, text_bpe_merge_rounds(spark, sf_dir).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    duck_rows = sorted(map(tuple, con.execute(_bpe_sql("duckdb")).fetchall()))
+    # independent token-list trainer
+    freq = Counter(words)
+    vocab = [(list(w), n) for w, n in freq.items()]
+    expect = []
+    for r in (1, 2, 3):
+        pairs: Counter = Counter()
+        for parts, n in vocab:
+            for a, b in zip(parts, parts[1:]):
+                pairs[f"{a} {b}"] += n
+        best = min(((-n, p) for p, n in pairs.items()))
+        expect.append((r, best[1], -best[0]))
+        a, b = best[1].split(" ")
+        vocab = [(_bpe_greedy_merge(parts, a, b), n) for parts, n in vocab]
+    assert spark_rows == sorted(expect)
+    assert duck_rows == sorted(expect)
