@@ -843,7 +843,20 @@ def write_fls_native(
             [pa.array([out]), pa.array([tbl.num_rows], pa.int64())], schema=summary
         )
 
-    df.mapInArrow(encode_partition, "file string, rows long").collect()
+    landed = df.mapInArrow(encode_partition, "file string, rows long").collect()
+    if not landed:
+        # an all-empty input writes no partition files; land ONE footer-only
+        # file driver-side so THIS write's schema still reaches the dataset
+        # (append-mode generations included — schema evolution must see an
+        # empty generation's columns) and the reader can type an empty
+        # table (write_table already supports n_rows=0 footers)
+        import uuid
+
+        write_table(
+            df.limit(0).toArrow(),
+            os.path.join(path, f"part-empty-{uuid.uuid4().hex[:8]}.fls"),
+            row_group_size=row_group_size,
+        )
 
 
 #: logical-type promotion lattice — the reference's SchemaBuilder::PromoteType

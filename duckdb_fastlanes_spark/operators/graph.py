@@ -99,6 +99,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_deg = edges.join(deg, "src").localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # one scalar to the driver; state stays distributed
+    if n_nodes == 0:
+        # empty graph: a well-typed empty result instead of a driver-side
+        # division by zero (empty-catalog robustness gate)
+        return nodes.select(
+            "node", F.lit(0.0).alias("rank")
+        ).limit(0)
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(N_ITER):
@@ -264,7 +270,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = (
         probe.join(adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v")), "v")
         .select(F.size(F.array_intersect(F.col("cand"), F.col("nbrs_v"))).alias("c"))
-        .agg(F.sum("c").alias("n_triangles"))
+        # coalesce: sum over an empty probe is NULL, but the oracle's
+        # count(*)-shaped census reads 0 on an empty graph (empty-catalog gate)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_triangles"))
     )
     return n_edges.crossJoin(wedges).crossJoin(tri)
 

@@ -115,6 +115,15 @@ def window_distribution_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in base.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
     )
     total = sum(c for _, c in counts)
+    if total == 0:
+        # empty input: create_map() of zero pairs cannot type-resolve
+        # map()[pid], and (total - 1) would divide by zero — return a
+        # well-typed empty result (empty-catalog robustness gate)
+        return local.select(
+            "s_suppkey",
+            F.lit(0.0).alias("pr"),
+            F.lit(0.0).alias("cd"),
+        ).limit(0)
     offsets, acc = {}, 0
     for pid, c in counts:
         offsets[pid] = acc

@@ -141,16 +141,16 @@ def subquery_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
                    count(*) AS n_ref
             FROM part WHERE p_brand = 'Brand#4'),
         counts AS (
-            SELECT n_ref,
-                   sum(CASE WHEN p_retailprice > hi THEN 1 ELSE 0 END)
-                     AS gt_all,
-                   sum(CASE WHEN p_retailprice < hi THEN 1 ELSE 0 END)
-                     AS lt_any,
-                   sum(CASE WHEN p_retailprice <= lo THEN 1 ELSE 0 END)
-                     AS le_all,
-                   sum(CASE WHEN p_retailprice >= lo THEN 1 ELSE 0 END)
-                     AS ge_any
-            FROM part CROSS JOIN bounds GROUP BY n_ref)
+            SELECT (SELECT n_ref FROM bounds) AS n_ref,
+                   coalesce(sum(CASE WHEN p_retailprice > hi
+                                     THEN 1 ELSE 0 END), 0)  AS gt_all,
+                   coalesce(sum(CASE WHEN p_retailprice < hi
+                                     THEN 1 ELSE 0 END), 0)  AS lt_any,
+                   coalesce(sum(CASE WHEN p_retailprice <= lo
+                                     THEN 1 ELSE 0 END), 0)  AS le_all,
+                   coalesce(sum(CASE WHEN p_retailprice >= lo
+                                     THEN 1 ELSE 0 END), 0)  AS ge_any
+            FROM part CROSS JOIN bounds)
         SELECT leg, n, n_ref FROM counts
         LATERAL VIEW stack(4, 'gt_all', gt_all, 'lt_any', lt_any,
                               'le_all', le_all, 'ge_any', ge_any) AS leg, n

@@ -197,10 +197,12 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         """
         SELECT a.distinct_orders, b.distinct_parts, c.n_rows
-        FROM (SELECT sum(bitmap_count(bm)) AS distinct_orders FROM (
+        FROM (SELECT CAST(coalesce(sum(bitmap_count(bm)), 0) AS BIGINT)
+                AS distinct_orders FROM (
                 SELECT bitmap_construct_agg(bitmap_bit_position(l_orderkey)) AS bm
                 FROM lineitem GROUP BY bitmap_bucket_number(l_orderkey))) a,
-             (SELECT sum(bitmap_count(bm)) AS distinct_parts FROM (
+             (SELECT CAST(coalesce(sum(bitmap_count(bm)), 0) AS BIGINT)
+                AS distinct_parts FROM (
                 SELECT bitmap_construct_agg(bitmap_bit_position(l_partkey)) AS bm
                 FROM lineitem GROUP BY bitmap_bucket_number(l_partkey))) b,
              (SELECT count(1) AS n_rows FROM lineitem) c

@@ -74,7 +74,18 @@ def _fetch_vec(sf_dir: str, vec_id: int) -> list[float]:
     tbl = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
         columns=["embedding"], filter=pads.field("vec_id") == vec_id
     )
+    if tbl.num_rows == 0:
+        # query id absent (e.g. empty corpus): signal the caller, which
+        # returns a well-typed empty result (empty-catalog robustness gate)
+        return None
     return [float(x) for x in tbl.column(0)[0].as_py()]
+
+
+
+def _empty_topk(spark: SparkSession, ddl: str = "vec_id bigint, cosine double"):
+    """Well-typed empty result for ANN queries whose query vector is absent
+    from the corpus (empty-catalog robustness gate)."""
+    return spark.createDataFrame([], ddl)
 
 
 def _ivf_centroids(sf_dir: str) -> dict[int, list[float]]:
@@ -260,6 +271,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _ivf_index(spark, sf_dir)
     qe = _fetch_vec(sf_dir, QUERY_VEC_ID)
+    if qe is None:
+        return _empty_topk(spark)
     cents = _ivf_centroids(sf_dir)
     qcell = max(
         sorted(cents), key=lambda cid: (_cos_py(qe, cents[cid]), -cid)
@@ -328,6 +341,10 @@ def sim_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = []
     for qid in range(N_QUERIES):
         qe = _fetch_vec(sf_dir, qid)
+        if qe is None:
+            return _empty_topk(
+                spark, "query_id bigint, vec_id bigint, cosine double"
+            )
         qcell = max(sorted(cents), key=lambda c: (_cos_py(qe, cents[c]), -c))
         qrows.append((qid, qe, qcell))
     paths = sorted(
@@ -396,6 +413,8 @@ def sim_ivf_probe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _ivf_index(spark, sf_dir)
     qe = _fetch_vec(sf_dir, QUERY_VEC_ID)
+    if qe is None:
+        return _empty_topk(spark)
     cents = _ivf_centroids(sf_dir)
     probe = sorted(
         sorted(cents), key=lambda cid: (-_cos_py(qe, cents[cid]), cid)
@@ -462,11 +481,17 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow.dataset as pads
 
+    src = pads.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+    if src.count_rows() == 0:
+        # nothing to fit or probe (empty-catalog robustness gate)
+        return _empty_topk(spark)
     idx = _kmeans_index(spark, sf_dir)
     ds = pads.dataset(idx, partitioning="hive")
     qrow = ds.to_table(
         columns=["e", "cell"], filter=pads.field("vec_id") == QUERY_VEC_ID
     )
+    if qrow.num_rows == 0:
+        return _empty_topk(spark)
     qe = [float(x) for x in qrow.column("e")[0].as_py()]
     qcell = int(qrow.column("cell")[0].as_py())
     cand = spark.read.parquet(os.path.join(idx, f"cell={qcell}")).where(
@@ -1080,6 +1105,9 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             if best is None or score > best[1]:
                 best = (c, score)
+        if best is None:
+            # fewer candidates than MMR_K (e.g. empty corpus) — stop early
+            break
         chosen.append(best[0])
         picked.append((step, best[0], round(best[1], 4)))
     return spark.createDataFrame(
@@ -1247,6 +1275,8 @@ def sim_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side instead (predicate-pushed single row-group read, like the footer
     # reads in io/fls.py).
     qe = _fetch_vec(sf_dir, QUERY_VEC_ID)
+    if qe is None:
+        return _empty_topk(spark)
     probes = _srp_probe_ints(_srp_sig_py(qe))
     # read ONLY the probe buckets' directories — listing all 2^SRP_PLANES
     # partition dirs to prune 219 of them is avoidable metadata work; the
