@@ -1162,3 +1162,84 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """,
     )
+
+
+@register(
+    "events_hazard_curve",
+    oracle="""
+    WITH bounds AS (SELECT CAST(max(ts) AS DATE) AS dmax FROM events),
+    users AS (
+        SELECT user_id,
+               datediff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+                 AS life_d,
+               datediff('day', CAST(max(ts) AS DATE),
+                        (SELECT dmax FROM bounds)) >= 14 AS churned
+        FROM events GROUP BY user_id),
+    per_week AS (
+        SELECT life_d // 7 AS week,
+               count(*) AS n_ending,
+               CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_churned
+        FROM users GROUP BY life_d // 7),
+    curve AS (
+        SELECT week, n_churned,
+               CAST(sum(n_ending) OVER (
+                   ORDER BY week DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS n_at_risk
+        FROM per_week)
+    SELECT CAST(week AS BIGINT) AS week, n_at_risk, n_churned,
+           round(n_churned / CAST(n_at_risk AS DOUBLE), 4) AS hazard
+    FROM curve
+    ORDER BY week
+    """,
+)
+def events_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete churn-hazard curve (the Kaplan-Meier life-table primitive):
+    per lifetime-week, how many users were still observable at that age
+    (at-risk) and how many churned in it — churn = last activity ≥ 14 days
+    before the corpus end; later last-touches are right-censored (they
+    leave the at-risk pool without counting as churn, exactly the KM
+    censoring rule). The retention complement of events_retention_cohort:
+    cohorts count WHO came back, the hazard curve says WHEN users die.
+
+    Determinism & exactness: lifetimes are calendar-day integers (both
+    engines CAST to DATE first, so Spark's datediff and DuckDB's
+    datediff('day') count identical day boundaries); the at-risk pool is
+    a reverse cumulative sum of exact per-week counts; hazard is the one
+    float division, round(4).
+
+    Scale shape: one user-keyed aggregate (map-side combine) collapses
+    the corpus to one row per user, a second collapses users to one row
+    per lifetime-week, and the reverse-cumulative window runs over that
+    bounded week histogram — never over users or events."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH bounds AS (SELECT CAST(max(ts) AS DATE) AS dmax FROM events),
+        users AS (
+            SELECT user_id,
+                   datediff(CAST(max(ts) AS DATE), CAST(min(ts) AS DATE))
+                     AS life_d,
+                   datediff((SELECT dmax FROM bounds), CAST(max(ts) AS DATE))
+                     >= 14 AS churned
+            FROM events GROUP BY user_id),
+        per_week AS (
+            SELECT life_d DIV 7 AS week,
+                   count(1) AS n_ending,
+                   sum(CASE WHEN churned THEN 1 ELSE 0 END) AS n_churned
+            FROM users GROUP BY life_d DIV 7),
+        curve AS (
+            SELECT week, n_churned,
+                   sum(n_ending) OVER (
+                       ORDER BY week DESC ROWS UNBOUNDED PRECEDING)
+                     AS n_at_risk
+            FROM per_week)
+        SELECT week, n_at_risk, n_churned,
+               round(n_churned / CAST(n_at_risk AS DOUBLE), 4) AS hazard
+        FROM curve
+        ORDER BY week
+        """,
+    )

@@ -916,3 +916,41 @@ def test_bpe_merge_handles_adjacent_runs(spark, tmp_path):
         vocab = [(_bpe_greedy_merge(parts, a, b), n) for parts, n in vocab]
     assert spark_rows == sorted(expect)
     assert duck_rows == sorted(expect)
+
+
+def test_hazard_curve_matches_hand_computation(spark):
+    """Recompute the life table driver-side: per-user calendar-day lifetimes,
+    the 14-day censoring rule, weekly churn counts, and the reverse
+    cumulative at-risk pool must all agree exactly; hazards lie in [0, 1]
+    and the at-risk pool is non-increasing in week."""
+    from duckdb_fastlanes_spark.operators.event_analytics import (
+        events_hazard_curve,
+    )
+
+    rows = sorted(events_hazard_curve(spark, SF_DIR).collect(),
+                  key=lambda r: r.week)
+    assert rows
+    ev = table(spark, SF_DIR, "events").select("user_id", "ts").collect()
+    spans: dict = {}
+    for e in ev:
+        d = e.ts.date()
+        lo, hi = spans.get(e.user_id, (d, d))
+        spans[e.user_id] = (min(lo, d), max(hi, d))
+    dmax = max(hi for _, hi in spans.values())
+    per_week: dict = {}
+    for lo, hi in spans.values():
+        wk = (hi - lo).days // 7
+        ending, churned = per_week.get(wk, (0, 0))
+        per_week[wk] = (ending + 1, churned + ((dmax - hi).days >= 14))
+    at_risk = 0
+    expect = {}
+    for wk in sorted(per_week, reverse=True):
+        ending, churned = per_week[wk]
+        at_risk += ending
+        expect[wk] = (at_risk, churned)
+    assert {r.week: (r.n_at_risk, r.n_churned) for r in rows} == expect
+    for r in rows:
+        assert 0.0 <= r.hazard <= 1.0
+        assert r.hazard == round(r.n_churned / r.n_at_risk, 4)
+    risks = [r.n_at_risk for r in rows]
+    assert risks == sorted(risks, reverse=True)
