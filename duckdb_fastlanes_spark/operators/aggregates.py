@@ -35,7 +35,16 @@ from duckdb_fastlanes_spark.registry import register
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus) with grand total; NULL grouping
     slots coalesced to 'ALL' so both engines hash identically (data is NOT NULL
-    so no ambiguity with real NULL keys)."""
+    so no ambiguity with real NULL keys).
+
+    r9: expressed as pre-aggregate CTE + explicit grouping-sets leg + a plain
+    global-aggregate grand-total leg. Spark's native ROLLUP emits NO rows over
+    empty input while the ANSI (and DuckDB) semantics emit the grand-total
+    ``()`` grouping-set row; a plain global aggregate yields its one row on
+    empty input in BOTH engines, closing the CORRECTNESS_EMPTY divergence.
+    Scale shape: lineitem is scanned and partially aggregated ONCE into the
+    tiny (flag, status) group frame; both legs re-aggregate that frame (Spark
+    reuses the exchange), so the 100 TB scan cost is unchanged vs ROLLUP."""
     from duckdb_fastlanes_spark.catalog import sql_q
     from duckdb_fastlanes_spark.functions.ordering import ordered_small
 
@@ -44,12 +53,23 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             sf_dir,
             """
-            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-                   coalesce(l_linestatus, 'ALL') AS linestatus,
-                   count(1) AS n,
-                   round(sum(l_quantity), 2) AS sum_qty
-            FROM lineitem
-            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            WITH g AS (
+                SELECT l_returnflag AS rf, l_linestatus AS ls,
+                       count(1) AS n, sum(l_quantity) AS s
+                FROM lineitem
+                GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT coalesce(rf, 'ALL') AS returnflag,
+                   coalesce(ls, 'ALL') AS linestatus,
+                   sum(n) AS n,
+                   round(sum(s), 2) AS sum_qty
+            FROM g
+            GROUP BY GROUPING SETS ((rf, ls), (rf))
+            UNION ALL
+            SELECT 'ALL' AS returnflag, 'ALL' AS linestatus,
+                   coalesce(sum(n), 0) AS n,
+                   round(sum(s), 2) AS sum_qty
+            FROM g
             """,
         ),
         "returnflag",
@@ -71,14 +91,44 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (status, priority) — all 4 grouping sets."""
-    from duckdb_fastlanes_spark.catalog import shared_ansi
+    """CUBE over (status, priority) — all 4 grouping sets.
 
-    # r7: the registered oracle is pure ANSI SQL that Spark parses
-    # verbatim and plans IDENTICALLY to the former Column tree
-    # (plan-feature-gated substitution; see catalog.shared_ansi) —
-    # one JVM parse, literal both-engines parity on the same text.
-    return shared_ansi(spark, sf_dir, "agg_cube")
+    r9: left the shared_ansi set — Spark's native CUBE emits NO grand-total
+    row over empty input where ANSI/DuckDB emit one, so the Spark side is now
+    a pre-aggregate CTE + the three grouped grouping-sets + a plain
+    global-aggregate leg (one row on empty input in both engines). avg is
+    decomposed as sum/count over the pre-aggregate so every leg reads the
+    tiny (status, priority) group frame; orders is scanned once."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+    from duckdb_fastlanes_spark.functions.ordering import ordered_small
+
+    return ordered_small(
+        sql_q(
+            spark,
+            sf_dir,
+            """
+            WITH g AS (
+                SELECT o_orderstatus AS st, o_orderpriority AS pr,
+                       count(1) AS n, sum(o_totalprice) AS s
+                FROM orders
+                GROUP BY o_orderstatus, o_orderpriority
+            )
+            SELECT coalesce(st, 'ALL') AS status,
+                   coalesce(pr, 'ALL') AS priority,
+                   sum(n) AS n,
+                   round(sum(s) / sum(n), 2) AS avg_price
+            FROM g
+            GROUP BY GROUPING SETS ((st, pr), (st), (pr))
+            UNION ALL
+            SELECT 'ALL' AS status, 'ALL' AS priority,
+                   coalesce(sum(n), 0) AS n,
+                   round(sum(s) / sum(n), 2) AS avg_price
+            FROM g
+            """,
+        ),
+        "status",
+        "priority",
+    )
 
 
 @register(

@@ -2,10 +2,12 @@
 zero-row tables or return a well-typed empty frame — never crash. These are
 exactly the empty-partition / fresh-feed conditions a production pipeline
 hits on day one. The full empty-catalog oracle sweep is recorded in
-CORRECTNESS_EMPTY_r8.json (258/260; agg_cube/agg_rollup differ because
-DuckDB emits the ANSI grand-total grouping-set row over empty input while
-Spark's CUBE/ROLLUP emit none — an engine divergence on identical SQL,
-not a query defect)."""
+CORRECTNESS_EMPTY_r9.json (regenerate any time with
+``python tools/check_correctness.py --empty --json=...``). The r8
+agg_cube/agg_rollup divergence (Spark's native CUBE/ROLLUP emit no ANSI
+grand-total grouping-set row over empty input) is CLOSED in r9: both are
+now an explicit grouping-sets union whose global leg is a plain global
+aggregate, which yields its one row on empty input in both engines."""
 
 from __future__ import annotations
 
@@ -25,6 +27,8 @@ TABLES = (
 #: queries that crashed (not merely diverged) on empty input before the r8
 #: guards, plus the NULL-vs-0 divergences fixed alongside them
 GUARDED = [
+    "agg_cube",
+    "agg_rollup",
     "count_distinct",
     "graph_triangle_count",
     "subquery_quantified",
@@ -63,3 +67,15 @@ def test_query_survives_empty_catalog(spark, empty_dir, name):
     rows = df.collect()
     assert isinstance(rows, list)  # no crash; schema resolvable
     assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", ["agg_cube", "agg_rollup"])
+def test_rollup_cube_emit_ansi_grand_total_on_empty(spark, empty_dir, name):
+    """ANSI (and DuckDB) semantics: the grand-total ``()`` grouping-set row
+    exists even over a zero-row table — count 0, aggregates NULL."""
+    rows = registry.queries()[name](spark, empty_dir).collect()
+    assert len(rows) == 1
+    (row,) = rows
+    assert row[0] == "ALL" and row[1] == "ALL"
+    assert row["n"] == 0
+    assert row[3] is None  # sum/avg over empty input is NULL

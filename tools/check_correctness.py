@@ -39,12 +39,33 @@ def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--json=")]
+    args = [
+        a for a in sys.argv[1:] if not (a.startswith("--json=") or a == "--empty")
+    ]
     json_out = next(
         (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")), None
     )
+    empty_mode = "--empty" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+
+    if empty_mode:
+        # Standing empty-catalog gate (r9): synthesize a zero-row catalog with
+        # the SAME schemas into a tmpdir and sweep it — the empty-partition /
+        # fresh-feed condition a production pipeline hits on day one. Found 16
+        # real crashes in r8; every new operator must arrive empty-clean.
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="dfs_empty_catalog_")
+        con0 = duckdb.connect()
+        for t in TABLES:
+            con0.execute(
+                f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet') LIMIT 0)"
+                f" TO '{root}/{t}.parquet' (FORMAT parquet)"
+            )
+        con0.close()
+        print(f"empty-catalog mode: zero-row twin of {sf_dir} at {root}")
+        sf_dir = root
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
