@@ -849,7 +849,19 @@ def write_fls_native(
         # file driver-side so THIS write's schema still reaches the dataset
         # (append-mode generations included — schema evolution must see an
         # empty generation's columns) and the reader can type an empty
-        # table (write_table already supports n_rows=0 footers)
+        # table (write_table already supports n_rows=0 footers).
+        # In append mode, skip the fallback when an existing .fls already
+        # carries every incoming column — repeated empty appends would
+        # otherwise accumulate footer-only files that every later read must
+        # open (r8 ADVICE); a footer whose schema is missing one of our
+        # columns still needs this generation for schema evolution.
+        incoming = {f.name for f in df.schema.fields}
+        if mode == "append":
+            for fn in os.listdir(path):
+                if fn.endswith(".fls"):
+                    have = {c["name"] for c in read_footer(os.path.join(path, fn))["schema"]}
+                    if incoming <= have:
+                        return
         import uuid
 
         write_table(

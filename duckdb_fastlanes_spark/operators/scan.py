@@ -447,15 +447,24 @@ def scan_hive_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out = os.path.join(tempfile.gettempdir(), f"dfs_hive_events_{tag}")
     marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+
+    def _has_files() -> bool:
+        # short-circuit at the first data file (r8 ADVICE: the full os.walk
+        # ran on every invocation)
+        for _, _, fs in os.walk(out):
+            if any(f.endswith(".parquet") for f in fs):
+                return True
+        return False
+
+    # marker-without-files is a CACHE MISS, not a valid empty layout: an
+    # empty catalog sharing the basename would otherwise pin the fallback
+    # path forever for later real data (r8 ADVICE) — rewrite and re-check
+    if not (os.path.exists(marker) and _has_files()):
         write_fls(ev, out, partition_by=["event_type"])
-    has_files = any(
-        f.endswith(".parquet") for _, _, fs in os.walk(out) for f in fs
-    )
     # empty source: the partitioned write lands no data files and schema
     # inference on the empty layout fails — fall back to the source frame
     # (the pruning demonstration needs data to prune)
-    part = read_fls(spark, out) if has_files else ev
+    part = read_fls(spark, out) if _has_files() else ev
     return (
         part.filter(F.col("event_type").isin("error", "signup"))
         .groupBy("event_type")
