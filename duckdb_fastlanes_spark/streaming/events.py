@@ -73,6 +73,37 @@ def staged_input(
     return root
 
 
+#: process-level drained-stream results, keyed by (query, staged-input paths,
+#: Spark application) — see drained_fixture
+_DRAINED_FIXTURES: dict[tuple, DataFrame] = {}
+
+
+def drained_fixture(spark: SparkSession, name: str, staged_paths, build) -> DataFrame:
+    """One drained-stream result per (process, staged-input version).
+
+    The staged-input path already fingerprints the corpus content AND the
+    query's own derivation (see staged_input), so a changed layout, an
+    edited query, or regenerated testdata lands a different staged path and
+    re-drains; within one process on one corpus version the stream is
+    drained ONCE and later invocations return the same materialized result
+    — the ingest-once-query-many discipline every index in this package
+    follows (_staged_index), applied to the stream rig (r8 verdict item 4:
+    the bench's rep loop re-paid an identical drain per rep, which measured
+    the rig, not the operator). A memo hit still counts as a drain for the
+    bench's prepared-mode classification: the result remains a read of
+    construct-time work, so no honest prepared re-execution exists."""
+    from duckdb_fastlanes_spark.bench_support import note_drain
+
+    key = (name, tuple(staged_paths), spark.sparkContext.applicationId)
+    hit = _DRAINED_FIXTURES.get(key)
+    if hit is not None:
+        note_drain()
+        return hit
+    df = build()
+    _DRAINED_FIXTURES[key] = df
+    return df
+
+
 def drain_to_parquet(stream_df: DataFrame, workdir: str, name: str = "out") -> DataFrame:
     """Drain a streaming DataFrame through a parquet FILE sink (availableNow)
     and read the result back as a batch DataFrame.
@@ -272,23 +303,29 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and a row landing exactly on it is treated as late and dropped
         F.timestamp_micros((F.col("doc_id") + 86_400) * 1_000_000).alias("ts"),
     )
-    workdir = tempfile.mkdtemp(prefix="dfs_streamdedup_")
     staged = staged_input(d, sf_dir, "streamdedup")
-    stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
-    deduped = stream_dedup(stream, ["content_fp"], "ts", "1 hour")
-    out = (
-        drain_to_parquet(deduped, workdir, "dedup_out")
-        .groupBy("content_fp")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("content_fp")
-    )
-    # materialize executor-side off the file sink before the staged input,
-    # checkpoint, and sink files are dropped
-    out = out.localCheckpoint(eager=True)
-    import shutil
 
-    shutil.rmtree(workdir, ignore_errors=True)
-    return out
+    def build() -> DataFrame:
+        import shutil
+
+        workdir = tempfile.mkdtemp(prefix="dfs_streamdedup_")
+        stream = spark.readStream.schema(
+            spark.read.parquet(staged).schema
+        ).parquet(staged)
+        deduped = stream_dedup(stream, ["content_fp"], "ts", "1 hour")
+        out = (
+            drain_to_parquet(deduped, workdir, "dedup_out")
+            .groupBy("content_fp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("content_fp")
+        )
+        # materialize executor-side off the file sink before the staged
+        # input, checkpoint, and sink files are dropped
+        out = out.localCheckpoint(eager=True)
+        shutil.rmtree(workdir, ignore_errors=True)
+        return out
+
+    return drained_fixture(spark, "streamdedup", [staged], build)
 
 
 @register(
@@ -324,17 +361,29 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     would race the concurrent bench batch), and the flag stays ON for the
     aggregation/timeout drains (tumbling windows, stateful sessions),
     whose FINAL results genuinely ride the closing watermark batch."""
-    import shutil
-    import tempfile
-
     ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
-    workdir = tempfile.mkdtemp(prefix="dfs_ss_join_")
     sides = {
         sub: staged_input(
             ev.filter(F.col("event_type") == et), sf_dir, f"ssjoin_{sub}"
         )
         for et, sub in (("view", "views"), ("click", "clicks"))
     }
+
+    def build() -> DataFrame:
+        return _stream_stream_join_drain(spark, sides)
+
+    return drained_fixture(
+        spark, "ssjoin", [sides["views"], sides["clicks"]], build
+    )
+
+
+def _stream_stream_join_drain(spark: SparkSession, sides: dict) -> DataFrame:
+    """The actual cloned-session drain for stream_stream_join (see its
+    docstring); runs once per staged-input version via drained_fixture."""
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="dfs_ss_join_")
     s2 = spark.newSession()
     # newSession starts from the context defaults, not the parent's runtime
     # confs — carry over the input-size tuning so state-store partitioning
@@ -463,53 +512,59 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "ts", F.round("value", 2).alias("value"),
         "event_id",
     )
-    workdir = tempfile.mkdtemp(prefix="dfs_stream_upsert_")
     staged = staged_input(ev, sf_dir, "stream_upsert", partitions=4)
-    snapshot_root = f"{workdir}/snapshot"
 
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
+    def build() -> DataFrame:
+        workdir = tempfile.mkdtemp(prefix="dfs_stream_upsert_")
+        snapshot_root = f"{workdir}/snapshot"
 
-    def latest_per_key(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+
+        def latest_per_key(df: DataFrame) -> DataFrame:
+            return (
+                df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+
+        def upsert(batch: DataFrame, batch_id: int) -> None:
+            import os
+
+            if not os.path.exists(snapshot_root):
+                cow.create_table(latest_per_key(batch), snapshot_root)
+                return
+            cur = cow.read_table(batch.sparkSession, snapshot_root)
+            merged = latest_per_key(cur.unionByName(batch))
+            cow._commit(
+                snapshot_root, merged, cow.current_version(snapshot_root) + 1
+            )
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(staged).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .start()
+        )
+        q.awaitTermination(180)
+        from duckdb_fastlanes_spark.bench_support import note_drain
+
+        note_drain()  # upserts ran at construction; the return reads the snapshot
         return (
-            df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            cow.read_table(spark, snapshot_root)
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_type"),
+                F.col("ts").alias("last_ts"),
+                F.col("value").alias("last_value"),
+            )
+            .orderBy("user_id")
         )
 
-    def upsert(batch: DataFrame, batch_id: int) -> None:
-        import os
-
-        if not os.path.exists(snapshot_root):
-            cow.create_table(latest_per_key(batch), snapshot_root)
-            return
-        cur = cow.read_table(batch.sparkSession, snapshot_root)
-        merged = latest_per_key(cur.unionByName(batch))
-        cow._commit(snapshot_root, merged, cow.current_version(snapshot_root) + 1)
-
-    stream = (
-        spark.readStream.schema(spark.read.parquet(staged).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-    )
-    q = (
-        stream.writeStream.foreachBatch(upsert)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{workdir}/ckpt")
-        .start()
-    )
-    q.awaitTermination(180)
-    from duckdb_fastlanes_spark.bench_support import note_drain
-
-    note_drain()  # upserts ran at construction; the return is a snapshot read
-    return (
-        cow.read_table(spark, snapshot_root)
-        .select(
-            "user_id",
-            F.col("event_type").alias("last_type"),
-            F.col("ts").alias("last_ts"),
-            F.col("value").alias("last_value"),
-        )
-        .orderBy("user_id")
-    )
+    return drained_fixture(spark, "stream_upsert", [staged], build)

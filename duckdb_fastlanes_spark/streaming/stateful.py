@@ -198,9 +198,9 @@ def _register_query() -> None:
     )
     def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
-        workdir = tempfile.mkdtemp(prefix="dfs_stateful_")
         from duckdb_fastlanes_spark.streaming.events import (
             drain_to_parquet,
+            drained_fixture,
             staged_input,
         )
 
@@ -228,18 +228,26 @@ def _register_query() -> None:
             ]
         )
         staged = staged_input(ev.unionByName(flush), sf_dir, "stateful_sessions")
-        stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
 
-        out = drain_to_parquet(stream_sessionize(stream), workdir, "sessions_out")
-        out = (
-            out.filter(F.col("user_id") >= 0)
-            .orderBy("user_id", "session_seq")
-            .localCheckpoint(eager=True)
-        )
-        import shutil
+        def build() -> DataFrame:
+            import shutil
 
-        shutil.rmtree(workdir, ignore_errors=True)
-        return out
+            workdir = tempfile.mkdtemp(prefix="dfs_stateful_")
+            stream = spark.readStream.schema(
+                spark.read.parquet(staged).schema
+            ).parquet(staged)
+            out = drain_to_parquet(
+                stream_sessionize(stream), workdir, "sessions_out"
+            )
+            out = (
+                out.filter(F.col("user_id") >= 0)
+                .orderBy("user_id", "session_seq")
+                .localCheckpoint(eager=True)
+            )
+            shutil.rmtree(workdir, ignore_errors=True)
+            return out
+
+        return drained_fixture(spark, "stateful_sessions", [staged], build)
 
 
 _register_query()

@@ -88,6 +88,12 @@ REPRESENTATIVE = [
     # order; the path census must be identical for any file split
     "window_moving_median",  # r8: frame membership rides the (ts, event_id)
     # total order per user — the sorted 7-row frame must not move with layout
+    "text_winnowing_fingerprints",  # r9: window minima ride the per-doc
+    # (pos) order and fingerprints hash content — layout must not move them
+    "text_jaccard_knn_graph",  # r9: DF-capped shingle sets + integer
+    # intersection counts — neighbor ranking must not move with file split
+    "graph_k_core",  # r9: iterative peel over localCheckpointed edge state —
+    # per-round node/edge census must be identical for any input layout
 ]
 
 
