@@ -554,3 +554,187 @@ def text_jaccard_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, jaccard DESC, neighbor
         """,
     )
+
+
+#: Count-Min sketch geometry: d hash rows × w counters (tiny by design so
+#: collisions are visible and the overestimate invariant is exercised)
+CMS_D = 3
+CMS_W = 64
+CMS_P = 2147483647
+
+#: shared j=0..{CMS_D-1} hash-row generator (dialect-portable inline union)
+_CMS_ROWS = "(SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2)"
+
+#: the pairwise-independent-family hash, pure integer arithmetic so both
+#: engines agree bit-for-bit: h_j(u) = ((a_j·u + b_j) mod P) mod W with
+#: a_j = 31+17j, b_j = 7+11j
+_CMS_HASH = f"(((31 + 17 * j) * user_id + 7 + 11 * j) % {CMS_P}) % {CMS_W}"
+
+_CMS_SQL = f"""
+    WITH cnt AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    proj AS (
+        SELECT j, {_CMS_HASH} AS cell, n
+        FROM cnt CROSS JOIN {_CMS_ROWS} js
+    ),
+    cms AS (SELECT j, cell, sum(n) AS c FROM proj GROUP BY j, cell),
+    top AS (SELECT user_id, n FROM cnt ORDER BY n DESC, user_id LIMIT 10),
+    probe AS (
+        SELECT t.user_id, t.n, j, {_CMS_HASH} AS cell
+        FROM top t CROSS JOIN {_CMS_ROWS} js
+    )
+    SELECT p.user_id, p.n AS exact_n,
+           CAST(min(m.c) AS BIGINT) AS cms_est,
+           CAST(min(m.c) - p.n AS BIGINT) AS overestimate
+    FROM probe p JOIN cms m ON p.j = m.j AND p.cell = m.cell
+    GROUP BY p.user_id, p.n
+    ORDER BY exact_n DESC, user_id
+"""
+
+
+@register("sketch_count_min_heavy_hitters", oracle=_CMS_SQL)
+def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy-hitter audit (Cormode & Muthukrishnan 2005):
+    build a {CMS_D}×{CMS_W} CMS over per-user event counts with an integer
+    pairwise-independent hash family, then probe the exact top-10 users and
+    report estimate vs truth. The overestimate column is the CMS guarantee
+    made visible: est ≥ exact always, with excess = colliding mass.
+
+    Scale shape: the sketch is {CMS_D}×{CMS_W} counters built by one
+    map-side-combinable aggregate — the MERGEABLE-summary shape that makes
+    frequency monitoring free at 100 TB (each partition sketches locally,
+    merges by cell addition); the probe joins a LIMIT-bounded candidate
+    set against the tiny sketch. Pure integer arithmetic end-to-end, so
+    the hash (and the result) is engine- and layout-invariant."""
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    return shared_ansi(spark, sf_dir, "sketch_count_min_heavy_hitters")
+
+
+#: RFM segmentation: k clusters over 3 z-scored features, fixed Lloyd rounds
+RFM_K = 4
+RFM_ROUNDS = 3
+
+
+def _rfm_segments_sql(dialect: str) -> str:
+    """Deterministic k-means segmentation over z-scored RFM features —
+    the warehouse-side twin of similarity._kmeans_fit_sql: exact-integer
+    Lloyd (features quantized to integer micro-units AFTER a z-score whose
+    mean/std derive from exact integer sums, so both engines normalize on
+    identical IEEE operands), md5-ranked seed customers, {RFM_ROUNDS}
+    assign/update rounds, tie → smallest cluster id."""
+    if dialect == "duckdb":
+        md5cast = "md5(CAST(o_custkey AS VARCHAR))"
+        datediff = "datediff('day', last_order, (SELECT max(last_order) FROM per_cust))"
+    else:
+        md5cast = "md5(CAST(o_custkey AS STRING))"
+        datediff = "datediff((SELECT max(last_order) FROM per_cust), last_order)"
+    parts = [
+        # exact integer base features: recency days, order count, total cents
+        "per_cust AS (SELECT o_custkey, max(o_orderdate) AS last_order, "
+        "count(*) AS freq, CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents "
+        "FROM orders GROUP BY o_custkey)",
+        f"feat AS (SELECT o_custkey, CAST({datediff} AS BIGINT) AS f1, "
+        "CAST(freq AS BIGINT) AS f2, cents AS f3 FROM per_cust)",
+        # long format + exact-integer moments -> z-score on identical operands
+        "fl AS (SELECT o_custkey, d, v FROM ("
+        "SELECT o_custkey, 1 AS d, f1 AS v FROM feat UNION ALL "
+        "SELECT o_custkey, 2 AS d, f2 AS v FROM feat UNION ALL "
+        "SELECT o_custkey, 3 AS d, f3 AS v FROM feat) u)",
+        # ss summed as DECIMAL(38,0): cents² terms reach ~1e17 and int64 SUM
+        # wraps silently in Spark while DuckDB promotes to HUGEINT — decimal
+        # keeps both sums exact integers (the tpch_q10 oracle precedent)
+        "mom AS (SELECT d, count(*) AS n, sum(v) AS s, sum(CAST(v * v AS DECIMAL(38, 0))) AS ss FROM fl GROUP BY d)",
+        # z*1e6 as integer units; degenerate dim (std=0) maps to 0
+        "zs AS (SELECT fl.o_custkey, fl.d, CAST(round(CASE WHEN m.ss * m.n = m.s * m.s THEN 0.0 "
+        "ELSE (fl.v - CAST(m.s AS DOUBLE) / m.n) / sqrt(CAST(m.ss AS DOUBLE) / m.n "
+        "- (CAST(m.s AS DOUBLE) / m.n) * (CAST(m.s AS DOUBLE) / m.n)) END * 1e6, 0) AS BIGINT) AS vu "
+        "FROM fl JOIN mom m ON fl.d = m.d)",
+        f"seeds AS (SELECT row_number() OVER (ORDER BY h, o_custkey) - 1 AS cid, o_custkey "
+        f"FROM (SELECT {md5cast} AS h, o_custkey FROM feat ORDER BY h, o_custkey LIMIT {RFM_K}) t)",
+        "c0 AS (SELECT s.cid, z.d, z.vu AS cu FROM seeds s JOIN zs z ON s.o_custkey = z.o_custkey)",
+    ]
+    for t in range(1, RFM_ROUNDS + 1):
+        parts.append(
+            f"dd{t} AS (SELECT z.o_custkey, c.cid, sum((z.vu - c.cu) * (z.vu - c.cu)) AS d2 "
+            f"FROM zs z JOIN c{t - 1} c ON z.d = c.d GROUP BY z.o_custkey, c.cid)"
+        )
+        parts.append(
+            f"a{t} AS (SELECT o_custkey, cid AS seg FROM (SELECT o_custkey, cid, "
+            f"row_number() OVER (PARTITION BY o_custkey ORDER BY d2, cid) AS rk FROM dd{t}) r "
+            f"WHERE rk = 1)"
+        )
+        if t < RFM_ROUNDS:
+            parts.append(
+                f"c{t} AS (SELECT a.seg AS cid, z.d, "
+                f"CAST(round(CAST(sum(z.vu) AS DOUBLE) / count(*), 0) AS BIGINT) AS cu "
+                f"FROM a{t} a JOIN zs z ON a.o_custkey = z.o_custkey GROUP BY a.seg, z.d)"
+            )
+    final = f"""
+    SELECT a.seg AS segment, count(*) AS n_customers,
+           CAST(round(CAST(sum(f.f1) AS DOUBLE) / count(*), 0) AS BIGINT) AS avg_recency_days,
+           CAST(round(CAST(sum(f.f2) AS DOUBLE) / count(*), 0) AS BIGINT) AS avg_frequency,
+           CAST(round(CAST(sum(f.f3) AS DOUBLE) / count(*) / 100, 0) AS BIGINT) AS avg_monetary
+    FROM a{RFM_ROUNDS} a JOIN feat f ON a.o_custkey = f.o_custkey
+    GROUP BY a.seg
+    ORDER BY segment
+    """
+    return "WITH " + ",\n".join(parts) + final
+
+
+@register("customers_rfm_segments", oracle=_rfm_segments_sql("duckdb"))
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segmentation: deterministic k-means (k={RFM_K}) over
+    z-scored recency/frequency/monetary features — the behavioral-cluster
+    rollup a growth warehouse layers on customers_rfm's quartile scoring.
+    Reuses the exact-integer Lloyd discipline proven on the ANN index
+    (similarity._kmeans_fit_sql): z-scores divide exact integer moments,
+    features quantize to integer micro-units, every round's argmin and
+    centroid update is reduction-order-invariant — so the DuckDB oracle
+    replays the full fit and hash-matches, and the segmentation cannot
+    move with partition layout on a 1000-executor cluster.
+
+    Scale shape: the per-customer rollup shrinks orders to customer
+    cardinality before any k-means work; each Lloyd round is a k×3-row
+    broadcastable centroid join + key-local aggregates. Output is the
+    k-row segment profile."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(spark, sf_dir, _rfm_segments_sql("spark"))
+
+
+@register(
+    "events_ab_srm_check",
+    oracle="""
+    WITH arms AS (
+        SELECT user_id % 2 = 0 AS arm_a, user_id
+        FROM events GROUP BY user_id
+    ),
+    counts AS (
+        SELECT count(*) FILTER (WHERE arm_a)     AS n_a,
+               count(*) FILTER (WHERE NOT arm_a) AS n_b
+        FROM arms
+    )
+    SELECT n_a, n_b,
+           CASE WHEN n_a + n_b = 0 THEN NULL
+                ELSE round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                           / (n_a + n_b), 4) END AS chisq,
+           CASE WHEN n_a + n_b = 0 THEN NULL
+                ELSE CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                     / (n_a + n_b) > 3.841 END AS srm_detected
+    FROM counts
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) check for the A/B split used by
+    events_did_uplift: with an intended 50/50 user split, the 1-dof
+    chi-square over per-arm DISTINCT user counts is (n_a−n_b)²/(n_a+n_b);
+    crossing 3.841 (p < 0.05) flags a broken randomizer — the first gate
+    any experimentation pipeline runs before reading treatment effects.
+
+    Scale shape: one DISTINCT-user aggregate (map-side partial on
+    user_id), then scalar arithmetic on two counts. The division is
+    guarded so an empty feed yields the NULL-verdict row identically in
+    both engines (Spark returns NULL on x/0 where DuckDB returns inf)."""
+    from duckdb_fastlanes_spark.catalog import shared_ansi
+
+    return shared_ansi(spark, sf_dir, "events_ab_srm_check")
