@@ -9,7 +9,14 @@ public knowledge). Two things make the loop survive at scale:
 
 - ``localCheckpoint`` per iteration truncates lineage — without it the plan
   nests one join deeper per iteration and analysis/codegen time grows
-  superlinearly until the driver stalls;
+  superlinearly until the driver stalls. EAGER here by design (r9 A/B):
+  the fixpoint loop joins OLD state against NEW state whose plan contains
+  the old plan as a subtree — materializing each round first keeps that
+  comparison a join of two independent scans (lazy checkpoints flipped
+  dedup_cluster_cc's convergence, 47 -> 24 clusters, caught by the oracle
+  gate). Fixed-round loops without old-vs-new self-joins (pagerank, BFS,
+  k-core) use LAZY checkpoints instead — measured 15-20% faster because
+  the next action computes and caches the round in one job;
 - convergence is a single aggregated scalar per iteration (a count), the
   only data that ever reaches the driver.
 """
@@ -49,7 +56,23 @@ def min_label_propagation(
     aggregate. Returns ((id, label) DataFrame, iterations)."""
     from pyspark.sql import functions as F
 
-    both = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Both directions via ONE explode, never a self-union of the edge plan:
+    # unioning a plan with its own column-flipped projection is exactly the
+    # shape Catalyst's relation-deduplication can mis-rewrite when the plan
+    # is complex (CTE + DISTINCT + temp view) and nothing is materialized
+    # yet — observed as the flipped leg silently collapsing (both.count()
+    # returned |edges|, not 2|edges|) on the FIRST execution in a session,
+    # while later executions over warmed caches were correct. The exploded
+    # struct pair keeps one scan and is immune by construction (r9; caught
+    # by the dedup_cluster_cc oracle at 24 vs 47 components).
+    both = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
     both = both.localCheckpoint()
     nodes = both.select(F.col("a").alias("id")).distinct()
     labels0 = nodes.select("id", F.col("id").alias("label"))

@@ -205,23 +205,23 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rounds = []
     e = edges
     for r in range(1, KCORE_ROUNDS + 1):
         deg = (
-            e.select(F.col("s1").alias("node"))
-            .unionAll(e.select(F.col("s2").alias("node")))
+            # one-explode endpoint stream (see functions/iterate.py, r9)
+            e.select(F.explode(F.array("s1", "s2")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        keep = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint()
+        keep = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint(eager=False)
         e = (
             e.join(keep.select(F.col("node").alias("s1")), "s1")
             .join(keep.select(F.col("node").alias("s2")), "s2")
             .select("s1", "s2")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         rounds.append(
             keep.agg(

@@ -87,16 +87,26 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = (
-        pairs.selectExpr("c_node AS src", "s_node AS dst")
-        .unionAll(pairs.selectExpr("s_node AS src", "c_node AS dst"))
-        .localCheckpoint()  # reused by deg + every iteration: flat lineage
+        # both directions via one explode — see functions/iterate.py: a
+        # self-union of a plan with its own column-flipped projection can
+        # lose a leg on first execution (r9 fix)
+        pairs.select(
+            F.explode(
+                F.expr(
+                    "array(struct(c_node AS src, s_node AS dst),"
+                    " struct(s_node AS src, c_node AS dst))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=False)  # reused by deg + every iteration: flat lineage
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # degree-annotated edges materialize ONCE and feed every round; the
     # per-round rank frame is |nodes|-sized and 3 rounds deep at most, so
     # its lineage stays shallow without per-round checkpoints (open-ended
     # iteration — functions/iterate.py — checkpoints per round instead)
-    with_deg = edges.join(deg, "src").localCheckpoint()
+    with_deg = edges.join(deg, "src").localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # one scalar to the driver; state stays distributed
     if n_nodes == 0:
@@ -179,7 +189,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     deg = (
@@ -376,7 +386,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2"))
         .distinct()
-        .localCheckpoint()  # reused: adjacency, degree, anti-join
+        .localCheckpoint(eager=False)  # reused: adjacency, degree, anti-join
     )
     edges = pairs.selectExpr("s1 AS src", "s2 AS dst").unionAll(
         pairs.selectExpr("s2 AS src", "s1 AS dst")
@@ -505,11 +515,12 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = (
-        pairs.select(F.col("s1").alias("node"))
-        .unionAll(pairs.select(F.col("s2").alias("node")))
+        # endpoint stream via one explode: single scan of pairs, and immune
+        # to the unmaterialized-self-union rewrite hazard (r9)
+        pairs.select(F.explode(F.array("s1", "s2")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint()  # reused: histogram + node-count scalar
+        .localCheckpoint(eager=False)  # reused: histogram + node-count scalar
     )
     n_nodes_tot = deg.agg(F.count(F.lit(1)).alias("tot"))
     return (
@@ -570,9 +581,18 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = (
-        pairs.selectExpr("c_node AS src", "s_node AS dst")
-        .unionAll(pairs.selectExpr("s_node AS src", "c_node AS dst"))
-        .localCheckpoint()  # reused by all three rounds: flat lineage
+        # one-explode doubling — a flip-self-union of an unmaterialized plan
+        # can lose a leg (see functions/iterate.py, r9)
+        pairs.select(
+            F.explode(
+                F.expr(
+                    "array(struct(c_node AS src, s_node AS dst),"
+                    " struct(s_node AS src, c_node AS dst))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=False)  # reused by all three rounds: flat lineage
     )
     dist = spark.createDataFrame([("c1", 0)], "node string, dist int")
     for _ in range(3):

@@ -192,3 +192,36 @@ def test_pin_shuffle_hash_flips_join_strategy(spark, monkeypatch):
     monkeypatch.setattr(session, "SMALL_INPUT_BYTES", 0)
     plan_big = tpch_q9(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan_big
+
+
+def test_cluster_cc_first_call_in_fresh_session_covers_all_endpoints():
+    """Regression (r9): unioning a plan with its own column-flipped
+    projection — the old edge-doubling idiom in min_label_propagation —
+    silently LOST the flipped leg on the first execution in a session
+    (both.count() == |edges|, CC emitted 24 rows instead of 47), while any
+    session that had already materialized part of the plan was correct, so
+    in-session tests and full sweeps never saw it. The doubling is now a
+    single exploded struct array (immune by construction); this test pins
+    the first-call case by running dedup_cluster_cc as the FIRST query of
+    a brand-new interpreter and checking every pair endpoint gets a label."""
+    import subprocess
+    import sys
+
+    code = """
+import sys; sys.path.insert(0, "/root/repo")
+from duckdb_fastlanes_spark import get_spark
+from duckdb_fastlanes_spark.pipeline.dedup import dedup_cluster_cc, dedup_minhash_lsh
+spark = get_spark("cc-first-call")
+spark.sparkContext.setLogLevel("ERROR")
+sf = "%s"
+n_cc = dedup_cluster_cc(spark, sf).count()
+pairs = dedup_minhash_lsh(spark, sf).collect()
+endpoints = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+assert n_cc == len(endpoints), f"CC rows {n_cc} != endpoints {len(endpoints)}"
+print("OK", n_cc)
+""" % SF_DIR
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout
