@@ -153,8 +153,12 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_oracle() -> str:
+    # k{r}/e{r} are each referenced 3+ times (both IN-filters of the next
+    # round AND the census legs); DuckDB inlines CTEs by default, so
+    # without MATERIALIZED the peel chain re-evaluates multiplicatively
+    # through the rounds (measured 22.5 s -> sub-second at sf0.1)
     parts = [
-        "pairs AS (SELECT DISTINCT a.l_partkey AS s1, b.l_partkey AS s2 "
+        "pairs AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS s1, b.l_partkey AS s2 "
         "FROM lineitem a JOIN lineitem b "
         "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)",
         "e0 AS (SELECT s1, s2 FROM pairs)",
@@ -165,9 +169,11 @@ def _kcore_oracle() -> str:
             f"(SELECT s1 AS node FROM e{r-1} UNION ALL SELECT s2 FROM e{r-1}) u "
             f"GROUP BY node)"
         )
-        parts.append(f"k{r} AS (SELECT node FROM d{r} WHERE d >= {KCORE_K})")
         parts.append(
-            f"e{r} AS (SELECT s1, s2 FROM e{r-1} "
+            f"k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE d >= {KCORE_K})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT s1, s2 FROM e{r-1} "
             f"WHERE s1 IN (SELECT node FROM k{r}) "
             f"AND s2 IN (SELECT node FROM k{r}))"
         )
@@ -205,7 +211,7 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     rounds = []
     e = edges
@@ -216,12 +222,12 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        keep = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint(eager=False)
+        keep = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint()
         e = (
             e.join(keep.select(F.col("node").alias("s1")), "s1")
             .join(keep.select(F.col("node").alias("s2")), "s2")
             .select("s1", "s2")
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         rounds.append(
             keep.agg(

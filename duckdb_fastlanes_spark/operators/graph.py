@@ -189,7 +189,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     deg = (
@@ -386,7 +386,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2"))
         .distinct()
-        .localCheckpoint(eager=False)  # reused: adjacency, degree, anti-join
+        .localCheckpoint()  # reused: adjacency, degree, anti-join
     )
     edges = pairs.selectExpr("s1 AS src", "s2 AS dst").unionAll(
         pairs.selectExpr("s2 AS src", "s1 AS dst")
@@ -520,7 +520,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.explode(F.array("s1", "s2")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=False)  # reused: histogram + node-count scalar
+        .localCheckpoint()  # reused: histogram + node-count scalar
     )
     n_nodes_tot = deg.agg(F.count(F.lit(1)).alias("tot"))
     return (
@@ -592,7 +592,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .localCheckpoint(eager=False)  # reused by all three rounds: flat lineage
+        .localCheckpoint()  # reused by all three rounds: flat lineage
     )
     dist = spark.createDataFrame([("c1", 0)], "node string, dist int")
     for _ in range(3):
