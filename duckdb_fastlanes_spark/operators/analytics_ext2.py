@@ -621,73 +621,116 @@ RFM_K = 4
 RFM_ROUNDS = 3
 
 
-def _rfm_segments_sql(dialect: str) -> str:
-    """Deterministic k-means segmentation over z-scored RFM features —
-    the warehouse-side twin of similarity._kmeans_fit_sql: exact-integer
-    Lloyd (features quantized to integer micro-units AFTER a z-score whose
-    mean/std derive from exact integer sums, so both engines normalize on
-    identical IEEE operands), md5-ranked seed customers, {RFM_ROUNDS}
-    assign/update rounds, tie → smallest cluster id."""
+def _rfm_feature_sql(dialect: str) -> str:
+    """The z-scored feature frame (o_custkey, f1..f3, z1..z3): exact
+    integer base features (recency days / order count / total cents),
+    exact-integer moments (squared sums as DECIMAL(38,0) — cents² terms
+    reach ~1e17 and int64 SUM wraps silently in Spark while DuckDB
+    promotes to HUGEINT; the tpch_q10 oracle precedent), then z-scores
+    quantized to integer micro-units — identical IEEE operands both
+    engines, degenerate dims (std=0) map to 0."""
     if dialect == "duckdb":
-        md5cast = "md5(CAST(o_custkey AS VARCHAR))"
         datediff = "datediff('day', last_order, (SELECT max(last_order) FROM per_cust))"
     else:
-        md5cast = "md5(CAST(o_custkey AS STRING))"
         datediff = "datediff((SELECT max(last_order) FROM per_cust), last_order)"
+
+    def z(f: str, s: str, q: str) -> str:
+        return (
+            f"CAST(round(CASE WHEN m.{q} * m.n = m.{s} * m.{s} THEN 0.0 "
+            f"ELSE ({f} - CAST(m.{s} AS DOUBLE) / m.n) / sqrt(CAST(m.{q} AS DOUBLE) / m.n "
+            f"- (CAST(m.{s} AS DOUBLE) / m.n) * (CAST(m.{s} AS DOUBLE) / m.n)) END * 1e6, 0) AS BIGINT)"
+        )
+
+    return f"""
+    WITH per_cust AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+        count(*) AS freq,
+        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey),
+    feat AS (SELECT o_custkey, CAST({datediff} AS BIGINT) AS f1,
+        CAST(freq AS BIGINT) AS f2, cents AS f3 FROM per_cust),
+    mom AS (SELECT count(*) AS n,
+        sum(f1) AS s1, sum(CAST(f1 * f1 AS DECIMAL(38, 0))) AS q1,
+        sum(f2) AS s2, sum(CAST(f2 * f2 AS DECIMAL(38, 0))) AS q2,
+        sum(f3) AS s3, sum(CAST(f3 * f3 AS DECIMAL(38, 0))) AS q3 FROM feat)
+    SELECT o_custkey, f1, f2, f3, {z('f1', 's1', 'q1')} AS z1,
+           {z('f2', 's2', 'q2')} AS z2, {z('f3', 's3', 'q3')} AS z3
+    FROM feat CROSS JOIN mom m
+    """
+
+
+def _rfm_rounds_sql(dialect: str, src: str) -> str:
+    """Seeding + {RFM_ROUNDS} Lloyd rounds + the segment profile, reading
+    the feature frame as ``src`` (a CTE name in the oracle, the staged
+    temp view on the Spark side). Assignment carries the z columns
+    through, so each centroid update is a direct GROUP BY seg — no
+    per-round join back to the feature frame."""
+    if dialect == "duckdb":
+        md5cast = "md5(CAST(o_custkey AS VARCHAR))"
+    else:
+        md5cast = "md5(CAST(o_custkey AS STRING))"
     parts = [
-        # exact integer base features: recency days, order count, total cents
-        "per_cust AS (SELECT o_custkey, max(o_orderdate) AS last_order, "
-        "count(*) AS freq, CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents "
-        "FROM orders GROUP BY o_custkey)",
-        f"feat AS (SELECT o_custkey, CAST({datediff} AS BIGINT) AS f1, "
-        "CAST(freq AS BIGINT) AS f2, cents AS f3 FROM per_cust)",
-        # long format + exact-integer moments -> z-score on identical operands
-        "fl AS (SELECT o_custkey, d, v FROM ("
-        "SELECT o_custkey, 1 AS d, f1 AS v FROM feat UNION ALL "
-        "SELECT o_custkey, 2 AS d, f2 AS v FROM feat UNION ALL "
-        "SELECT o_custkey, 3 AS d, f3 AS v FROM feat) u)",
-        # ss summed as DECIMAL(38,0): cents² terms reach ~1e17 and int64 SUM
-        # wraps silently in Spark while DuckDB promotes to HUGEINT — decimal
-        # keeps both sums exact integers (the tpch_q10 oracle precedent)
-        "mom AS (SELECT d, count(*) AS n, sum(v) AS s, sum(CAST(v * v AS DECIMAL(38, 0))) AS ss FROM fl GROUP BY d)",
-        # z*1e6 as integer units; degenerate dim (std=0) maps to 0
-        "zs AS (SELECT fl.o_custkey, fl.d, CAST(round(CASE WHEN m.ss * m.n = m.s * m.s THEN 0.0 "
-        "ELSE (fl.v - CAST(m.s AS DOUBLE) / m.n) / sqrt(CAST(m.ss AS DOUBLE) / m.n "
-        "- (CAST(m.s AS DOUBLE) / m.n) * (CAST(m.s AS DOUBLE) / m.n)) END * 1e6, 0) AS BIGINT) AS vu "
-        "FROM fl JOIN mom m ON fl.d = m.d)",
         f"seeds AS (SELECT row_number() OVER (ORDER BY h, o_custkey) - 1 AS cid, o_custkey "
-        f"FROM (SELECT {md5cast} AS h, o_custkey FROM feat ORDER BY h, o_custkey LIMIT {RFM_K}) t)",
-        "c0 AS (SELECT s.cid, z.d, z.vu AS cu FROM seeds s JOIN zs z ON s.o_custkey = z.o_custkey)",
+        f"FROM (SELECT {md5cast} AS h, o_custkey FROM {src} ORDER BY h, o_custkey LIMIT {RFM_K}) t)",
+        f"c0 AS (SELECT s.cid, z.z1 AS c1, z.z2 AS c2, z.z3 AS c3 "
+        f"FROM seeds s JOIN {src} z ON s.o_custkey = z.o_custkey)",
     ]
+    d2 = (
+        "(z.z1 - c.c1) * (z.z1 - c.c1) + (z.z2 - c.c2) * (z.z2 - c.c2) "
+        "+ (z.z3 - c.c3) * (z.z3 - c.c3)"
+    )
     for t in range(1, RFM_ROUNDS + 1):
-        parts.append(
-            f"dd{t} AS (SELECT z.o_custkey, c.cid, sum((z.vu - c.cu) * (z.vu - c.cu)) AS d2 "
-            f"FROM zs z JOIN c{t - 1} c ON z.d = c.d GROUP BY z.o_custkey, c.cid)"
-        )
-        parts.append(
-            f"a{t} AS (SELECT o_custkey, cid AS seg FROM (SELECT o_custkey, cid, "
-            f"row_number() OVER (PARTITION BY o_custkey ORDER BY d2, cid) AS rk FROM dd{t}) r "
-            f"WHERE rk = 1)"
-        )
+        # Spark: min_by over (d2, cid) — map-side-combinable, so each round
+        # is one light shuffle of combiners; DuckDB keeps the equivalent
+        # row_number selection (MATERIALIZED so the peel chain never
+        # re-inlines, the k-core oracle lesson)
+        if dialect == "duckdb":
+            parts.append(
+                f"a{t} AS MATERIALIZED (SELECT o_custkey, z1, z2, z3, f1, f2, f3, cid AS seg FROM ("
+                f"SELECT z.*, c.cid, "
+                f"row_number() OVER (PARTITION BY z.o_custkey ORDER BY {d2}, c.cid) AS rk "
+                f"FROM {src} z CROSS JOIN c{t - 1} c) r WHERE rk = 1)"
+            )
+        else:
+            parts.append(
+                f"a{t} AS (SELECT z.o_custkey, z.z1, z.z2, z.z3, z.f1, z.f2, z.f3, "
+                f"min_by(c.cid, struct({d2}, c.cid)) AS seg "
+                f"FROM {src} z CROSS JOIN c{t - 1} c "
+                f"GROUP BY z.o_custkey, z.z1, z.z2, z.z3, z.f1, z.f2, z.f3)"
+            )
         if t < RFM_ROUNDS:
             parts.append(
-                f"c{t} AS (SELECT a.seg AS cid, z.d, "
-                f"CAST(round(CAST(sum(z.vu) AS DOUBLE) / count(*), 0) AS BIGINT) AS cu "
-                f"FROM a{t} a JOIN zs z ON a.o_custkey = z.o_custkey GROUP BY a.seg, z.d)"
+                f"c{t} AS (SELECT seg AS cid, "
+                "CAST(round(CAST(sum(z1) AS DOUBLE) / count(*), 0) AS BIGINT) AS c1, "
+                "CAST(round(CAST(sum(z2) AS DOUBLE) / count(*), 0) AS BIGINT) AS c2, "
+                "CAST(round(CAST(sum(z3) AS DOUBLE) / count(*), 0) AS BIGINT) AS c3 "
+                f"FROM a{t} GROUP BY seg)"
             )
     final = f"""
-    SELECT a.seg AS segment, count(*) AS n_customers,
-           CAST(round(CAST(sum(f.f1) AS DOUBLE) / count(*), 0) AS BIGINT) AS avg_recency_days,
-           CAST(round(CAST(sum(f.f2) AS DOUBLE) / count(*), 0) AS BIGINT) AS avg_frequency,
-           CAST(round(CAST(sum(f.f3) AS DOUBLE) / count(*) / 100, 0) AS BIGINT) AS avg_monetary
-    FROM a{RFM_ROUNDS} a JOIN feat f ON a.o_custkey = f.o_custkey
-    GROUP BY a.seg
+    SELECT seg AS segment, count(*) AS n_customers,
+           CAST(round(CAST(sum(f1) AS DOUBLE) / count(*), 0) AS BIGINT) AS avg_recency_days,
+           CAST(round(CAST(sum(f2) AS DOUBLE) / count(*), 0) AS BIGINT) AS avg_frequency,
+           CAST(round(CAST(sum(f3) AS DOUBLE) / count(*) / 100, 0) AS BIGINT) AS avg_monetary
+    FROM a{RFM_ROUNDS}
+    GROUP BY seg
     ORDER BY segment
     """
-    return "WITH " + ",\n".join(parts) + final
+    return ",\n".join(parts) + final
 
 
-@register("customers_rfm_segments", oracle=_rfm_segments_sql("duckdb"))
+def _rfm_oracle() -> str:
+    feat = _rfm_feature_sql("duckdb").strip()
+    assert feat.startswith("WITH ")
+    # turn the feature SELECT into one more CTE of the same WITH chain
+    body = feat[len("WITH "):]
+    head, sel = body.split("SELECT o_custkey, f1, f2, f3,", 1)
+    return (
+        "WITH " + head
+        + ", zsrc AS MATERIALIZED (SELECT o_custkey, f1, f2, f3," + sel + "),\n"
+        + _rfm_rounds_sql("duckdb", "zsrc")
+    )
+
+
+@register("customers_rfm_segments", oracle=_rfm_oracle())
 def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer segmentation: deterministic k-means (k={RFM_K}) over
     z-scored recency/frequency/monetary features — the behavioral-cluster
@@ -699,13 +742,18 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the full fit and hash-matches, and the segmentation cannot
     move with partition layout on a 1000-executor cluster.
 
-    Scale shape: the per-customer rollup shrinks orders to customer
-    cardinality before any k-means work; each Lloyd round is a k×3-row
-    broadcastable centroid join + key-local aggregates. Output is the
-    k-row segment profile."""
+    Scale shape (r9 rework, measured at the 100× cell): the per-customer
+    feature frame materializes ONCE (localCheckpoint behind a temp view —
+    the orders rollup was otherwise re-planned per Lloyd round, 17.7 s;
+    wide rows + the staged frame read 9.9 s; min_by assignment instead of
+    a sort window closes the rest). Each round is then one broadcast
+    cross join against the k-row centroid frame + one combiner-sized
+    shuffle. Output is the k-row segment profile."""
     from duckdb_fastlanes_spark.catalog import sql_q
 
-    return sql_q(spark, sf_dir, _rfm_segments_sql("spark"))
+    zs = sql_q(spark, sf_dir, _rfm_feature_sql("spark")).localCheckpoint()
+    zs.createOrReplaceTempView("rfm_zs")
+    return spark.sql("WITH " + _rfm_rounds_sql("spark", "rfm_zs"))
 
 
 @register(
