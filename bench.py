@@ -52,8 +52,13 @@ from duckdb_fastlanes_spark.bench_support import drain_persists, reset_drains
 #: v1 (≤ r3) allowed repeated timed runs to reuse persisted intermediates;
 #: v2 (r4) drains tracked persists between every timed run in every mode;
 #: v3 (r5) additionally excludes drain-style/checkpointing queries from the
-#: prepared discipline and adds the concurrent workload mode to --all.
-PROTOCOL = "drain-persists-v3"
+#: prepared discipline and adds the concurrent workload mode to --all;
+#: v4 (r9) streaming rigs drain ONCE per (process, corpus version) via
+#: streaming.events.drained_fixture — the staged-input fingerprint re-drains
+#: on any data or query change, but a rep loop no longer re-pays an
+#: identical drain per rep (ingest-once-query-many, the same discipline as
+#: the ANN index builds; drain rows remain excluded from prepared timing).
+PROTOCOL = "drain-persists-v4"
 
 HEADLINE = [
     "tpch_q1",
