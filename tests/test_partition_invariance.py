@@ -94,6 +94,10 @@ REPRESENTATIVE = [
     # intersection counts — neighbor ranking must not move with file split
     "graph_k_core",  # r9: iterative peel over localCheckpointed edge state —
     # per-round node/edge census must be identical for any input layout
+    "customers_rfm_segments",  # r9: exact-integer Lloyd over z-scored RFM —
+    # the fit is reduction-order-invariant by construction; this pins it
+    "sketch_count_min_heavy_hitters",  # r9: integer hash family + mergeable
+    # counters — sketch cells must not depend on partition merge order
 ]
 
 
