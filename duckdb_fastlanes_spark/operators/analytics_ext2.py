@@ -792,3 +792,85 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_fastlanes_spark.catalog import shared_ansi
 
     return shared_ansi(spark, sf_dir, "events_ab_srm_check")
+
+
+#: HyperLogLog geometry: m = 64 registers (6-bit bucket index), 26-bit
+#: rank domain from a 32-bit md5-derived hash; alpha_64 per Flajolet 2007
+HLL_M = 64
+HLL_ALPHA = 0.709
+
+
+def _hll_sql(dialect: str) -> str:
+    """HyperLogLog cardinality estimate vs exact distinct count — built
+    register-by-register in SQL from deterministic md5 hashes, so BOTH
+    engines compute the identical sketch and the estimate hash-checks
+    exactly (the agg_approx_sketch / Count-Min mergeable-summary family;
+    Flajolet/Fusy/Gandouet/Meunier 2007 is public). rank = leading zeros
+    of the 26-bit suffix + 1 via floor(log2) on exact integers; empty
+    registers enter the harmonic sum as 2^0; the standard small-range
+    correction (E ≤ 2.5m with empty registers → linear counting) applies
+    identically on both sides."""
+    if dialect == "duckdb":
+        hv = ("SELECT CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) "
+              "AS UINTEGER) AS BIGINT) AS v FROM u")
+        buckets = f"SELECT unnest(range({HLL_M})) AS j"
+        idiv = "v // {m}"
+    else:
+        hv = ("SELECT CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) "
+              "AS BIGINT) AS v FROM u")
+        buckets = f"SELECT explode(sequence(0, {HLL_M - 1})) AS j"
+        idiv = "v DIV {m}"
+    idiv = idiv.format(m=HLL_M)
+    return f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    hv AS ({hv}),
+    split AS (SELECT v % {HLL_M} AS j, {idiv} AS w FROM hv),
+    ranks AS (
+        SELECT j, max(CASE WHEN w = 0 THEN 27
+                           ELSE 27 - (CAST(floor(log2(CAST(w AS DOUBLE))) AS INTEGER) + 1)
+                      END) AS mreg
+        FROM split GROUP BY j
+    ),
+    regs AS (
+        SELECT b.j, coalesce(r.mreg, 0) AS mreg
+        FROM ({buckets}) b LEFT JOIN ranks r ON b.j = r.j
+    ),
+    est AS (
+        SELECT {HLL_ALPHA} * {HLL_M} * {HLL_M} / sum(power(2.0, -mreg)) AS e_raw,
+               sum(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS zeros
+        FROM regs
+    ),
+    fin AS (
+        SELECT CASE WHEN e_raw <= 2.5 * {HLL_M} AND zeros > 0
+                    THEN {HLL_M} * ln({HLL_M} / CAST(zeros AS DOUBLE))
+                    ELSE e_raw END AS e
+        FROM est
+    )
+    SELECT {HLL_M} AS m,
+           (SELECT count(*) FROM u) AS n_exact,
+           CAST(round(e, 0) AS BIGINT) AS hll_estimate,
+           CASE WHEN (SELECT count(*) FROM u) = 0 THEN NULL
+                ELSE round((e - (SELECT count(*) FROM u))
+                           / (SELECT count(*) FROM u) * 100, 2) END AS rel_err_pct
+    FROM fin
+    """
+
+
+@register("sketch_hll_cardinality_audit", oracle=_hll_sql("duckdb"))
+def sketch_hll_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate audited against the exact count —
+    the third mergeable summary in the sketch family (approx quantiles,
+    Count-Min, HLL): 64 registers replace a distinct-set of any size, and
+    registers merge by per-cell max, which is what makes distinct counting
+    free to parallelize and re-aggregate at 100 TB (each partition sketches
+    locally; merging is elementwise max — no distinct shuffle).
+
+    Scale shape: one DISTINCT on the probe column (here kept so the EXACT
+    side exists to audit against; production drops it and feeds raw rows),
+    one 64-group aggregate, constant-size math after. Deterministic md5
+    registers → the estimate is engine- and layout-invariant, fully
+    hash-oracled. Empty feed → the single row reads (64, 0, 0, NULL) in
+    both engines."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(spark, sf_dir, _hll_sql("spark"))
