@@ -855,17 +855,36 @@ def write_fls_native(
         # otherwise accumulate footer-only files that every later read must
         # open (r8 ADVICE); a footer whose schema is missing one of our
         # columns still needs this generation for schema evolution.
-        incoming = {f.name for f in df.schema.fields}
+        empty_tbl = df.limit(0).toArrow()
+        incoming = {f.name: _logical_type(f.type) for f in empty_tbl.schema}
         if mode == "append":
+            # skip only when a footer already carries every incoming column
+            # AT a type the incoming one promotes into unchanged — a name
+            # match alone would silently drop an empty generation that
+            # widens a column's type (r9 ADVICE), defeating promote_ltype's
+            # schema-evolution purpose.
             for fn in os.listdir(path):
                 if fn.endswith(".fls"):
-                    have = {c["name"] for c in read_footer(os.path.join(path, fn))["schema"]}
-                    if incoming <= have:
+                    have = {
+                        c["name"]: c["type"]
+                        for c in read_footer(os.path.join(path, fn))["schema"]
+                    }
+                    def _absorbed(n: str, t: str) -> bool:
+                        if n not in have:
+                            return False
+                        try:
+                            return promote_ltype(have[n], t) == have[n]
+                        except TypeError:
+                            # incompatible — land the generation so the
+                            # read-side union surfaces the conflict
+                            return False
+
+                    if all(_absorbed(n, t) for n, t in incoming.items()):
                         return
         import uuid
 
         write_table(
-            df.limit(0).toArrow(),
+            empty_tbl,
             os.path.join(path, f"part-empty-{uuid.uuid4().hex[:8]}.fls"),
             row_group_size=row_group_size,
         )

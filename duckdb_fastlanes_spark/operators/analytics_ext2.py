@@ -308,8 +308,10 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT user_id % 2 = 0 AS treat,
-               epoch(ts) >= (SELECT floor((min(epoch(ts)) + max(epoch(ts))) / 2.0)
-                             FROM events) AS post,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 >= (SELECT floor((min(CAST(floor(epoch(ts)) AS BIGINT))
+                                   + max(CAST(floor(epoch(ts)) AS BIGINT))) / 2.0)
+                     FROM events) AS post,
                CAST(round(value * 100, 0) AS BIGINT) AS cents
         FROM events
     )
@@ -636,7 +638,7 @@ def _rfm_feature_sql(dialect: str) -> str:
 
     def z(f: str, s: str, q: str) -> str:
         return (
-            f"CAST(round(CASE WHEN m.{q} * m.n = m.{s} * m.{s} THEN 0.0 "
+            f"CAST(round(CASE WHEN m.{q} * m.n = CAST(m.{s} AS DECIMAL(38, 0)) * m.{s} THEN 0.0 "
             f"ELSE ({f} - CAST(m.{s} AS DOUBLE) / m.n) / sqrt(CAST(m.{q} AS DOUBLE) / m.n "
             f"- (CAST(m.{s} AS DOUBLE) / m.n) * (CAST(m.{s} AS DOUBLE) / m.n)) END * 1e6, 0) AS BIGINT)"
         )

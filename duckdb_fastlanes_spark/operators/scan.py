@@ -456,11 +456,41 @@ def scan_hive_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return True
         return False
 
-    # marker-without-files is a CACHE MISS, not a valid empty layout: an
-    # empty catalog sharing the basename would otherwise pin the fallback
-    # path forever for later real data (r8 ADVICE) — rewrite and re-check
-    if not (os.path.exists(marker) and _has_files()):
+    def _src_fingerprint() -> str:
+        # driver-side stat of the source files — distinguishes "this exact
+        # (possibly empty) corpus was already laid out" from "stale marker
+        # left by a different catalog sharing the basename" without
+        # touching executors (r9 ADVICE: a genuinely empty source must be
+        # written at most once per corpus version, not per call)
+        import hashlib
+
+        src = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(src):
+            paths = sorted(
+                os.path.join(r, f) for r, _, fs in os.walk(src) for f in fs
+            )
+        else:
+            paths = [src] if os.path.exists(src) else []
+        parts = []
+        for p in paths:
+            st = os.stat(p)
+            parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+        return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+    fp = _src_fingerprint()
+    empty_sentinel = os.path.join(out, f"_EMPTY_{fp}")
+    # marker-without-files is a cache miss UNLESS the verified-empty
+    # sentinel matches this exact source version: a stale marker from a
+    # different catalog sharing the basename rewrites once, while a
+    # genuinely empty corpus is written at most once per version (no
+    # unbounded rewrite churn / bench-thread write races — r9 ADVICE)
+    if not (
+        os.path.exists(marker)
+        and (_has_files() or os.path.exists(empty_sentinel))
+    ):
         write_fls(ev, out, partition_by=["event_type"])
+        if not _has_files():
+            open(empty_sentinel, "w").close()
     # empty source: the partitioned write lands no data files and schema
     # inference on the empty layout fails — fall back to the source frame
     # (the pruning demonstration needs data to prune)

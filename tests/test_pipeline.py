@@ -271,8 +271,24 @@ def test_kmeans_ivf_mean_recall_bound(spark):
         recall = hits / (S.N_QUERIES * S.TOP_K)
         assert recall >= 0.30, f"mean recall@{S.TOP_K} {recall:.2f} < 0.30"
         # exact pin: the fit is deterministic, so recall is a corpus
-        # constant — any change to quantization/init/iterations fails here
-        assert abs(recall - 0.34) < 1e-9, f"fit changed: recall now {recall}"
+        # constant — any change to quantization/init/iterations fails here.
+        # The pin is guarded by a corpus checksum (r9 ADVICE): a regenerated
+        # corpus (same generator, different rows) changes the constant
+        # without any fit change, so on checksum mismatch only the generic
+        # bound above gates and the pin is skipped with a visible note.
+        import hashlib
+        import os
+
+        emb = os.path.join(SF_DIR, "embeddings.parquet")
+        digest = hashlib.md5(open(emb, "rb").read()).hexdigest()
+        if digest == "d68af55d86db0576d8bd68a6857087bb":
+            assert abs(recall - 0.34) < 1e-9, f"fit changed: recall now {recall}"
+        else:
+            pytest.skip(
+                f"corpus regenerated (md5 {digest}); exact-recall pin not "
+                f"applicable — generic bound passed at {recall:.2f}. "
+                "Re-pin by updating the checksum + constant."
+            )
     finally:
         assigned.unpersist()
 
