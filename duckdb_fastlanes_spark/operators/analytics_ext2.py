@@ -637,18 +637,16 @@ RFM_K = 4
 RFM_ROUNDS = 3
 
 
-def _rfm_feature_sql(dialect: str) -> str:
-    """The z-scored feature frame (o_custkey, f1..f3, z1..z3): exact
-    integer base features (recency days / order count / total cents),
-    exact-integer moments (squared sums as DECIMAL(38,0) — cents² terms
-    reach ~1e17 and int64 SUM wraps silently in Spark while DuckDB
+def _rfm_feature_sql() -> str:
+    """DuckDB-oracle z-scored feature frame (o_custkey, f1..f3, z1..z3):
+    exact integer base features (recency days / order count / total
+    cents), exact-integer moments (squared sums as DECIMAL(38,0) — cents²
+    terms reach ~1e17 and int64 SUM wraps silently in Spark while DuckDB
     promotes to HUGEINT; the tpch_q10 oracle precedent), then z-scores
-    quantized to integer micro-units — identical IEEE operands both
-    engines, degenerate dims (std=0) map to 0."""
-    if dialect == "duckdb":
-        datediff = "datediff('day', last_order, (SELECT max(last_order) FROM per_cust))"
-    else:
-        datediff = "datediff((SELECT max(last_order) FROM per_cust), last_order)"
+    quantized to integer micro-units. The Spark side replays the SAME
+    IEEE operand sequence with driver-inlined constants (_rfm_zs);
+    degenerate dims (std=0) map to 0 via the exact decimal guard."""
+    datediff = "datediff('day', last_order, (SELECT max(last_order) FROM per_cust))"
 
     def z(f: str, s: str, q: str) -> str:
         return (
@@ -674,19 +672,85 @@ def _rfm_feature_sql(dialect: str) -> str:
     """
 
 
-def _rfm_rounds_sql(dialect: str, src: str) -> str:
-    """Seeding + {RFM_ROUNDS} Lloyd rounds + the segment profile, reading
-    the feature frame as ``src`` (a CTE name in the oracle, the staged
-    temp view on the Spark side). Assignment carries the z columns
-    through, so each centroid update is a direct GROUP BY seg — no
-    per-round join back to the feature frame."""
-    if dialect == "duckdb":
-        md5cast = "md5(CAST(o_custkey AS VARCHAR))"
-    else:
-        md5cast = "md5(CAST(o_custkey AS STRING))"
+#: per-customer rollup for the Spark-side staged RFM build: integer day
+#: index instead of the raw date so every downstream feature/moment is an
+#: exact-integer derivation (f1 = max(lo_days) - lo_days)
+_RFM_PC_SQL = """
+SELECT o_custkey,
+       CAST(datediff(max(o_orderdate), DATE '1970-01-01') AS BIGINT) AS lo_days,
+       CAST(count(*) AS BIGINT) AS f2,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS f3
+FROM orders GROUP BY o_custkey
+"""
+
+
+def _rfm_zs(spark: SparkSession, sf_dir: str):
+    """Spark-side staged z-scored feature frame, r10 shape: the per-customer
+    rollup checkpoints ONCE (the r9 form re-ran it three times — scalar
+    max subquery, moments branch, main branch), the global moments are one
+    O(1) collect, and the z constants (mean, sigma, the exact zero-variance
+    guard) are derived driver-side in arbitrary-precision Python ints and
+    inlined as literals, so zs is a NARROW projection over the checkpoint.
+
+    Exactness: s1/q1 come from the integer identity Σ(M-d) = nM - Σd and
+    Σ(M-d)² = nM² - 2MΣd + Σd² (Python ints = the oracle's HUGEINT/decimal
+    values bit-for-bit); mu = float(s)/n and var = float(q)/n - mu*mu
+    replay the oracle's CAST(... AS DOUBLE) IEEE sequence operand for
+    operand, so the per-row z expression divides identical doubles in both
+    engines. Returns None on an empty orders table."""
+    import math
+
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    pc = sql_q(spark, sf_dir, _RFM_PC_SQL).localCheckpoint()
+    m = pc.selectExpr(
+        "count(*) AS n",
+        "max(lo_days) AS maxlo",
+        "sum(lo_days) AS sl",
+        "sum(CAST(lo_days * lo_days AS DECIMAL(38, 0))) AS ql",
+        "sum(f2) AS s2",
+        "sum(CAST(f2 * f2 AS DECIMAL(38, 0))) AS q2",
+        "sum(f3) AS s3",
+        "sum(CAST(f3 * f3 AS DECIMAL(38, 0))) AS q3",
+    ).collect()[0]
+    if m.n == 0:
+        pc.unpersist()
+        return None
+    n, M = int(m.n), int(m.maxlo)
+    s1 = n * M - int(m.sl)
+    q1 = n * M * M - 2 * M * int(m.sl) + int(m.ql)
+    moments = {
+        "f1": (s1, q1),
+        "f2": (int(m.s2), int(m.q2)),
+        "f3": (int(m.s3), int(m.q3)),
+    }
+    z_exprs = []
+    for i, (f, (s, q)) in enumerate(moments.items(), start=1):
+        if q * n == s * s:  # exact zero-variance guard (oracle's decimal compare)
+            z_exprs.append(f"CAST(0 AS BIGINT) AS z{i}")
+        else:
+            mu = float(s) / n
+            sigma = math.sqrt(float(q) / n - mu * mu)
+            z_exprs.append(
+                f"CAST(round((CAST({f} AS DOUBLE) - {mu!r}D) / {sigma!r}D"
+                f" * 1e6, 0) AS BIGINT) AS z{i}"
+            )
+    return pc.selectExpr(
+        "o_custkey", f"({M}L - lo_days) AS f1", "f2", "f3", *z_exprs
+    )
+
+
+def _rfm_rounds_sql(src: str) -> str:
+    """DuckDB-oracle replay: seeding + {RFM_ROUNDS} Lloyd rounds + the
+    segment profile, reading the feature frame as CTE ``src``. Assignment
+    carries the z columns through, so each centroid update is a direct
+    GROUP BY seg — no per-round join back to the feature frame. (The
+    Spark side no longer runs SQL rounds at all: r10 inlines the k-row
+    centroids as literals per round — see customers_rfm_segments.)"""
     parts = [
         f"seeds AS (SELECT row_number() OVER (ORDER BY h, o_custkey) - 1 AS cid, o_custkey "
-        f"FROM (SELECT {md5cast} AS h, o_custkey FROM {src} ORDER BY h, o_custkey LIMIT {RFM_K}) t)",
+        f"FROM (SELECT md5(CAST(o_custkey AS VARCHAR)) AS h, o_custkey FROM {src} "
+        f"ORDER BY h, o_custkey LIMIT {RFM_K}) t)",
         f"c0 AS (SELECT s.cid, z.z1 AS c1, z.z2 AS c2, z.z3 AS c3 "
         f"FROM seeds s JOIN {src} z ON s.o_custkey = z.o_custkey)",
     ]
@@ -695,24 +759,14 @@ def _rfm_rounds_sql(dialect: str, src: str) -> str:
         "+ (z.z3 - c.c3) * (z.z3 - c.c3)"
     )
     for t in range(1, RFM_ROUNDS + 1):
-        # Spark: min_by over (d2, cid) — map-side-combinable, so each round
-        # is one light shuffle of combiners; DuckDB keeps the equivalent
         # row_number selection (MATERIALIZED so the peel chain never
         # re-inlines, the k-core oracle lesson)
-        if dialect == "duckdb":
-            parts.append(
-                f"a{t} AS MATERIALIZED (SELECT o_custkey, z1, z2, z3, f1, f2, f3, cid AS seg FROM ("
-                f"SELECT z.*, c.cid, "
-                f"row_number() OVER (PARTITION BY z.o_custkey ORDER BY {d2}, c.cid) AS rk "
-                f"FROM {src} z CROSS JOIN c{t - 1} c) r WHERE rk = 1)"
-            )
-        else:
-            parts.append(
-                f"a{t} AS (SELECT z.o_custkey, z.z1, z.z2, z.z3, z.f1, z.f2, z.f3, "
-                f"min_by(c.cid, struct({d2}, c.cid)) AS seg "
-                f"FROM {src} z CROSS JOIN c{t - 1} c "
-                f"GROUP BY z.o_custkey, z.z1, z.z2, z.z3, z.f1, z.f2, z.f3)"
-            )
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT o_custkey, z1, z2, z3, f1, f2, f3, cid AS seg FROM ("
+            f"SELECT z.*, c.cid, "
+            f"row_number() OVER (PARTITION BY z.o_custkey ORDER BY {d2}, c.cid) AS rk "
+            f"FROM {src} z CROSS JOIN c{t - 1} c) r WHERE rk = 1)"
+        )
         if t < RFM_ROUNDS:
             parts.append(
                 f"c{t} AS (SELECT seg AS cid, "
@@ -734,7 +788,7 @@ def _rfm_rounds_sql(dialect: str, src: str) -> str:
 
 
 def _rfm_oracle() -> str:
-    feat = _rfm_feature_sql("duckdb").strip()
+    feat = _rfm_feature_sql().strip()
     assert feat.startswith("WITH ")
     # turn the feature SELECT into one more CTE of the same WITH chain
     body = feat[len("WITH "):]
@@ -742,7 +796,7 @@ def _rfm_oracle() -> str:
     return (
         "WITH " + head
         + ", zsrc AS MATERIALIZED (SELECT o_custkey, f1, f2, f3," + sel + "),\n"
-        + _rfm_rounds_sql("duckdb", "zsrc")
+        + _rfm_rounds_sql("zsrc")
     )
 
 
@@ -758,18 +812,82 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the full fit and hash-matches, and the segmentation cannot
     move with partition layout on a 1000-executor cluster.
 
-    Scale shape (r9 rework, measured at the 100× cell): the per-customer
-    feature frame materializes ONCE (localCheckpoint behind a temp view —
-    the orders rollup was otherwise re-planned per Lloyd round, 17.7 s;
-    wide rows + the staged frame read 9.9 s; min_by assignment instead of
-    a sort window closes the rest). Each round is then one broadcast
-    cross join against the k-row centroid frame + one combiner-sized
-    shuffle. Output is the k-row segment profile."""
-    from duckdb_fastlanes_spark.catalog import sql_q
+    Scale shape (r10 flatten, closing the r9 verdict's 80-exchange /
+    13-broadcast finding): the per-customer feature frame materializes
+    ONCE (localCheckpoint); each Lloyd round carries the k=4 centroids as
+    INLINED INTEGER LITERALS — collected driver-side (a documented O(k)
+    collect, k rows of 3 ints) — so a round is exactly one projection +
+    one combiner-sized shuffle over the staged frame, with no broadcast
+    and no re-exchange of the frame per unrolled CTE leg. Assignment is
+    array_min over a k-element literal struct array ((d2, cid) ordering =
+    the oracle's row_number tiebreak); centroid updates are exact-integer
+    sums, so the collected values are bit-identical to the DuckDB
+    replay's and the inlining cannot drift. The returned frame embeds the
+    final centroids as literals: ONE scan + ONE combiner shuffle at
+    execution."""
+    out_ddl = (
+        "segment int, n_customers bigint, avg_recency_days bigint, "
+        "avg_frequency bigint, avg_monetary bigint"
+    )
+    zs = _rfm_zs(spark, sf_dir)
+    if zs is None:
+        return spark.createDataFrame([], out_ddl)
+    # seeds: first RFM_K customers by md5(custkey) — the oracle's seed rule
+    seed_rows = (
+        zs.selectExpr("md5(CAST(o_custkey AS STRING)) AS h", "*")
+        .orderBy("h", "o_custkey")
+        .limit(RFM_K)
+        .select("z1", "z2", "z3")
+        .collect()
+    )
+    cents = [(i, int(r.z1), int(r.z2), int(r.z3)) for i, r in enumerate(seed_rows)]
 
-    zs = sql_q(spark, sf_dir, _rfm_feature_sql("spark")).localCheckpoint()
-    zs.createOrReplaceTempView("rfm_zs")
-    return spark.sql("WITH " + _rfm_rounds_sql("spark", "rfm_zs"))
+    def _seg_expr(cs: list[tuple[int, int, int, int]]) -> str:
+        alts = ", ".join(
+            f"struct((z1 - {c1}L) * (z1 - {c1}L) + (z2 - {c2}L) * (z2 - {c2}L)"
+            f" + (z3 - {c3}L) * (z3 - {c3}L) AS d2, {cid} AS cid)"
+            for cid, c1, c2, c3 in cs
+        )
+        return f"array_min(array({alts})).cid"
+
+    for _ in range(1, RFM_ROUNDS):
+        # centroid update in exact integers — reduction-order-invariant,
+        # so this O(k) collect equals the oracle's c_t row for row
+        cents = sorted(
+            (int(r.seg), int(r.c1), int(r.c2), int(r.c3))
+            for r in zs.selectExpr(f"{_seg_expr(cents)} AS seg", "z1", "z2", "z3")
+            .groupBy("seg")
+            .agg(
+                F.expr(
+                    "CAST(round(CAST(sum(z1) AS DOUBLE) / count(*), 0) AS BIGINT)"
+                ).alias("c1"),
+                F.expr(
+                    "CAST(round(CAST(sum(z2) AS DOUBLE) / count(*), 0) AS BIGINT)"
+                ).alias("c2"),
+                F.expr(
+                    "CAST(round(CAST(sum(z3) AS DOUBLE) / count(*), 0) AS BIGINT)"
+                ).alias("c3"),
+            )
+            .collect()
+        )
+
+    return (
+        zs.selectExpr(f"{_seg_expr(cents)} AS segment", "f1", "f2", "f3")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.expr(
+                "CAST(round(CAST(sum(f1) AS DOUBLE) / count(*), 0) AS BIGINT)"
+            ).alias("avg_recency_days"),
+            F.expr(
+                "CAST(round(CAST(sum(f2) AS DOUBLE) / count(*), 0) AS BIGINT)"
+            ).alias("avg_frequency"),
+            F.expr(
+                "CAST(round(CAST(sum(f3) AS DOUBLE) / count(*) / 100, 0) AS BIGINT)"
+            ).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
 
 
 @register(

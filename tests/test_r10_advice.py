@@ -152,7 +152,10 @@ def test_rfm_zero_variance_guard_exact_at_scale(spark, tmp_path):
     """Degenerate monetary dimension with sum(cents) = 4e9 (> int64-sqrt
     bound ~3.04e9, so a raw BIGINT s*s wraps): z3 must be exactly 0 in
     BOTH engines. 40 customers x 100 orders x $10,000.00 each."""
-    from duckdb_fastlanes_spark.operators.analytics_ext2 import _rfm_feature_sql
+    from duckdb_fastlanes_spark.operators.analytics_ext2 import (
+        _rfm_feature_sql,
+        _rfm_zs,
+    )
 
     root = str(tmp_path / "degen")
     os.makedirs(root)
@@ -166,11 +169,9 @@ def test_rfm_zero_variance_guard_exact_at_scale(spark, tmp_path):
     """
     _synth_catalog(root, {"orders": orders_sql})
 
-    from duckdb_fastlanes_spark.catalog import sql_q
-
     got = {
         r.o_custkey: (r.z1, r.z2, r.z3)
-        for r in sql_q(spark, root, _rfm_feature_sql("spark")).collect()
+        for r in _rfm_zs(spark, root).collect()
     }
     con = duckdb.connect()
     for t in TABLES:
@@ -180,7 +181,7 @@ def test_rfm_zero_variance_guard_exact_at_scale(spark, tmp_path):
         )
     exp = {
         r[0]: tuple(r[4:7])
-        for r in con.execute(_rfm_feature_sql("duckdb")).fetchall()
+        for r in con.execute(_rfm_feature_sql()).fetchall()
     }
     con.close()
     assert len(got) == 40
