@@ -69,6 +69,14 @@ _CLUSTER_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
 #: same pay-the-shuffle-once primitive (Hive/Iceberg bucket transforms).
 _BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
 _BUCKET_N = 32
+
+#: staged-layout parquet codec. lz4, not zstd (r10 A/B at the 1000x cell):
+#: scans dominate constructed-mode cost, and Spark's zstd decode of the
+#: 60 M-row 5-column lineitem pass ran 0.53 s warm / 2.6 s cold vs lz4's
+#: 0.44 s / 0.74 s (tools/q9_ab2.py session; snappy between). Disk cost is
+#: +22% on a local /tmp layout nobody ships. A cluster ingest would weigh
+#: network/storage economics differently — the constant is the knob.
+_LAYOUT_CODEC = "lz4"
 #: (dir_key, name) → (table_name, staged_dir, key); staging is on-disk and
 #: session-independent — registration into a session's catalog happens
 #: lazily in table() via CLUSTERED BY DDL over the staged files
@@ -138,7 +146,7 @@ def _stage_bucketed(spark: SparkSession, dir_key: str, out_root: str) -> None:
         src = os.path.join(dir_key, f"{name}.parquet")
         if not os.path.exists(src):
             continue
-        fp = source_fingerprint(dir_key, name, extra=f"bucket_v1:{_BUCKET_N}:{ck}")
+        fp = source_fingerprint(dir_key, name, extra=f"bucket_v2:{_LAYOUT_CODEC}:{_BUCKET_N}:{ck}")
         loc = os.path.join(out_root, f"{name}_b{_BUCKET_N}_{fp}")
         tname = f"dfs_{name}_b{_BUCKET_N}_{fp}"
         if os.path.exists(os.path.join(loc, "_SUCCESS")):
@@ -154,7 +162,7 @@ def _stage_bucketed(spark: SparkSession, dir_key: str, out_root: str) -> None:
                 .repartition(_BUCKET_N, ck)
                 .write.mode("overwrite")
                 .format("parquet")
-                .option("compression", "zstd")
+                .option("compression", _LAYOUT_CODEC)
                 .option("path", loc)
                 .bucketBy(_BUCKET_N, ck)
                 .sortBy(ck)
@@ -191,7 +199,8 @@ def optimize_layout(spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/df
         # cluster-key config must be restaged, or the old round-robin files
         # would silently serve forever (row counts alone can't tell)
         ck_marker = os.path.join(
-            dst, f"_LAYOUT_{_CLUSTER_KEYS.get(name, 'roundrobin')}"
+            dst,
+            f"_LAYOUT_{_CLUSTER_KEYS.get(name, 'roundrobin')}_{_LAYOUT_CODEC}",
         )
         if os.path.exists(os.path.join(dst, "_SUCCESS")) and os.path.exists(
             ck_marker
@@ -213,7 +222,7 @@ def optimize_layout(spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/df
             writer = src_df.repartition(n_files)
         else:
             writer = src_df
-        writer.write.mode("overwrite").option("compression", "zstd").parquet(dst)
+        writer.write.mode("overwrite").option("compression", _LAYOUT_CODEC).parquet(dst)
         with open(ck_marker, "w") as fh:
             fh.write("ok")
     _LAYOUT[key] = out_root
