@@ -57,8 +57,14 @@ from duckdb_fastlanes_spark.bench_support import drain_persists, reset_drains
 #: streaming.events.drained_fixture — the staged-input fingerprint re-drains
 #: on any data or query change, but a rep loop no longer re-pays an
 #: identical drain per rep (ingest-once-query-many, the same discipline as
-#: the ANN index builds; drain rows remain excluded from prepared timing).
-PROTOCOL = "drain-persists-v4"
+#: the ANN index builds; drain rows remain excluded from prepared timing);
+#: v5 (r10) adds the PAIRED phase: per headline query, N_PAIRS adjacent
+#: (spark, duck) runs with alternating order, ratio computed PER PAIR and
+#: the median reported — host drift inflates both pair halves equally, so
+#: the paired median cancels the shared-VM weather that min-of-N timed
+#: minutes apart cannot (the r9 headline drift was unadjudicable for
+#: exactly this reason; same discipline as tools/paired_cells.py).
+PROTOCOL = "drain-persists-v5-paired"
 
 HEADLINE = [
     "tpch_q1",
@@ -77,6 +83,8 @@ HEADLINE = [
 
 N_TIMED = 7  # min-of-N; shared-VM noise is ±50% on sub-200ms queries, and the
 # host's available CPU swings minute-to-minute — more samples tighten the min
+
+N_PAIRS = 5  # paired (spark, duck) adjacent runs per headline query (v5)
 
 
 def _timed(thunk) -> float:
@@ -231,6 +239,8 @@ def main() -> None:
     n_timed = 1 if all_mode else N_TIMED
     prep_times: dict[str, float] = {}
     cons_times: dict[str, float] = {}
+    # v5: per-query paired (spark, duck) ratios — see PROTOCOL
+    paired: dict[str, dict] = {}
     # per-query run dispersion (min is the headline statistic; median lets
     # the next reader separate shared-VM drift from a real regression —
     # identical cells measured up to 2× apart across rounds on this host)
@@ -273,6 +283,36 @@ def main() -> None:
                     )
                 except Exception:
                     pass
+                # v5 PAIRED phase: adjacent (spark-constructed, duck) runs,
+                # alternating which engine goes first, ratio per pair —
+                # weather-cancelling (see PROTOCOL note). Both engines are
+                # already warm from the phases above.
+                if not all_mode and name in base:
+                    try:
+                        ratios: list[float] = []
+                        for i in range(N_PAIRS):
+                            def _spark_once() -> float:
+                                drain_persists()
+                                return _timed(
+                                    lambda: qs[name](spark, sf_dir).toArrow()
+                                )
+
+                            def _duck_once() -> float:
+                                return _timed(
+                                    lambda: con.execute(sql).fetchall()
+                                )
+
+                            if i % 2 == 0:
+                                ts, td = _spark_once(), _duck_once()
+                            else:
+                                td, ts = _duck_once(), _spark_once()
+                            ratios.append(ts / td if td > 0 else float("inf"))
+                        paired[name] = {
+                            "ratios": [round(r, 3) for r in ratios],
+                            "median": round(statistics.median(ratios), 3),
+                        }
+                    except Exception:
+                        pass
                 if con_native is not None:
                     try:
                         con_native.execute(sql).fetchall()
@@ -305,6 +345,16 @@ def main() -> None:
         payload["queries_constructed"] = cons_times
         payload["constructed_total"] = round(sum(cons_times.values()), 3)
         side["queries_dispersion"] = dispersion
+    if paired:
+        # full per-query pair lists in the side artifact; the summary line
+        # carries the per-query medians (12 floats) + the overall median —
+        # the weather-cancelled grading number (verdict r9 item 3)
+        side["queries_paired"] = paired
+        med = {q: p["median"] for q, p in paired.items()}
+        payload["paired_ratio_by_query"] = med
+        payload["paired_ratio_median"] = round(
+            statistics.median(med.values()), 3
+        )
     if base:
         side["baseline_queries"] = base
         payload["baseline_total"] = round(sum(base.values()), 3)
@@ -407,7 +457,7 @@ def main() -> None:
     # EVERY mode and BEFORE the side record is emitted, so the stdout side
     # line and BENCH_SIDE.json never diverge (r7 ADVICE).
     line = json.dumps(payload)
-    for bulk_key in ("queries_constructed", "queries"):
+    for bulk_key in ("paired_ratio_by_query", "queries_constructed", "queries"):
         if len(line) <= 1500:
             break
         if bulk_key in payload:
