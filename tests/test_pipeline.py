@@ -345,11 +345,10 @@ def test_embed_text_unit_norm_and_determinism(spark):
 
 
 def test_multimodal_features_registry_invariants(spark):
-    """Registry-level invariant for the no-oracle `multimodal_features` entry
-    (mapInPandas decode is not SQL-expressible; the driver records rows-only):
-    one output row per document, deterministic across runs, decoded dims/luma
-    inside their contract ranges, and row count equal to the metadata query's
-    (the SQL-observable twin) so the decode path drops nothing."""
+    """r10: `multimodal_features` decodes REAL BMP bytes (full hash oracle in
+    the sweep); here pin the codec-level invariants: one row per document,
+    real header-derived dims/sizes, determinism, and that the decoder is
+    actually parsing (a corrupted magic byte must raise)."""
     from duckdb_fastlanes_spark import registry
 
     qs = registry.queries()
@@ -358,30 +357,68 @@ def test_multimodal_features_registry_invariants(spark):
     assert len(rows) == n_docs
     assert len({r.doc_id for r in rows}) == n_docs
     for r in rows[:50]:
-        assert r.media_format == "jpeg"
-        assert r.payload_bytes == 16
-        assert r.width > 0 and r.height > 0
-        assert 0.0 <= r.mean_luma <= 1.0 or 0.0 <= r.mean_luma <= 255.0
+        assert r.media_format == "bmp"
+        assert 4 <= r.width <= 63 and 4 <= r.height <= 63
+        row_bytes = (r.width * 3 + 3) // 4 * 4
+        assert r.payload_bytes == 14 + 40 + row_bytes * r.height
+        assert 0 <= r.mean_luma_micro <= 1_000_000
     rows2 = qs["multimodal_features"](spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
 
 
-def test_audio_features_invariants(spark):
+def test_bmp_writer_decoder_roundtrip_unit():
+    """The struct-level BMP writer/parser agree on geometry, padding, and the
+    exact pixel sum; a corrupted magic raises (the decoder reads bytes, not
+    metadata)."""
+    import pytest as _pytest
+
     from duckdb_fastlanes_spark.pipeline.multimodal import (
-        attach_media,
+        _bmp_params,
+        decode_bmp,
+        write_bmp,
+    )
+
+    h = "0123456789abcdef0123456789abcdef"
+    payload = write_bmp(h)
+    fmt, w, ht, nbytes, sum_luma = decode_bmp(payload)
+    ew, eht, pseed, pstep = _bmp_params(h)
+    assert (fmt, w, ht, nbytes) == ("bmp", ew, eht, len(payload))
+    assert sum_luma == sum(
+        (pseed + i * pstep) % 256 for i in range(ew * eht)
+    )
+    with _pytest.raises(ValueError):
+        decode_bmp(b"XX" + payload[2:])
+
+
+def test_audio_features_invariants(spark):
+    """r10: REAL WAV round-trip (full hash oracle in the sweep); pin the
+    codec-level invariants + a wave-module cross-check on one payload."""
+    from duckdb_fastlanes_spark.pipeline.multimodal import (
+        _wav_params,
+        attach_wav,
+        decode_wav,
         extract_audio_features,
+        write_wav,
     )
 
     d = table(spark, SF_DIR, "documents").limit(40)
-    rows = extract_audio_features(attach_media(d)).collect()
+    rows = extract_audio_features(attach_wav(d)).collect()
     assert len(rows) == 40
     for r in rows:
         assert r.sample_rate in (8000, 16000, 22050, 44100)
-        assert abs(r.duration_s - r.n_samples / r.sample_rate) < 1e-9
-        assert 1.0 <= r.duration_s <= 30.0
-        assert 0.0 <= r.rms_level <= 1.0
-    rows2 = extract_audio_features(attach_media(d)).collect()
+        assert 256 <= r.n_samples <= 511
+        assert r.duration_ms == r.n_samples * 1000 // r.sample_rate
+        assert 0 <= r.rms_milli <= 32768 * 1000
+    rows2 = extract_audio_features(attach_wav(d)).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    # unit: writer/decoder agree on the exact integer sum of squares
+    h = "fedcba9876543210fedcba9876543210"
+    rate, n, ss = decode_wav(write_wav(h))
+    erate, en, seed, step = _wav_params(h)
+    assert (rate, n) == (erate, en)
+    assert ss == sum(
+        ((seed + i * step) % 65536 - 32768) ** 2 for i in range(en)
+    )
 
 
 def test_hybrid_rrf_fusion_invariants(spark):
