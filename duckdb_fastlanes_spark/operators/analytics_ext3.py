@@ -1,0 +1,288 @@
+"""Round-10 analytics extensions: funnel conversion, cohort retention,
+ranking-quality (nDCG) evaluation, and a data-quality expectations gate.
+
+Beyond-reference LLM-data-pipeline / warehouse shapes (SURVEY.md §7 — the
+reference's SQL surface is vendored DuckDB; these compose the same public
+SQL primitives Spark-first). Every operator ships with a full DuckDB hash
+oracle and is empty-catalog-clean on arrival (the standing r9/r10 gate).
+
+Exactness discipline (the round-8/9 playbook): counts and sums stay in
+exact integers; every rate quantizes through the identical IEEE sequence
+(1000.0 * a / b, round, cast) on both engines; irrational per-rank nDCG
+weights are PRECOMPUTED ONCE in Python and inlined as integer literals in
+BOTH dialects, so no cross-engine libm ulp can leak into the hash."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duckdb_fastlanes_spark.registry import register
+
+#: nDCG evaluation geometry: queries = vec_id < NDCG_QUERIES, candidate pool
+#: = the next NDCG_POOL vectors (bounded cross join — the documented audit
+#: slice; the IVF cell restriction is the 100 TB path, ranking unchanged)
+NDCG_QUERIES = 8
+NDCG_POOL = 512
+NDCG_K = 10
+
+#: per-rank DCG weight in micro-units: round(1e6 / log2(r + 1)), inlined as
+#: integer literals in both dialects (see module docstring)
+_NDCG_W = [round(1_000_000 / math.log2(r + 1)) for r in range(1, NDCG_K + 1)]
+#: cumulative ideal-DCG table: _NDCG_CUM[n] = Σ weights of the top n ranks
+_NDCG_CUM = [sum(_NDCG_W[:n]) for n in range(1, NDCG_K + 1)]
+
+
+def _funnel_sql(epoch: str) -> str:
+    """view → click → purchase ordered funnel; ``epoch`` is the dialect's
+    µs-epoch expression over column ``e.ts`` / ``ts``."""
+    return f"""
+    WITH s1 AS (
+        SELECT user_id, min({epoch.format(c='ts')}) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min({epoch.format(c='e.ts')}) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND {epoch.format(c='e.ts')} >= s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min({epoch.format(c='e.ts')}) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND {epoch.format(c='e.ts')} >= s2.t2
+        GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT (SELECT count(DISTINCT user_id) FROM events) AS nu,
+               (SELECT count(*) FROM s1) AS n1,
+               (SELECT count(*) FROM s2) AS n2,
+               (SELECT count(*) FROM s3) AS n3
+    )
+    SELECT nu AS n_users, n1 AS n_view, n2 AS n_view_click, n3 AS n_full_funnel,
+           CASE WHEN n1 = 0 THEN NULL
+                ELSE CAST(round(1000.0 * n2 / n1, 0) AS BIGINT) END AS conv_click_milli,
+           CASE WHEN n2 = 0 THEN NULL
+                ELSE CAST(round(1000.0 * n3 / n2, 0) AS BIGINT) END AS conv_purchase_milli
+    FROM counts
+    """
+
+
+@register("events_funnel_conversion", oracle=_funnel_sql("epoch_us({c})"))
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion over the events stream — the canonical
+    product-analytics rollup: a user converts step k only by an event AT OR
+    AFTER their step-(k-1) time (first view → first subsequent click →
+    first subsequent purchase). One summary row: audience, per-step counts,
+    and step conversion rates in milli-units.
+
+    Scale shape: each step is one key-local aggregate on user_id; the two
+    step joins probe the previous step's (user, t) frame on the same key
+    (co-partitioned after one shuffle); the summary is four 1-row
+    aggregates cross-joined. Timestamps compare as exact epoch-µs BIGINTs
+    (unix_micros / epoch_us — no sub-second truncation band, the
+    events_did_uplift lesson). Empty feed: one (0, 0, 0, 0, NULL, NULL)
+    row in both engines."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(spark, sf_dir, _funnel_sql("unix_micros({c})"))
+
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _retention_sql(weekdiv: str) -> str:
+    """Weekly cohort retention; ``weekdiv`` is the dialect's floor-division
+    week-index expression over epoch µs."""
+    return f"""
+    WITH base AS (
+        SELECT user_id, {weekdiv} AS w
+        FROM events GROUP BY user_id, {weekdiv}
+    ),
+    firstw AS (SELECT user_id, min(w) AS cw FROM base GROUP BY user_id),
+    cohort AS (SELECT cw, count(*) AS n_cohort FROM firstw GROUP BY cw),
+    act AS (
+        SELECT f.cw, b.w - f.cw AS age_weeks, count(*) AS n_active
+        FROM base b JOIN firstw f ON b.user_id = f.user_id
+        GROUP BY f.cw, b.w - f.cw
+    )
+    SELECT a.cw AS cohort_week, a.age_weeks, c.n_cohort, a.n_active,
+           CAST(round(1000.0 * a.n_active / c.n_cohort, 0) AS BIGINT)
+             AS retention_milli
+    FROM act a JOIN cohort c ON a.cw = c.cw
+    ORDER BY cohort_week, age_weeks
+    """
+
+
+@register(
+    "events_retention_matrix",
+    oracle=_retention_sql(f"epoch_us(ts) // {_WEEK_US}"),
+)
+def events_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users cohorted by first-active epoch
+    week, counted in every later week they appear, reported as retention
+    per cohort-week × age — the growth-analytics twin of orders_cohort_ltv
+    on the event stream.
+
+    Scale shape: the user-week activity set is one map-side-combinable
+    group-by (events collapse to ≤ users × weeks rows before the shuffle);
+    the cohort join runs key-local on user_id; week indexing is exact
+    integer floor division of epoch µs, so cohort boundaries cannot drift
+    between engines or partition layouts. Empty feed: zero rows, both
+    engines."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(spark, sf_dir, _retention_sql(f"unix_micros(ts) DIV {_WEEK_US}"))
+
+
+def _ndcg_oracle() -> str:
+    w_list = ", ".join(str(x) for x in _NDCG_W)
+    cum_list = ", ".join(str(x) for x in _NDCG_CUM)
+    return f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < {NDCG_QUERIES + NDCG_POOL}),
+    q AS (SELECT * FROM v WHERE vec_id < {NDCG_QUERIES}),
+    pool AS (SELECT * FROM v WHERE vec_id >= {NDCG_QUERIES}),
+    ranked AS (
+        SELECT q.vec_id AS query_id, q.label AS qlabel, p.label AS plabel,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.e, p.e) DESC, p.vec_id
+               ) AS rk
+        FROM q CROSS JOIN pool p
+    ),
+    top AS (SELECT * FROM ranked WHERE rk <= {NDCG_K}),
+    scored AS (
+        SELECT query_id,
+               SUM(CASE WHEN plabel = qlabel
+                        THEN [{w_list}][rk] ELSE 0 END) AS dcg_micro,
+               CAST(count(*) FILTER (WHERE plabel = qlabel) AS BIGINT) AS n_rel
+        FROM top GROUP BY query_id
+    )
+    SELECT query_id, n_rel, CAST(dcg_micro AS BIGINT) AS dcg_micro,
+           CASE WHEN n_rel = 0 THEN NULL
+                ELSE CAST([{cum_list}][CAST(n_rel AS INTEGER)] AS BIGINT) END
+             AS idcg_micro,
+           CASE WHEN n_rel = 0 THEN NULL
+                ELSE CAST(round(1000.0 * dcg_micro
+                                / [{cum_list}][CAST(n_rel AS INTEGER)], 0) AS BIGINT)
+           END AS ndcg_milli
+    FROM scored
+    ORDER BY query_id
+    """
+
+
+@register("sim_ndcg_eval", oracle=_ndcg_oracle())
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{NDCG_K} of cosine retrieval against label relevance: for each
+    of the {NDCG_QUERIES} query vectors, rank a {NDCG_POOL}-vector pool by
+    cosine, score binary relevance (label match) with the standard
+    1/log2(rank+1) discount, and normalize by the ideal DCG — the ranking-
+    quality metric a retrieval pipeline gates embedding models on,
+    completing the eval family (recall: sim_ivf_recall, margin:
+    sim_label_margin, AUC: sim_auc_same_label, kNN accuracy:
+    sim_knn_label_eval).
+
+    Exactness: the irrational rank discounts are precomputed integer
+    micro-weights inlined into BOTH dialects (no cross-engine libm ulp);
+    DCG/IDCG are exact integer sums (reduction-order-invariant = safe on
+    any partition layout); only the final ratio divides — identical IEEE
+    operands both engines. Scale shape: the bounded audit slice broadcasts
+    {NDCG_QUERIES} queries against the pool scan; per-query ranking is a
+    window partitioned by query id. The 100 TB path swaps the bounded pool
+    for the IVF cell restriction (sim_ivf_topk) — scoring unchanged."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    w_arr = ", ".join(str(x) for x in _NDCG_W)
+    cum_arr = ", ".join(str(x) for x in _NDCG_CUM)
+    cos = (
+        "aggregate(zip_with(qe, pe, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+        " / (sqrt(aggregate(qe, 0D, (a, x) -> a + x * x))"
+        " * sqrt(aggregate(pe, 0D, (a, x) -> a + x * x)))"
+    )
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH v AS (SELECT vec_id, label, CAST(embedding AS array<double>) AS e
+                   FROM embeddings WHERE vec_id < {NDCG_QUERIES + NDCG_POOL}),
+        ranked AS (
+            SELECT query_id, qlabel, plabel,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY {cos} DESC, p_id
+                   ) AS rk
+            FROM (SELECT /*+ BROADCAST(q) */
+                         q.vec_id AS query_id, q.label AS qlabel, q.e AS qe,
+                         p.vec_id AS p_id, p.label AS plabel, p.e AS pe
+                  FROM (SELECT * FROM v WHERE vec_id < {NDCG_QUERIES}) q
+                  CROSS JOIN (SELECT * FROM v WHERE vec_id >= {NDCG_QUERIES}) p) c
+        ),
+        scored AS (
+            SELECT query_id,
+                   SUM(CASE WHEN plabel = qlabel
+                            THEN element_at(array({w_arr}), rk) ELSE 0 END) AS dcg_micro,
+                   CAST(count(CASE WHEN plabel = qlabel THEN 1 END) AS BIGINT) AS n_rel
+            FROM ranked WHERE rk <= {NDCG_K}
+            GROUP BY query_id
+        )
+        SELECT query_id, n_rel, CAST(dcg_micro AS BIGINT) AS dcg_micro,
+               CASE WHEN n_rel = 0 THEN NULL
+                    ELSE CAST(element_at(array({cum_arr}), CAST(n_rel AS INT)) AS BIGINT)
+               END AS idcg_micro,
+               CASE WHEN n_rel = 0 THEN NULL
+                    ELSE CAST(round(1000.0 * dcg_micro
+                              / element_at(array({cum_arr}), CAST(n_rel AS INT)), 0) AS BIGINT)
+               END AS ndcg_milli
+        FROM scored
+        ORDER BY query_id
+        """,
+    )
+
+
+_DQ_SQL = """
+WITH li AS (
+    SELECT count(*) AS n,
+           count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS v_qty,
+           count(*) FILTER (WHERE l_shipdate IS NULL) AS v_ship,
+           count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS v_disc
+    FROM lineitem
+),
+o AS (
+    SELECT count(*) AS n,
+           count(*) FILTER (WHERE o_totalprice <= 0) AS v_price
+    FROM orders
+),
+fk AS (
+    SELECT count(DISTINCT l_orderkey) AS n,
+           count(DISTINCT CASE WHEN o_orderkey IS NULL THEN l_orderkey END) AS v
+    FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+    LEFT JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT expectation, n_rows, n_violations, n_violations = 0 AS passed FROM (
+    SELECT 'lineitem.quantity_in_1_50' AS expectation, n AS n_rows, v_qty AS n_violations FROM li
+    UNION ALL SELECT 'lineitem.shipdate_not_null', n, v_ship FROM li
+    UNION ALL SELECT 'lineitem.discount_in_0_0.1', n, v_disc FROM li
+    UNION ALL SELECT 'orders.totalprice_positive', n, v_price FROM o
+    UNION ALL SELECT 'lineitem.orderkey_fk_resolves', n, v FROM fk
+) t
+ORDER BY expectation
+"""
+
+
+@register("dq_expectations_gate", oracle=_DQ_SQL)
+def dq_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations gate (the Great-Expectations shape a
+    training-data pipeline runs before every ingest): range, null, and
+    referential-integrity checks rolled up to one row per expectation with
+    violation counts and a pass flag.
+
+    Scale shape: ONE scan of lineitem computes all three of its conditional
+    counts (FILTER aggregates — map-side combinable), one scan of orders,
+    and the FK check is a distinct-key left join (keys only, both sides
+    pre-shrunk by DISTINCT before the join). The SAME ANSI text runs on
+    both engines. Empty catalog: all counts 0, every expectation passes —
+    five rows, both engines."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(spark, sf_dir, _DQ_SQL)

@@ -35,6 +35,7 @@ _MODULES = (
     "duckdb_fastlanes_spark.operators.relational_ext2",
     "duckdb_fastlanes_spark.operators.analytics_ext",
     "duckdb_fastlanes_spark.operators.analytics_ext2",
+    "duckdb_fastlanes_spark.operators.analytics_ext3",
     "duckdb_fastlanes_spark.operators.scan",
     "duckdb_fastlanes_spark.operators.sampling",
     "duckdb_fastlanes_spark.operators.joins",
