@@ -6,10 +6,13 @@ that hook made real on Spark: media travel as BinaryType columns with a typed
 metadata struct; decode / feature-extract run as Arrow-batched pandas
 functions over ``mapInPandas``.
 
-The image/audio codec libraries are not in this container, so the *decode*
-step is a deterministic fake behind ``decode_image`` (clearly marked); the
-Spark-side plumbing — schema, batch iteration, partition parallelism — is real
-and tested. Swap ``_fake_decode`` for PIL/libvips and nothing else changes.
+r10: BMP and WAV are REAL stdlib codecs (struct / wave, numpy-vectorized
+pixel/sample paths) with full DuckDB hash oracles — see the section marker
+below. Only the JPEG/video modality keeps a deterministic fake behind
+``decode_image`` (no JPEG codec in this container, and the type is dormant
+in the reference too); its Spark-side plumbing — schema, batch iteration,
+partition parallelism — is real and tested. Swap ``_fake_decode`` for
+PIL/libvips and nothing else changes.
 """
 
 from __future__ import annotations
@@ -154,20 +157,21 @@ def write_bmp(h: str) -> bytes:
     (pseed + (y*w + x) * pstep) % 256 in all three channels."""
     import struct
 
+    import numpy as np
+
     w, ht, pseed, pstep = _bmp_params(h)
     row_bytes = (w * 3 + 3) // 4 * 4
     data_size = row_bytes * ht
     header = struct.pack("<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40)
     info = struct.pack("<IiiHHIIiiII", 40, w, ht, 1, 24, 0, data_size, 2835, 2835, 0, 0)
-    rows = bytearray()
-    for y in range(ht - 1, -1, -1):  # bottom-up, top row last in logical order
-        row = bytearray()
-        for x in range(w):
-            v = (pseed + (y * w + x) * pstep) % 256
-            row += bytes((v, v, v))  # BGR
-        row += b"\x00" * (row_bytes - len(row))
-        rows += row
-    return header + info + bytes(rows)
+    # vectorized pixel synthesis (exact int semantics of the scalar loop):
+    # logical gray level v(y, x) = (pseed + (y*w + x) * pstep) % 256 in all
+    # three channels, rows stored bottom-up, each padded to 4 bytes
+    v = ((pseed + np.arange(ht * w, dtype=np.int64) * pstep) % 256).astype(np.uint8)
+    img = np.repeat(v, 3).reshape(ht, w * 3)  # BGR = vvv
+    padded = np.zeros((ht, row_bytes), dtype=np.uint8)
+    padded[:, : w * 3] = img[::-1]  # bottom-up storage
+    return header + info + padded.tobytes()
 
 
 def decode_bmp(payload: bytes) -> tuple[str, int, int, int, int]:
@@ -184,14 +188,19 @@ def decode_bmp(payload: bytes) -> tuple[str, int, int, int, int]:
     bpp = struct.unpack_from("<H", payload, 28)[0]
     if bpp != 24:
         raise ValueError(f"unsupported bpp {bpp}")
+    import numpy as np
+
     row_bytes = (w * 3 + 3) // 4 * 4
-    sum_luma = 0
-    for row in range(abs(ht)):
-        base = data_off + row * row_bytes
-        for x in range(w):
-            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
-            sum_luma += (b + g + r) // 3
-    return "bmp", w, abs(ht), len(payload), sum_luma
+    aht = abs(ht)
+    # vectorized walk of the padded rows — per-pixel (b+g+r)//3 summed,
+    # EXACTLY the scalar loop's integers (no channel-sum shortcut: with
+    # unequal channels Σ((b+g+r)//3) ≠ (Σ(b+g+r))//3)
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=aht * row_bytes, offset=data_off
+    ).reshape(aht, row_bytes)[:, : w * 3]
+    px = rows.reshape(aht, w, 3).astype(np.int32).sum(axis=2) // 3
+    sum_luma = int(px.sum(dtype=np.int64))
+    return "bmp", w, aht, len(payload), sum_luma
 
 
 #: decoded-BMP feature row (all-exact columns; luma in micro-units)
@@ -384,20 +393,20 @@ def write_wav(h: str) -> bytes:
     """Valid PCM16 mono WAV via the stdlib wave module: sample i is the
     sawtooth (seed + i*step) % 65536 - 32768."""
     import io
-    import struct
     import wave
+
+    import numpy as np
 
     rate, n, seed, step = _wav_params(h)
     buf = io.BytesIO()
+    samples = (
+        (seed + np.arange(n, dtype=np.int64) * step) % 65536 - 32768
+    ).astype("<i2")
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(rate)
-        w.writeframes(
-            struct.pack(
-                f"<{n}h", *(((seed + i * step) % 65536) - 32768 for i in range(n))
-            )
-        )
+        w.writeframes(samples.tobytes())
     return buf.getvalue()
 
 
@@ -406,18 +415,17 @@ def decode_wav(payload: bytes) -> tuple[int, int, int]:
     sum_of_squares) with the PCM16 frames decoded via struct — exact
     integers end-to-end."""
     import io
-    import struct
     import wave
+
+    import numpy as np
 
     with wave.open(io.BytesIO(payload), "rb") as w:
         if w.getnchannels() != 1 or w.getsampwidth() != 2:
             raise ValueError("expected PCM16 mono")
         rate = w.getframerate()
         n = w.getnframes()
-        samples = struct.unpack(f"<{n}h", w.readframes(n))
-    ss = 0
-    for s in samples:
-        ss += s * s
+        samples = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
+    ss = int((samples * samples).sum())
     return rate, n, ss
 
 
