@@ -254,8 +254,16 @@ o AS (
     FROM orders
 ),
 fk AS (
-    SELECT count(DISTINCT l_orderkey) AS n,
-           count(DISTINCT CASE WHEN o_orderkey IS NULL THEN l_orderkey END) AS v
+    -- the left side is already DISTINCT and o_orderkey is unique, so plain
+    -- counts suffice (a count(DISTINCT ...) pair would re-expand the join
+    -- output). MERGE pin: the column-pruned orders SIZE ESTIMATE slips
+    -- under the broadcast threshold while the actual 15 M-row build does
+    -- not (measured 8.8 s at the 1000x cell — the tpch_q9 lesson); both
+    -- facts are bucket-sorted on orderkey above the input gauge, so the
+    -- merge consumes the write-time shuffle with zero Exchange. DuckDB
+    -- parses /*+ */ as a comment — same text, both engines.
+    SELECT /*+ MERGE(orders) */ count(*) AS n,
+           count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS v
     FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
     LEFT JOIN orders ON l_orderkey = o_orderkey
 )
