@@ -292,9 +292,29 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     model (hex-substring params + a generate_series pixel sum), so the hash
     match proves the writer and the decoder agree on every byte of the BMP
     spec — r10 upgrade of the former rows-only stub (r9 verdict item 5).
-    Scale shape: one mapInPandas attach + one decode, no shuffle."""
-    d = table(spark, sf_dir, "documents")
-    return extract_bmp_features(attach_bmp(d)).orderBy("doc_id")
+    Scale shape: ONE fused mapInPandas stage (write → parse per batch) —
+    the unfused attach→extract pair round-trips every payload through
+    Arrow between two Python stages (~2 GB at the 1000× cell) for no
+    semantic gain; the bytes are still fully written AND re-parsed. The
+    two-stage composition stays exported (attach_bmp /
+    extract_bmp_features) for pipelines that persist the binary column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = write_bmp(hashlib.md5(text.encode("utf-8")).hexdigest())
+                fmt, w, ht, nbytes, sum_luma = decode_bmp(payload)
+                luma_micro = int(
+                    math.floor(float(sum_luma) / (w * ht) / 255.0 * 1000000 + 0.5)
+                )
+                rows.append((int(doc_id), fmt, w, ht, nbytes, luma_micro))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in BMP_FEATURE_SCHEMA.fields]
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(run, BMP_FEATURE_SCHEMA).orderBy("doc_id")
 
 
 #: schema of a resized-image row
@@ -506,10 +526,23 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the generative model (hex-substring params + a generate_series
     sum of squares), so the hash match proves writer and decoder agree on
     every frame — r10 upgrade of the former rows-only stub (r9 verdict
-    item 5). Scale shape: one mapInPandas attach + one decode, no
-    shuffle."""
-    d = table(spark, sf_dir, "documents")
-    return extract_audio_features(attach_wav(d)).orderBy("doc_id")
+    item 5). Scale shape: ONE fused mapInPandas stage (write → parse per
+    batch; see multimodal_features on why the unfused pair pays an Arrow
+    round-trip of the payloads for no semantic gain). attach_wav /
+    extract_audio_features stay exported for binary-column pipelines."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = write_wav(hashlib.md5(text.encode("utf-8")).hexdigest())
+                rate, n, ss = decode_wav(payload)
+                rms_milli = int(math.floor(math.sqrt(ss / n) * 1000 + 0.5))
+                rows.append((int(doc_id), rate, n, n * 1000 // rate, rms_milli))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(run, AUDIO_SCHEMA).orderBy("doc_id")
 
 
 @register(
