@@ -294,3 +294,78 @@ def dq_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_fastlanes_spark.catalog import sql_q
 
     return sql_q(spark, sf_dir, _DQ_SQL)
+
+
+def _hll_group_sql(dialect: str) -> str:
+    """Per-GROUP HyperLogLog: distinct users per event_type, one 64-register
+    sketch per group — the groupwise form of sketch_hll_cardinality_audit
+    (same deterministic md5 registers, same small-range correction), which
+    is the shape that matters at 100 TB: per-key distinct counting with NO
+    per-key distinct shuffle — every partition sketches its groups locally
+    and registers merge by (group, cell) max."""
+    from duckdb_fastlanes_spark.operators.analytics_ext2 import HLL_ALPHA, HLL_M
+
+    if dialect == "duckdb":
+        hv = ("CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) "
+              "AS UINTEGER) AS BIGINT)")
+        buckets = f"SELECT unnest(range({HLL_M})) AS j"
+        idiv = f"v // {HLL_M}"
+    else:
+        hv = f"CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        buckets = f"SELECT explode(sequence(0, {HLL_M - 1})) AS j"
+        idiv = f"v DIV {HLL_M}"
+    return f"""
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+    hv AS (SELECT event_type, {hv} AS v FROM u),
+    split AS (SELECT event_type, v % {HLL_M} AS j, {idiv} AS w FROM hv),
+    ranks AS (
+        SELECT event_type, j,
+               max(CASE WHEN w = 0 THEN 27
+                        ELSE 27 - (CAST(floor(log2(CAST(w AS DOUBLE))) AS INTEGER) + 1)
+                   END) AS mreg
+        FROM split GROUP BY event_type, j
+    ),
+    gs AS (SELECT DISTINCT event_type FROM u),
+    regs AS (
+        SELECT g.event_type, b.j, coalesce(r.mreg, 0) AS mreg
+        FROM gs g CROSS JOIN ({buckets}) b
+        LEFT JOIN ranks r ON r.event_type = g.event_type AND r.j = b.j
+    ),
+    est AS (
+        SELECT event_type,
+               {HLL_ALPHA} * {HLL_M} * {HLL_M} / sum(power(2.0, -mreg)) AS e_raw,
+               sum(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS zeros
+        FROM regs GROUP BY event_type
+    ),
+    ex AS (SELECT event_type, count(*) AS n_exact FROM u GROUP BY event_type),
+    fin AS (
+        SELECT event_type,
+               CASE WHEN e_raw <= 2.5 * {HLL_M} AND zeros > 0
+                    THEN {HLL_M} * ln({HLL_M} / CAST(zeros AS DOUBLE))
+                    ELSE e_raw END AS e
+        FROM est
+    )
+    SELECT f.event_type, x.n_exact,
+           CAST(round(e, 0) AS BIGINT) AS hll_estimate,
+           round((e - x.n_exact) / x.n_exact * 100, 2) AS rel_err_pct
+    FROM fin f JOIN ex x ON f.event_type = x.event_type
+    ORDER BY f.event_type
+    """
+
+
+@register("sketch_hll_by_group", oracle=_hll_group_sql("duckdb"))
+def sketch_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users PER EVENT TYPE via one HyperLogLog sketch per group,
+    audited against the exact per-group distinct — the groupwise mergeable
+    summary that replaces per-key count(DISTINCT) at 100 TB (the global
+    form is sketch_hll_cardinality_audit; the Count-Min sibling covers
+    frequencies). Each partition sketches its groups locally; merging is
+    (group, register) max — no distinct shuffle, combiner-sized exchange.
+
+    Deterministic md5 registers make the per-group estimates engine- and
+    layout-invariant, so the full result (estimate AND signed relative
+    error per group) hash-checks. Empty feed: zero groups, zero rows,
+    both engines."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(spark, sf_dir, _hll_group_sql("spark"))
