@@ -369,3 +369,56 @@ def sketch_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_fastlanes_spark.catalog import sql_q
 
     return sql_q(spark, sf_dir, _hll_group_sql("spark"))
+
+
+#: time-to-convert histogram bucket width (6 h in µs) and cap (7 days)
+_TTC_BUCKET_US = 6 * 3600 * 1_000_000
+_TTC_MAX_BUCKET = 28
+
+
+def _ttc_sql(epoch: str, intdiv: str) -> str:
+    return f"""
+    WITH first_view AS (
+        SELECT user_id, min({epoch}) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT e.user_id, min({epoch.replace('ts', 'e.ts')}) - f.t_view AS dt_us
+        FROM events e JOIN first_view f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+          AND {epoch.replace('ts', 'e.ts')} >= f.t_view
+        GROUP BY e.user_id, f.t_view
+    ),
+    b AS (
+        SELECT CASE WHEN {intdiv.format(x='dt_us', d=_TTC_BUCKET_US)} > {_TTC_MAX_BUCKET}
+                    THEN {_TTC_MAX_BUCKET}
+                    ELSE CAST({intdiv.format(x='dt_us', d=_TTC_BUCKET_US)} AS BIGINT)
+               END AS bucket
+        FROM conv
+    ),
+    hist AS (SELECT bucket, count(*) AS n_users FROM b GROUP BY bucket),
+    tot AS (SELECT sum(n_users) AS n FROM hist)
+    SELECT bucket, CAST(bucket * 6 AS BIGINT) AS from_hours, n_users,
+           CAST(round(1000.0 * n_users / n, 0) AS BIGINT) AS share_milli
+    FROM hist CROSS JOIN tot
+    ORDER BY bucket
+    """
+
+
+@register(
+    "events_time_to_convert",
+    oracle=_ttc_sql("epoch_us(ts)", "{x} // {d}"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert histogram: per user, first view → first subsequent
+    purchase latency, bucketed into 6-hour bins capped at 7 days — the
+    conversion-latency curve a growth team reads next to the funnel
+    (events_funnel_conversion gives WHO converts; this gives WHEN).
+
+    Scale shape: two key-local aggregates on user_id + a combiner-sized
+    histogram; latency arithmetic in exact epoch-µs integers, bucket index
+    by integer floor division (both engines bit-identical). Empty feed:
+    zero rows."""
+    from duckdb_fastlanes_spark.catalog import sql_q
+
+    return sql_q(spark, sf_dir, _ttc_sql("unix_micros(ts)", "{x} DIV {d}"))
