@@ -33,6 +33,9 @@ QUERIES = [
     "dq_expectations_gate",
     "multimodal_features",
     "multimodal_audio_features",
+    "scan_zorder_prune",
+    "sketch_hll_by_group",
+    "events_time_to_convert",
 ]
 PAIRS_QUADRATIC: set = set()
 
