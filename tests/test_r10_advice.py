@@ -189,3 +189,39 @@ def test_rfm_zero_variance_guard_exact_at_scale(spark, tmp_path):
         # frequency and monetary are degenerate -> exactly 0, never NaN/Inf
         assert z2 == 0 and z3 == 0, (cust, z2, z3)
         assert got[cust] == exp[cust], (cust, got[cust], exp[cust])
+
+
+def test_kcore_and_rfm_first_call_fresh_interpreter():
+    """Standing gate (the r9 flip-union lesson): every REWRITTEN iterative
+    operator must produce correct results as the FIRST query of a
+    brand-new interpreter — in-session tests can mask first-execution
+    plan-identity bugs. r10 rewrote graph_k_core (broadcast-filtered
+    monotone peel) and customers_rfm_segments (driver-inlined centroid
+    literals); both run fresh here and hash against the DuckDB oracle."""
+    import subprocess
+    import sys
+
+    code = """
+import sys; sys.path.insert(0, "/root/repo")
+import duckdb
+from duckdb_fastlanes_spark import get_spark, registry
+spark = get_spark("r10-fresh")
+spark.sparkContext.setLogLevel("ERROR")
+sf = "%s"
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+for name in ("graph_k_core", "customers_rfm_segments"):
+    got = sorted(map(tuple, registry.queries()[name](spark, sf).collect()))
+    exp = sorted(map(tuple, con.execute(registry.oracles()[name]).fetchall()))
+    assert len(got) == len(exp) and all(
+        str(a) == str(b) for ra, rb in zip(got, exp) for a, b in zip(ra, rb)
+    ), f"{name}: {got[:3]} vs {exp[:3]}"
+print("OK")
+""" % SF_DIR
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=600
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout
