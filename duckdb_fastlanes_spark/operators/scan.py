@@ -697,6 +697,14 @@ def scan_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = source_fingerprint(sf_dir, "lineitem", extra="zorder_v1")
     out = os.path.join(tempfile.gettempdir(), f"dfs_zorder_li_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        # atomic publish (the similarity._staged_index discipline): build
+        # in a pid-suffixed tmp root, rename into place when complete — two
+        # concurrent first callers can never interleave part-files, and a
+        # crash mid-build leaves only an ignored tmp dir
+        import shutil
+
+        tmp = f"{out}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
         z = F.expr(_zorder_expr("l_partkey", "l_suppkey"))
         n_files = 32
         (
@@ -705,8 +713,12 @@ def scan_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .sortWithinPartitions("_z")
             .drop("_z")
             .write.mode("overwrite")
-            .parquet(out)
+            .parquet(tmp)
         )
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner serves
 
     def _has_files() -> bool:
         return any(f.endswith(".parquet") for f in os.listdir(out))
