@@ -205,10 +205,15 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes over it (degree over the k_{r-1}-induced subgraph, census
     count over the k_r-induced subgraph) with only the SMALL node set
     (≤ |part|) checkpointed per round. No per-round edge shuffle, no
-    per-round edge materialization. At cluster scale the node set rides
-    a broadcast until it outgrows the threshold, where AQE falls back to
-    a shuffle join — the plan stays correct either way. Round results
-    are 1-row aggregates unioned lazily (no driver collect)."""
+    per-round edge materialization. The broadcast HINT is gated on the
+    measured node count (free: the set is already checkpointed, so
+    count() is an O(partitions) pass over materialized blocks) — an
+    unconditional hint would override autoBroadcastJoinThreshold with no
+    AQE fallback and risk driver OOM once the surviving set reaches
+    millions of nodes on a ~90 M-edge graph (r10 ADVICE item); above the
+    gate the optimizer chooses freely (shuffle join, or its own
+    broadcast if stats allow). Round results are 1-row aggregates
+    unioned lazily (no driver collect)."""
     from duckdb_fastlanes_spark.catalog import table
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -221,30 +226,38 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    def induced(active):
+    # hint gate: a BIGINT node id is ~8 B + row overhead; 4 M nodes keep the
+    # built hash relation well under spark.driver.maxResultSize / executor
+    # broadcast budgets. Beyond it, no hint — the optimizer decides.
+    KCORE_BROADCAST_NODES = 4_000_000
+
+    def induced(active, n_active=None):
         """e_0 restricted to endpoints in ``active`` (None = all)."""
         if active is None:
             return edges
-        return edges.join(
-            F.broadcast(active.select(F.col("node").alias("s1"))), "s1"
-        ).join(F.broadcast(active.select(F.col("node").alias("s2"))), "s2")
+        s1 = active.select(F.col("node").alias("s1"))
+        s2 = active.select(F.col("node").alias("s2"))
+        if n_active is not None and n_active <= KCORE_BROADCAST_NODES:
+            s1, s2 = F.broadcast(s1), F.broadcast(s2)
+        return edges.join(s1, "s1").join(s2, "s2")
 
     rounds = []
-    keep = None
+    keep, n_keep = None, None
     for r in range(1, KCORE_ROUNDS + 1):
         deg = (
             # one-explode endpoint stream (see functions/iterate.py, r9)
-            induced(keep)
+            induced(keep, n_keep)
             .select(F.explode(F.array("s1", "s2")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
         keep = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint()
+        n_keep = keep.count()  # O(blocks) over the fresh checkpoint
         rounds.append(
             keep.agg(
                 F.lit(r).alias("round"), F.count(F.lit(1)).alias("n_nodes")
             ).crossJoin(
-                induced(keep).agg(F.count(F.lit(1)).alias("n_edges"))
+                induced(keep, n_keep).agg(F.count(F.lit(1)).alias("n_edges"))
             )
         )
     out = rounds[0]

@@ -148,7 +148,8 @@ def _ndcg_oracle() -> str:
         SELECT q.vec_id AS query_id, q.label AS qlabel, p.label AS plabel,
                row_number() OVER (
                    PARTITION BY q.vec_id
-                   ORDER BY list_cosine_similarity(q.e, p.e) DESC, p.vec_id
+                   ORDER BY CAST(round(list_cosine_similarity(q.e, p.e)
+                                       * 1000000, 0) AS BIGINT) DESC, p.vec_id
                ) AS rk
         FROM q CROSS JOIN pool p
     ),
@@ -184,7 +185,12 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_label_margin, AUC: sim_auc_same_label, kNN accuracy:
     sim_knn_label_eval).
 
-    Exactness: the irrational rank discounts are precomputed integer
+    Exactness: the ranking key is the cosine QUANTIZED to integer
+    micro-units before the row_number ORDER BY in both dialects (vec_id
+    tiebreak) — DuckDB's list_cosine_similarity and the Spark zip_with
+    fold accumulate in different orders, and a raw-double sort would let
+    a ulp divergence on near-tied pool vectors flip rk (r10 ADVICE
+    item); the irrational rank discounts are precomputed integer
     micro-weights inlined into BOTH dialects (no cross-engine libm ulp);
     DCG/IDCG are exact integer sums (reduction-order-invariant = safe on
     any partition layout); only the final ratio divides — identical IEEE
@@ -210,7 +216,9 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked AS (
             SELECT query_id, qlabel, plabel,
                    row_number() OVER (
-                       PARTITION BY query_id ORDER BY {cos} DESC, p_id
+                       PARTITION BY query_id
+                       ORDER BY CAST(round(({cos}) * 1000000, 0) AS BIGINT)
+                                DESC, p_id
                    ) AS rk
             FROM (SELECT /*+ BROADCAST(q) */
                          q.vec_id AS query_id, q.label AS qlabel, q.e AS qe,

@@ -648,12 +648,34 @@ def _zorder_expr(a: str, b: str, bits: int = 21) -> str:
     """Morton (Z-order) interleave of the low ``bits`` bits of two BIGINT
     key expressions — disjoint target bits, so the terms sum without
     carries. Pure JVM bitwise ops (whole-stage codegen), used once at
-    ingest time."""
+    ingest time. Callers must fit the keys into the bit budget first
+    (see ``_zorder_scaled_expr``) — bits above position ``bits-1`` are
+    discarded by construction."""
     terms = []
     for i in range(bits):
         terms.append(f"shiftleft(shiftright({a}, {i}) & 1, {2 * i})")
         terms.append(f"shiftleft(shiftright({b}, {i}) & 1, {2 * i + 1})")
     return " + ".join(terms)
+
+
+def _zorder_scaled_expr(a: str, b: str, dom: dict[str, tuple[int, int]],
+                        bits: int = 21) -> str:
+    """Z-order expression with each key DOMAIN-SCALED into the ``bits``
+    budget before interleaving: k → (k - min) * (2^bits - 1) DIV
+    max(max - min, 1), a monotone map that keeps clustering quality for
+    ANY key domain instead of silently truncating keys above 2^bits
+    (l_partkey exceeds 2^21 past ~SF10 — r10 ADVICE item). ``dom`` maps
+    column → (min, max), measured once at stage time. Explicit BIGINT
+    casts guard 32-bit inputs; the scale product stays in int64 for
+    domains up to ~2^41 (width 2^41 × scale 2^21 < 2^63)."""
+    top = (1 << bits) - 1
+
+    def scaled(col: str) -> str:
+        lo, hi = dom[col]
+        return (f"((CAST({col} AS BIGINT) - {lo}) * {top} "
+                f"DIV {max(hi - lo, 1)})")
+
+    return _zorder_expr(scaled(a), scaled(b), bits)
 
 
 @register(
@@ -694,7 +716,7 @@ def scan_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
-    tag = source_fingerprint(sf_dir, "lineitem", extra="zorder_v1")
+    tag = source_fingerprint(sf_dir, "lineitem", extra="zorder_v2")
     out = os.path.join(tempfile.gettempdir(), f"dfs_zorder_li_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         # atomic publish (the similarity._staged_index discipline): build
@@ -705,7 +727,19 @@ def scan_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         tmp = f"{out}.tmp-{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
-        z = F.expr(_zorder_expr("l_partkey", "l_suppkey"))
+        # measure the key domains once (pay-once, same class as the range
+        # shuffle below) so the Morton map never truncates high bits
+        dom_row = li.agg(
+            F.min("l_partkey"), F.max("l_partkey"),
+            F.min("l_suppkey"), F.max("l_suppkey"),
+        ).first()
+        if dom_row[0] is None:  # empty source: nothing to stage
+            dom_row = (0, 0, 0, 0)
+        dom = {
+            "l_partkey": (int(dom_row[0]), int(dom_row[1])),
+            "l_suppkey": (int(dom_row[2]), int(dom_row[3])),
+        }
+        z = F.expr(_zorder_scaled_expr("l_partkey", "l_suppkey", dom))
         n_files = 32
         (
             li.withColumn("_z", z)

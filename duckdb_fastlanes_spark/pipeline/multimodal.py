@@ -18,7 +18,6 @@ PIL/libvips and nothing else changes.
 from __future__ import annotations
 
 import hashlib
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -215,6 +214,28 @@ BMP_FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+#: raw decode row — exact integers only; quantization happens ENGINE-SIDE
+#: (Spark SQL round == DuckDB round, both half-away-from-zero on the exact
+#: double) instead of Python's math.floor(x + 0.5), which diverges when
+#: x + 0.5 rounds up across a representable-double boundary (r10 ADVICE)
+_BMP_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_format", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload_bytes", T.LongType(), False),
+        T.StructField("sum_luma", T.LongType(), False),
+    ]
+)
+
+#: SQL quantizer shared by the fused operator and the exported extractor —
+#: textually identical arithmetic to the oracle's mean_luma_micro column
+_BMP_LUMA_MICRO = (
+    "CAST(round(CAST(sum_luma AS DOUBLE) / (width * height) / 255.0"
+    " * 1000000, 0) AS BIGINT)"
+)
+
 
 def attach_bmp(df: DataFrame) -> DataFrame:
     """Attach a VALID 24-bit BMP payload per document (mapInPandas, stdlib
@@ -234,24 +255,27 @@ def attach_bmp(df: DataFrame) -> DataFrame:
 
 
 def extract_bmp_features(media_df: DataFrame) -> DataFrame:
-    """Arrow-batched REAL BMP decode over mapInPandas."""
+    """Arrow-batched REAL BMP decode over mapInPandas. The decode stage
+    emits only exact integers (sum_luma); the micro-unit quantization is a
+    JVM-side SQL round() so both engines use the same half-away-from-zero
+    primitive on the same exact double (r10 ADVICE item — Python's
+    floor(x + 0.5) diverges on representable-boundary inputs)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
                 fmt, w, ht, nbytes, sum_luma = decode_bmp(bytes(media))
-                # identical IEEE sequence to the oracle's
-                # round(CAST(sum AS DOUBLE) / (w*h) / 255.0 * 1e6, 0)
-                luma_micro = int(
-                    math.floor(float(sum_luma) / (w * ht) / 255.0 * 1000000 + 0.5)
-                )
-                rows.append((int(doc_id), fmt, w, ht, nbytes, luma_micro))
+                rows.append((int(doc_id), fmt, w, ht, nbytes, sum_luma))
             yield pd.DataFrame(
-                rows, columns=[f.name for f in BMP_FEATURE_SCHEMA.fields]
+                rows, columns=[f.name for f in _BMP_RAW_SCHEMA.fields]
             )
 
-    return media_df.mapInPandas(run, BMP_FEATURE_SCHEMA)
+    return (
+        media_df.mapInPandas(run, _BMP_RAW_SCHEMA)
+        .withColumn("mean_luma_micro", F.expr(_BMP_LUMA_MICRO))
+        .drop("sum_luma")
+    )
 
 
 @register(
@@ -305,16 +329,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 payload = write_bmp(hashlib.md5(text.encode("utf-8")).hexdigest())
                 fmt, w, ht, nbytes, sum_luma = decode_bmp(payload)
-                luma_micro = int(
-                    math.floor(float(sum_luma) / (w * ht) / 255.0 * 1000000 + 0.5)
-                )
-                rows.append((int(doc_id), fmt, w, ht, nbytes, luma_micro))
+                rows.append((int(doc_id), fmt, w, ht, nbytes, sum_luma))
             yield pd.DataFrame(
-                rows, columns=[f.name for f in BMP_FEATURE_SCHEMA.fields]
+                rows, columns=[f.name for f in _BMP_RAW_SCHEMA.fields]
             )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return d.mapInPandas(run, BMP_FEATURE_SCHEMA).orderBy("doc_id")
+    return (
+        d.mapInPandas(run, _BMP_RAW_SCHEMA)
+        # engine-side quantization: same round() primitive as the oracle
+        .withColumn("mean_luma_micro", F.expr(_BMP_LUMA_MICRO))
+        .drop("sum_luma")
+        .orderBy("doc_id")
+    )
 
 
 #: schema of a resized-image row
@@ -398,6 +425,23 @@ AUDIO_SCHEMA = T.StructType(
     ]
 )
 
+#: raw decode row (exact integers; see _BMP_RAW_SCHEMA on why quantization
+#: is engine-side SQL round() rather than Python floor(x + 0.5))
+_WAV_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("sum_sq", T.LongType(), False),
+    ]
+)
+
+#: SQL quantizer — textually identical arithmetic to the oracle's rms_milli
+_WAV_RMS_MILLI = (
+    "CAST(round(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1000, 0) AS BIGINT)"
+)
+
 _WAV_RATES = (8000, 16000, 22050, 44100)
 
 
@@ -452,21 +496,24 @@ def decode_wav(payload: bytes) -> tuple[int, int, int]:
 def extract_audio_features(media_df: DataFrame) -> DataFrame:
     """Arrow-batched REAL WAV decode over mapInPandas: header fields and
     PCM frames parsed from the bytes; RMS from the exact integer
-    sum-of-squares, quantized to milli-units with the oracle's IEEE
-    sequence round(sqrt(CAST(ss AS DOUBLE) / n) * 1000, 0)."""
+    sum-of-squares, quantized to milli-units ENGINE-SIDE with the same SQL
+    round() the oracle uses (r10 ADVICE item — both engines round
+    half-away-from-zero on the exact double, unlike Python's
+    floor(x + 0.5) which can round up across a representable boundary)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
                 rate, n, ss = decode_wav(bytes(media))
-                rms_milli = int(math.floor(math.sqrt(ss / n) * 1000 + 0.5))
-                rows.append(
-                    (int(doc_id), rate, n, n * 1000 // rate, rms_milli)
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+                rows.append((int(doc_id), rate, n, n * 1000 // rate, ss))
+            yield pd.DataFrame(rows, columns=[f.name for f in _WAV_RAW_SCHEMA.fields])
 
-    return media_df.mapInPandas(run, AUDIO_SCHEMA)
+    return (
+        media_df.mapInPandas(run, _WAV_RAW_SCHEMA)
+        .withColumn("rms_milli", F.expr(_WAV_RMS_MILLI))
+        .drop("sum_sq")
+    )
 
 
 def attach_wav(df: DataFrame) -> DataFrame:
@@ -537,12 +584,17 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 payload = write_wav(hashlib.md5(text.encode("utf-8")).hexdigest())
                 rate, n, ss = decode_wav(payload)
-                rms_milli = int(math.floor(math.sqrt(ss / n) * 1000 + 0.5))
-                rows.append((int(doc_id), rate, n, n * 1000 // rate, rms_milli))
-            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+                rows.append((int(doc_id), rate, n, n * 1000 // rate, ss))
+            yield pd.DataFrame(rows, columns=[f.name for f in _WAV_RAW_SCHEMA.fields])
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return d.mapInPandas(run, AUDIO_SCHEMA).orderBy("doc_id")
+    return (
+        d.mapInPandas(run, _WAV_RAW_SCHEMA)
+        # engine-side quantization: same round() primitive as the oracle
+        .withColumn("rms_milli", F.expr(_WAV_RMS_MILLI))
+        .drop("sum_sq")
+        .orderBy("doc_id")
+    )
 
 
 @register(

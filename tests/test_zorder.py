@@ -47,7 +47,7 @@ def test_zorder_prunes_2d_box_vs_linear_layout(spark, tmp_path):
 
     # build (or reuse) the operator's staged z-layout
     registry.queries()["scan_zorder_prune"](spark, SF_DIR).collect()
-    tag = source_fingerprint(SF_DIR, "lineitem", extra="zorder_v1")
+    tag = source_fingerprint(SF_DIR, "lineitem", extra="zorder_v2")
     zdir = os.path.join(tempfile.gettempdir(), f"dfs_zorder_li_{tag}")
     zfiles = glob.glob(os.path.join(zdir, "*.parquet"))
     assert zfiles, "z-order staging produced no files"
