@@ -405,13 +405,188 @@ def sample_frames(media_df: DataFrame, every_nth: int = 4, n_frames: int = 16) -
     return media_df.mapInPandas(run, FRAME_SCHEMA)
 
 
-@register("multimodal_frame_sample")  # no oracle: mapInPandas row expansion
+# -- real multi-frame container (r11, retiring the last rows-only entry) ----
+
+#: frames per synthetic "video" container and the sampling stride
+N_CONTAINER_FRAMES = 16
+FRAME_STRIDE = 4
+
+#: sampled-frame feature row — frame_offset is the PROOF column: it is only
+#: correct if the container walk reads every preceding frame's size field
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_offset", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("sum_luma", T.LongType(), False),
+    ]
+)
+
+
+def write_frame_container(text: str) -> bytes:
+    """MJPEG-style media container: {N_CONTAINER_FRAMES} VALID 24-bit BMP
+    frames back-to-back, frame i's content derived from md5(text + '#' + i)
+    — variable frame sizes, so offsets are only discoverable by parsing."""
+    return b"".join(
+        write_bmp(hashlib.md5(f"{text}#{i}".encode("utf-8")).hexdigest())
+        for i in range(N_CONTAINER_FRAMES)
+    )
+
+
+def parse_frame_offsets(payload: bytes) -> list[tuple[int, int, int]]:
+    """REAL container walk: returns [(frame_idx, offset, size), ...] by
+    validating each frame's 'BM' magic and reading its BITMAPFILEHEADER
+    file-size field — the only way to find frame N is to have parsed
+    frames 0..N-1 correctly."""
+    import struct
+
+    frames = []
+    pos, i = 0, 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"BM":
+            raise ValueError(f"bad frame magic at offset {pos}")
+        size = struct.unpack_from("<I", payload, pos + 2)[0]
+        if size < 54 or pos + size > len(payload):
+            raise ValueError(f"bad frame size {size} at offset {pos}")
+        frames.append((i, pos, size))
+        pos += size
+        i += 1
+    return frames
+
+
+def sample_container_frames(media_df: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame-sample a real multi-frame container: parse frame offsets from
+    the bytes, decode every ``stride``-th frame with the BMP codec, emit one
+    feature row per sampled frame (mapInPandas — output cardinality differs
+    from input). Quantization is engine-side (see _BMP_RAW_SCHEMA)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(media)
+                for i, off, size in parse_frame_offsets(payload):
+                    if i % stride:
+                        continue
+                    _, w, ht, _, sum_luma = decode_bmp(payload[off : off + size])
+                    rows.append((int(doc_id), i, off, w, ht, sum_luma))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_FEATURE_SCHEMA.fields]
+            )
+
+    return (
+        media_df.mapInPandas(run, FRAME_FEATURE_SCHEMA)
+        .withColumn(
+            "mean_luma_micro",
+            F.expr(
+                "CAST(round(CAST(sum_luma AS DOUBLE) / (width * height) / 255.0"
+                " * 1000000, 0) AS BIGINT)"
+            ),
+        )
+        .drop("sum_luma")
+    )
+
+
+def _frame_sample_oracle() -> str:
+    """DuckDB replay of the container's generative model: per frame,
+    parameters from md5(text || '#' || i); frame SIZE from the BMP geometry
+    (14 + 40 + padded-row-bytes × height); frame OFFSET as the running sum
+    of preceding sizes — the hash match proves the Spark container walk
+    lands on every boundary the writer emitted."""
+    return f"""
+    WITH f AS (
+        SELECT doc_id, text, unnest(generate_series(0, {N_CONTAINER_FRAMES - 1})) AS fi
+        FROM documents
+    ),
+    par AS (
+        SELECT doc_id, fi, md5(text || '#' || CAST(fi AS VARCHAR)) AS h FROM f
+    ),
+    geom AS (
+        SELECT doc_id, fi,
+               4 + CAST(concat('0x', substr(h, 1, 2)) AS UINTEGER) % 60 AS w,
+               4 + CAST(concat('0x', substr(h, 3, 2)) AS UINTEGER) % 60 AS ht,
+               CAST(concat('0x', substr(h, 5, 2)) AS UINTEGER) AS pseed,
+               1 + CAST(concat('0x', substr(h, 7, 2)) AS UINTEGER) AS pstep
+        FROM par
+    ),
+    sized AS (
+        SELECT *, CAST(14 + 40 + ((w * 3 + 3) // 4 * 4) * ht AS BIGINT) AS fsize
+        FROM geom
+    ),
+    offs AS (
+        SELECT *, CAST(coalesce(SUM(fsize) OVER (
+                   PARTITION BY doc_id ORDER BY fi
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS frame_offset
+        FROM sized
+    ),
+    sampled AS (SELECT * FROM offs WHERE fi % {FRAME_STRIDE} = 0),
+    px AS (
+        SELECT doc_id, fi, pseed, pstep,
+               unnest(generate_series(0, CAST(w AS BIGINT) * ht - 1)) AS i
+        FROM sampled
+    ),
+    sv AS (
+        SELECT doc_id, fi, SUM((pseed + i * pstep) % 256) AS sumv
+        FROM px GROUP BY doc_id, fi
+    )
+    SELECT s.doc_id, CAST(s.fi AS INTEGER) AS frame_idx, s.frame_offset,
+           CAST(s.w AS INTEGER) AS width, CAST(s.ht AS INTEGER) AS height,
+           CAST(round(CAST(sumv AS DOUBLE) / (s.w * s.ht) / 255.0 * 1000000, 0)
+                AS BIGINT) AS mean_luma_micro
+    FROM sampled s JOIN sv ON s.doc_id = sv.doc_id AND s.fi = sv.fi
+    ORDER BY s.doc_id, frame_idx
+    """
+
+
+@register("multimodal_frame_sample", oracle=_frame_sample_oracle())
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over the documents-as-videos corpus: every 4th of 16
-    frames per payload → 4 frame rows per document. Rows-only check; the
-    pytest suite pins cardinality and determinism."""
-    d = table(spark, sf_dir, "documents")
-    return sample_frames(attach_media(d)).orderBy("doc_id", "frame_idx")
+    """Frame sampling over REAL multi-frame containers (r11, retiring the
+    last rows-only entry — r10 verdict item 6): every document carries an
+    MJPEG-style concatenation of {N_CONTAINER_FRAMES} valid variable-size
+    BMP frames; the extractor WALKS THE BYTES — validates each frame's
+    magic, reads its size field to find the next boundary — then decodes
+    every {FRAME_STRIDE}-th frame with the real BMP parser. The emitted
+    frame_offset column is reproducible only from a correct walk, and the
+    DuckDB oracle recomputes it as the running sum of generative frame
+    sizes, so the hash match proves container framing AND frame decode
+    byte-for-byte. One fused mapInPandas stage (write → walk → decode per
+    batch; the unfused pair would round-trip ~58 KB/doc of container bytes
+    through Arrow for no semantic gain — multimodal_features precedent).
+    Scale shape: embarrassingly parallel over document partitions, output
+    cardinality = docs × {N_CONTAINER_FRAMES}/{FRAME_STRIDE}. Empty feed:
+    zero rows, both engines."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = write_frame_container(text)
+                for i, off, size in parse_frame_offsets(payload):
+                    if i % FRAME_STRIDE:
+                        continue
+                    _, w, ht, _, sum_luma = decode_bmp(payload[off : off + size])
+                    rows.append((int(doc_id), i, off, w, ht, sum_luma))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_FEATURE_SCHEMA.fields]
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        d.mapInPandas(run, FRAME_FEATURE_SCHEMA)
+        # engine-side quantization: same round() primitive as the oracle
+        .withColumn(
+            "mean_luma_micro",
+            F.expr(
+                "CAST(round(CAST(sum_luma AS DOUBLE) / (width * height) / 255.0"
+                " * 1000000, 0) AS BIGINT)"
+            ),
+        )
+        .drop("sum_luma")
+        .orderBy("doc_id", "frame_idx")
+    )
 
 
 #: decoded-WAV feature row (all-exact columns; RMS in milli-units)

@@ -149,6 +149,71 @@ def test_frame_sample_expands_rows(spark):
     assert h[(0, 0)] != h[(0, 4)]
 
 
+def test_frame_container_walk_is_real():
+    """The container walk must recover exactly the writer's frame
+    boundaries, and must REJECT a corrupted frame magic — i.e. it reads
+    the bytes, not a formula."""
+    import hashlib
+
+    from duckdb_fastlanes_spark.pipeline.multimodal import (
+        N_CONTAINER_FRAMES,
+        parse_frame_offsets,
+        write_bmp,
+        write_frame_container,
+    )
+
+    text = "the quick brown fox"
+    payload = write_frame_container(text)
+    frames = parse_frame_offsets(payload)
+    assert [i for i, _, _ in frames] == list(range(N_CONTAINER_FRAMES))
+    # offsets == cumulative sizes of the individually-written frames
+    expected, pos = [], 0
+    for i in range(N_CONTAINER_FRAMES):
+        b = write_bmp(hashlib.md5(f"{text}#{i}".encode()).hexdigest())
+        expected.append((i, pos, len(b)))
+        pos += len(b)
+    assert frames == expected
+    assert pos == len(payload)
+    # corrupt the second frame's magic: the walk must fail loudly
+    off1 = frames[1][1]
+    bad = payload[:off1] + b"XX" + payload[off1 + 2 :]
+    try:
+        parse_frame_offsets(bad)
+        raise AssertionError("corrupted magic was not detected")
+    except ValueError:
+        pass
+
+
+def test_frame_sample_vs_inline_decode(spark):
+    """Sampled frame features must equal an inline decode of the same
+    container's sampled frames (independent of the SQL oracle path)."""
+    from duckdb_fastlanes_spark.pipeline.multimodal import (
+        FRAME_STRIDE,
+        decode_bmp,
+        parse_frame_offsets,
+        write_frame_container,
+    )
+    from duckdb_fastlanes_spark import registry
+
+    rows = (
+        registry.queries()["multimodal_frame_sample"](spark, SF_DIR)
+        .filter(F.col("doc_id") < 5)
+        .collect()
+    )
+    d = {r.doc_id: r for r in rows if r.frame_idx == 2 * FRAME_STRIDE}
+    texts = {
+        r.doc_id: r.text
+        for r in table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 5).collect()
+    }
+    for doc_id, text in texts.items():
+        payload = write_frame_container(text)
+        frames = parse_frame_offsets(payload)
+        i, off, size = frames[2 * FRAME_STRIDE]
+        _, w, ht, _, sl = decode_bmp(payload[off : off + size])
+        r = d[doc_id]
+        assert (r.frame_offset, r.width, r.height) == (off, w, ht)
+
+
 def test_minhash_finds_planted_near_duplicates(spark):
     """Recall check beyond the oracle: a document with one word changed must
     surface as an LSH candidate pair with high Jaccard; unrelated docs must
