@@ -75,10 +75,10 @@ def main() -> int:
     if os.path.exists(RUNS_PATH):
         with open(RUNS_PATH) as fh:
             runs = json.load(fh)
-    runs.setdefault("paired-r10", {})[label] = {"pairs": pairs, **summary}
+    runs.setdefault("paired-r11", {})[label] = {"pairs": pairs, **summary}
     with open(RUNS_PATH, "w") as fh:
         json.dump(runs, fh, indent=1)
-    print(f"merged into {RUNS_PATH} under paired-r10/{label}")
+    print(f"merged into {RUNS_PATH} under paired-r11/{label}")
     return 0
 
 
