@@ -82,9 +82,16 @@ def cell(name: str, sf_dir: str) -> None:
                 ("lineitem", LI_COLS) if name == "spark_li_scan" else ("orders", O_COLS)
             )
             df = table(spark, sf_dir, tbl).select(*cols)
+            # one aggregate per column so every probed column is READ;
+            # max() for the temporal column (no numeric cast), sum otherwise
             return df.agg(
                 F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col(c).cast("double")).alias(f"s_{c}") for c in cols],
+                *[
+                    (
+                        F.max(c) if c == "o_orderdate" else F.sum(F.col(c).cast("double"))
+                    ).alias(f"s_{c}")
+                    for c in cols
+                ],
             )
 
         build().toArrow()  # warm-up
@@ -102,7 +109,12 @@ def cell(name: str, sf_dir: str) -> None:
             tbl, cols = (
                 ("lineitem", LI_COLS) if name == "duck_li_scan" else ("orders", O_COLS)
             )
-            sums = ", ".join(f"sum(CAST({c} AS DOUBLE)) AS s_{c}" for c in cols)
+            sums = ", ".join(
+                f"max({c}) AS s_{c}"
+                if c == "o_orderdate"
+                else f"sum(CAST({c} AS DOUBLE)) AS s_{c}"
+                for c in cols
+            )
             sql = f"SELECT count(*) AS n, {sums} FROM {tbl}"
         con.execute(sql).fetchall()  # warm-up
         for _ in range(2):
