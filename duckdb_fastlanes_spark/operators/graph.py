@@ -32,25 +32,30 @@ DAMPING = 0.85
 N_ITER = 3
 RANK_SCALE = 8  # rank magnitudes are ~1e-4; 8 decimals keeps ~4 sig figs
 
+#: MATERIALIZED throughout: DuckDB inlines CTEs, and the unrolled-iteration
+#: oracles below reference edges once per round leg — at the 1000x cell the
+#: 60 M-row distinct join would otherwise re-execute up to 14x (the k-core
+#: oracle precedent, 22.5 s -> 0.96 s; found again on graph_bfs_distance,
+#: whose duck cell burned >57 CPU-minutes before this pin)
 _ORACLE_EDGES = """
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT DISTINCT 'c' || o_custkey AS c_node, 's' || l_suppkey AS s_node
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     ),
-    edges(src, dst) AS (
+    edges(src, dst) AS MATERIALIZED (
         SELECT c_node, s_node FROM pairs
         UNION ALL
         SELECT s_node, c_node FROM pairs
     ),
-    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
     n AS (SELECT count(*) AS n_nodes FROM nodes)
 """
 
 
 def _oracle_iter(prev: str, out: str) -> str:
     return f"""
-    {out} AS (
+    {out} AS MATERIALIZED (
         SELECT e.dst AS node,
                (1 - {DAMPING}) / (SELECT n_nodes FROM n)
                + {DAMPING} * sum(r.rank / deg.d) AS rank
@@ -541,14 +546,14 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_ORACLE_EDGES},
     d0(node, dist) AS (SELECT 'c1', 0),
-    d1 AS (
+    d1 AS MATERIALIZED (
         SELECT node, min(dist) AS dist FROM (
             SELECT * FROM d0
             UNION ALL
             SELECT e.dst, p.dist + 1 FROM edges e JOIN d0 p ON p.node = e.src
         ) GROUP BY node
     ),
-    d2 AS (
+    d2 AS MATERIALIZED (
         SELECT node, min(dist) AS dist FROM (
             SELECT * FROM d1
             UNION ALL

@@ -38,8 +38,14 @@ def _cell(query: str, engine: str, sf_dir: str) -> float:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "cell_runner.py"),
          query, engine, sf_dir, "1"],
-        capture_output=True, text=True, env=env, check=True,
+        capture_output=True, text=True, env=env,
     )
+    if out.returncode != 0:
+        sys.stderr.write(
+            f"cell FAILED ({query}/{engine}, rc={out.returncode}); "
+            f"stderr tail:\n{out.stderr[-2000:]}\n"
+        )
+        raise RuntimeError(f"cell failed: {query}/{engine}")
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)["runs"][0]
 
@@ -49,7 +55,29 @@ def main() -> int:
     n_pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     label = sys.argv[4] if len(sys.argv) > 4 else f"{query}@{os.path.basename(sf_dir)}"
 
+    def _merge(pairs: list[dict]) -> dict:
+        """Write the pairs-so-far into SCALE_RUNS.json after EVERY pair —
+        a later cell crash must not discard completed measurements (the
+        r11 triangle/bfs lesson)."""
+        ratios = [p["ratio"] for p in pairs]
+        summary = {
+            "query": query, "sf_dir": sf_dir, "n_pairs": len(pairs),
+            "paired_ratios": ratios,
+            "median_ratio": round(statistics.median(ratios), 3),
+            "min_ratio": min(ratios), "max_ratio": max(ratios),
+            "spread": round(max(ratios) / min(ratios), 3),
+        }
+        runs = {}
+        if os.path.exists(RUNS_PATH):
+            with open(RUNS_PATH) as fh:
+                runs = json.load(fh)
+        runs.setdefault("paired-r11", {})[label] = {"pairs": pairs, **summary}
+        with open(RUNS_PATH, "w") as fh:
+            json.dump(runs, fh, indent=1)
+        return summary
+
     pairs: list[dict] = []
+    summary: dict = {}
     for i in range(n_pairs):
         order = ("spark", "duck") if i % 2 == 0 else ("duck", "spark")
         t: dict[str, float] = {}
@@ -60,24 +88,9 @@ def main() -> int:
                "spark": t["spark"], "duck": t["duck"], "ratio": ratio}
         pairs.append(rec)
         print(json.dumps(rec), flush=True)
+        summary = _merge(pairs)
 
-    ratios = [p["ratio"] for p in pairs]
-    summary = {
-        "query": query, "sf_dir": sf_dir, "n_pairs": n_pairs,
-        "paired_ratios": ratios,
-        "median_ratio": round(statistics.median(ratios), 3),
-        "min_ratio": min(ratios), "max_ratio": max(ratios),
-        "spread": round(max(ratios) / min(ratios), 3),
-    }
     print(json.dumps({"summary": summary}), flush=True)
-
-    runs = {}
-    if os.path.exists(RUNS_PATH):
-        with open(RUNS_PATH) as fh:
-            runs = json.load(fh)
-    runs.setdefault("paired-r11", {})[label] = {"pairs": pairs, **summary}
-    with open(RUNS_PATH, "w") as fh:
-        json.dump(runs, fh, indent=1)
     print(f"merged into {RUNS_PATH} under paired-r11/{label}")
     return 0
 
