@@ -145,7 +145,10 @@ def views(spark):
 @pytest.mark.parametrize("name", ANSI_PARITY)
 def test_sql_text_matches_dataframe_impl(views, name):
     spark = views
-    sql = registry.oracles()[name]
+    # `AS MATERIALIZED` is a DuckDB CTE-materialization pin (an optimizer
+    # hint, not semantics — see operators/graph.py _ORACLE_EDGES); Spark's
+    # parser rejects the keyword, so strip it for the spark.sql leg.
+    sql = registry.oracles()[name].replace(" AS MATERIALIZED (", " AS (")
     df_impl = registry.queries()[name](spark, SF_DIR)
     via_sql = spark.sql(sql)
     assert sorted(via_sql.columns) == sorted(df_impl.columns)
