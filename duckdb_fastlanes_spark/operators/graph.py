@@ -139,6 +139,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deliberately NOT MATERIALIZED, unlike _ORACLE_EDGES (fair-denominator
+#: check, measured at the 1000× cell): inlined, DuckDB re-runs the
+#: self-join+distinct once per reference but keeps parquet stats, so the
+#: triangle census streams the 4.1e9-row wedge side against an edge-list
+#: hash build (105 s). Pinning MATERIALIZED strips those stats and the
+#: optimizer flips the census build side onto the WEDGE stream — a ~100 GB
+#: hash table that ran >20 min single-threaded before being killed. The
+#: denominator must be DuckDB's best plan; here that is the inline form.
 _TRI_ORACLE_PAIRS = """
     pairs AS (
         SELECT DISTINCT a.l_partkey AS s1, b.l_partkey AS s2
@@ -146,6 +154,17 @@ _TRI_ORACLE_PAIRS = """
         WHERE a.l_partkey < b.l_partkey
     )
 """
+
+#: measured-size broadcast tiers for the triangle census (the BFS_BCAST_ROWS
+#: pattern: gate on a COUNTED payload, never a static hint or the input
+#: gauge — r10 ADVICE item 1). One adjacency copy per EXECUTOR (not per
+#: core): 150 M packed-long entries ≈ 1.2 GB plus array headers — the classic
+#: map-join tier. Beyond it the census falls back to the suffix-pruned
+#: array-shuffle join below.
+TRI_ADJ_BCAST_ENTRIES = 150_000_000
+#: node→packed-degree-key map broadcast bound: 4 M rows ≈ 64 MB, the same
+#: ceiling the BFS frontier uses.
+TRI_NODE_BCAST_ROWS = 4_000_000
 
 
 @register(
@@ -176,16 +195,33 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays, and each triangle {a≺b≺c} is counted exactly once at its base
     edge (a,b) as |N⁺(a) ∩ N⁺(b)|.
 
-    Scale shape: two linear-size joins (edge list ⋈ adjacency, twice) plus a
-    row-local array_intersect inside whole-stage codegen — the Σ out-deg²
-    wedge-candidate set is computed but NEVER materialized or shuffled (the
-    classic two-equi-join formulation exchanges it wholesale, and that
-    exchange dominated measured wall time ~3:1). Degree orientation bounds
-    every out-neighborhood at O(√m) (arboricity), so both the widest array
-    and the worst per-row intersect survive power-law hubs at 100 TB. The
-    triangle total is orientation-invariant, so the id-oriented DuckDB
-    oracle is unchanged. The distinct edge list is localCheckpoint-ed once
-    and reused by the census, the degree pass, and the orientation.
+    Scale shape (r11 rewrite): the Σ out-deg² wedge-candidate set is NEVER
+    materialized or shuffled — candidates are sliced row-locally from the
+    adjacency arrays and intersected inside whole-stage codegen. What made
+    the r10 form 2.6× DuckDB at the 1000× cell was shuffling those candidate
+    arrays (~4.1e9 packed longs ≈ 33 GB of exchange) to meet the closing
+    edge's adjacency. The census join is now tiered on MEASURED payloads
+    (the BFS_BCAST_ROWS lesson — counted sizes, not static hints):
+
+    - |E| ≤ TRI_ADJ_BCAST_ENTRIES: broadcast the checkpointed adjacency
+      (one ~|E|·8 B copy per executor) so the whole census — posexplode,
+      suffix slice, hash probe, intersect, partial sum — is ONE stage with
+      zero wide exchange. Measured at the 1000× cell: census 125 s → 24 s,
+      whole query 277 s → ~77 s vs DuckDB's MATERIALIZED-pinned 47 s.
+    - above the tier (a 100 TB graph): the suffix-pruned candidate arrays
+      shuffle to a payload-widened exchange and meet the adjacency in a
+      shuffled hash join — linear, spill-safe, just not exchange-free.
+
+    The same measured gate drives the orientation: the node→(degree,id)
+    packed-key map broadcasts when |V| ≤ TRI_NODE_BCAST_ROWS (map-side
+    orientation, no edge shuffle), else both legs shuffle hash. Degree
+    orientation bounds every out-neighborhood at O(√m) (arboricity), so both
+    the widest array and the worst per-row intersect survive power-law hubs.
+    The triangle total is orientation-invariant, so the id-oriented DuckDB
+    oracle is unchanged. The distinct edge list localCheckpoints once and is
+    reused by the census, the degree pass, and the orientation; the
+    adjacency localCheckpoints once and is reused by the probe and the
+    broadcast build.
     """
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
@@ -196,14 +232,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    # one O(1)-result count job on the checkpointed edge list gates the
+    # census join strategy below (job-at-build, the RFM/BFS precedent); the
+    # value also rides into the result as a literal so the count is not paid
+    # twice.
+    m_edges = pairs.count()
+    n_edges = spark.range(1).select(F.lit(m_edges).cast("bigint").alias("n_edges"))
     deg = (
         pairs.select(F.col("s1").alias("node"))
         .unionAll(pairs.select(F.col("s2").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    wedges = deg.agg(F.expr("CAST(sum(d * (d - 1)) DIV 2 AS BIGINT)").alias("n_wedges"))
     # PACKED degree-key orientation (r6): each vertex is relabeled as the
     # single long k = d·2³² + id, whose numeric order IS the (degree, id)
     # lexicographic order — so orientation (u ≺ v), the suffix prune below,
@@ -211,32 +251,36 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (d, id) pairs. Valid while d < 2³¹ and id < 2³² (any real corpus;
     # degree is bounded by |V|). Triangle totals are label-invariant, so
     # the id-oriented DuckDB oracle is unchanged.
-    # degree lookups are NODE-sized: below the input gauge they broadcast
-    # (the vertex set is bounded by the tiny input), above it the gauge
-    # picks a shuffled hash join — at 100 TB the node table is itself
-    # fact-sized and an unconditional broadcast would blow the
-    # driver/exchange memory (same gauge as graph_link_prediction's degree
-    # join below; plan-asserted for both branches in tests/test_plans.py)
-    from duckdb_fastlanes_spark.session import SMALL_INPUT_BYTES, input_gauge_bytes
-
-    _big = input_gauge_bytes(sf_dir) >= SMALL_INPUT_BYTES
-
-    def _dim(df):
-        return df.hint("shuffle_hash") if _big else F.broadcast(df)
-
     _PACK = 1 << 32
     nodek = deg.select(
         F.col("node"), (F.col("d") * F.lit(_PACK) + F.col("node")).alias("k")
+    ).localCheckpoint()
+    n_nodes = nodek.count()
+    # the wedge census Σ d(d-1)/2 reads the degree back out of the packed
+    # key (k DIV 2³² = d exactly, since node < 2³²) so the executed result
+    # aggregates the 2 M-row checkpoint instead of re-shuffling the 2|E|
+    # endpoint stream a second time (measured ~10 s at the 1000× cell)
+    wedges = nodek.agg(
+        F.expr(
+            "CAST(coalesce(sum((k DIV 4294967296) * (k DIV 4294967296 - 1)), 0)"
+            " DIV 2 AS BIGINT)"
+        ).alias("n_wedges")
     )
+
+    def _nk(alias_node: str, alias_k: str) -> DataFrame:
+        nk = nodek.select(F.col("node").alias(alias_node), F.col("k").alias(alias_k))
+        # measured-|V| tier: a 4 M-row key map is a ~64 MB broadcast and the
+        # orientation join runs map-side over the checkpointed edge list
+        # with NO edge shuffle; beyond it both legs shuffle hash (at 100 TB
+        # the node table is itself fact-sized — an unconditional broadcast
+        # would blow executor memory, the k-core broadcast-hint lesson)
+        return (
+            F.broadcast(nk) if n_nodes <= TRI_NODE_BCAST_ROWS else nk.hint("shuffle_hash")
+        )
+
     oriented = (
-        pairs.join(
-            _dim(nodek.select(F.col("node").alias("s1"), F.col("k").alias("ka"))),
-            "s1",
-        )
-        .join(
-            _dim(nodek.select(F.col("node").alias("s2"), F.col("k").alias("kb"))),
-            "s2",
-        )
+        pairs.join(_nk("s1", "ka"), "s1")
+        .join(_nk("s2", "kb"), "s2")
         .select(
             F.least("ka", "kb").alias("u"),
             F.greatest("ka", "kb").alias("v"),
@@ -244,17 +288,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # adjacency-array intersection instead of a wedge self-join: each
     # triangle {a≺b≺c} is found exactly once at its base edge (a,b) as
-    # c ∈ N⁺(a) ∩ N⁺(b). The Σ out-deg² candidate set is never
-    # materialized or shuffled — intersections run row-local inside
-    # whole-stage codegen and partial-sum map-side. Degree orientation caps
-    # every out-neighborhood at O(√m), bounding array width and skew.
-    # The probe side EXPLODES the adjacency rows instead of re-joining the
-    # edge list on u (one exchange saved), prunes each candidate array to
-    # the suffix w ≻ v (a triangle u≺v≺w can only complete above v — halves
-    # the shuffled payload), and drops edges whose pruned array is empty.
-    # Measured at the 1000× cell these changes + the payload-aware
-    # repartition took the census 421 → ~310 s against DuckDB's 185 s.
-    adj = oriented.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    # c ∈ N⁺(a) ∩ N⁺(b). Checkpointed because BOTH census tiers read it
+    # twice (probe + broadcast/build side) — without it the groupBy re-runs.
+    adj = (
+        oriented.groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+        .localCheckpoint()
+    )
     # the arrays are sorted and edges are distinct, so the w ≻ v suffix is
     # exactly the elements AFTER v's own position — one slice per exploded
     # edge (posexplode gives the position for free) instead of an
@@ -272,19 +312,26 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.size("cand") > 0)
     )
-    # the probe's array payload is ~avg-degree× larger than its row count;
-    # 32 partitions put ~2 GB in each at the 1000× cell (spill). Above the
-    # input gauge, widen this one exchange so partitions hold ~100-300 MB;
-    # below it the default narrow shuffle is already right.
-    if _big:
+    adj_v = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    if m_edges <= TRI_ADJ_BCAST_ENTRIES:
+        # map-join tier: the adjacency fits one per-executor copy, so the
+        # candidate arrays never cross an exchange — the census is a single
+        # stage (measured 125 s → 24 s at the 1000× cell)
+        closing = probe.join(F.broadcast(adj_v), "v")
+    else:
+        # beyond the tier the candidate-array payload is ~avg-degree× the
+        # row count; widen the one unavoidable exchange so partitions hold
+        # ~100-300 MB instead of spilling
         import os
 
         probe = probe.repartition(
             6 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")), "v"
         )
+        closing = probe.join(adj_v.hint("shuffle_hash"), "v")
     tri = (
-        probe.join(adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v")), "v")
-        .select(F.size(F.array_intersect(F.col("cand"), F.col("nbrs_v"))).alias("c"))
+        closing.select(
+            F.size(F.array_intersect(F.col("cand"), F.col("nbrs_v"))).alias("c")
+        )
         # coalesce: sum over an empty probe is NULL, but the oracle's
         # count(*)-shaped census reads 0 on an empty graph (empty-catalog gate)
         .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_triangles"))

@@ -379,30 +379,44 @@ def test_link_prediction_degree_join_degrades_to_hash_join_above_gauge(
     assert "BroadcastExchange" not in plan
 
 
-def test_triangle_count_degree_join_gauges_broadcast_vs_hash_join(
-    spark, monkeypatch
-):
-    """r8 hygiene (the r7 verdict's last unconditional broadcast): the packed
-    degree-key table in graph_triangle_count is NODE-sized. Below the input
-    gauge it broadcasts (vertex set bounded by the tiny input); above it the
-    gauge must pick shuffled hash joins for BOTH orientation legs — at 100 TB
-    the node table is fact-sized and a broadcast OOMs the executors."""
-    from duckdb_fastlanes_spark import session
+def test_triangle_count_measured_broadcast_tiers(spark, monkeypatch):
+    """r11: graph_triangle_count gates its broadcasts on MEASURED counts
+    (|V| for the packed degree-key map, |E| for the census adjacency), not
+    the input gauge — the k-core broadcast-hint lesson. Below the tiers both
+    orientation legs AND the census closing join ride broadcasts (single
+    exchange-free census stage); with the tiers forced to zero, every one of
+    those joins must degrade to shuffled hash — at 100 TB both tables are
+    fact-sized and a broadcast OOMs the executors."""
+    # the concrete class in PySpark 4 (pyspark.sql.DataFrame is the abstract
+    # base, whose method the classic subclass overrides)
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
+
+    from duckdb_fastlanes_spark.operators import graph as G
     from duckdb_fastlanes_spark.registry import queries
 
-    # below the gauge: both degree legs ride broadcasts
-    monkeypatch.setattr(session, "input_gauge_bytes", lambda *_a, **_k: 0)
+    # neutralize localCheckpoint so the orientation legs (normally executed
+    # at build time and replaced by Scan ExistingRDD in the returned plan)
+    # stay visible in one end-to-end lineage
+    monkeypatch.setattr(
+        ClassicDataFrame, "localCheckpoint", lambda self, *a, **k: self
+    )
+
+    # tiny sf0.001 catalog is far below both tiers: 2 orientation
+    # broadcasts + 1 census-adjacency broadcast
     plan = explain_str(queries()["graph_triangle_count"](spark, SF_DIR), "simple")
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") >= 3
     assert "ShuffledHashJoin" not in plan
 
-    # above the gauge: no broadcast of the node table anywhere
-    monkeypatch.setattr(
-        session, "input_gauge_bytes", lambda *_a, **_k: session.SMALL_INPUT_BYTES * 2
-    )
+    # force both tiers to zero: no equi-join broadcast may remain; the only
+    # broadcasts left are the single-row census scalars
+    # (n_edges × n_wedges × n_triangles), 1-row by construction at any size
+    monkeypatch.setattr(G, "TRI_NODE_BCAST_ROWS", 0)
+    monkeypatch.setattr(G, "TRI_ADJ_BCAST_ENTRIES", 0)
     plan = explain_str(queries()["graph_triangle_count"](spark, SF_DIR), "simple")
-    assert plan.count("ShuffledHashJoin") >= 2
-    # no node-table broadcast remains; the only broadcasts left are the
-    # single-row census scalars (n_edges x n_wedges x n_triangles), which
-    # are 1-row by construction at any corpus size
-    assert "BroadcastHashJoin" not in plan
+    assert plan.count("ShuffledHashJoin") >= 3
+    # the gated joins (orientation on s1/s2, census closing on v) must not
+    # broadcast; the lineage-visible pairs self-join on l_orderkey MAY —
+    # that one is Catalyst's own size-based pick and degrades on its own
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "l_orderkey" in line, line

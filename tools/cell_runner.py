@@ -33,10 +33,24 @@ def main() -> int:
         optimize_layout(spark, sf_dir)
         warm_cache(spark, sf_dir)
         fn = registry.queries()[qname]
-        drain_persists()
+
+        def _reclaim() -> None:
+            # between-runs hygiene, outside the timed window: persists are
+            # tracked and dropped explicitly, but localCheckpoint RDD blocks
+            # and broadcast variables are only reclaimed when the Python refs
+            # die AND the JVM ContextCleaner notices — force both, or a
+            # checkpoint-heavy query's warm-up leftovers (~GBs of rdd blocks)
+            # inflate the measured run's heap into OOM territory
+            import gc
+
+            drain_persists()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+
+        _reclaim()
         fn(spark, sf_dir).toArrow()  # warm-up
         for _ in range(n_runs):
-            drain_persists()
+            _reclaim()
             t0 = time.perf_counter()
             fn(spark, sf_dir).toArrow()
             runs.append(round(time.perf_counter() - t0, 3))
