@@ -75,27 +75,36 @@ def min_label_propagation(
     ).select("e.a", "e.b")
     both = both.localCheckpoint()
     nodes = both.select(F.col("a").alias("id")).distinct()
-    labels0 = nodes.select("id", F.col("id").alias("label"))
+    state = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
 
-    def step(labels: DataFrame) -> DataFrame:
+    # r11 (guide §2.4): the convergence test used to be a SECOND shuffle
+    # join per round (old ⋈ new + count). The step's own left join already
+    # sees both the old label and the neighborhood minimum, so the changed
+    # flag rides OUT of the step for free and convergence becomes a
+    # filter-count over the round's just-materialized checkpoint blocks —
+    # one shuffle join per round instead of two, same round count, and the
+    # old-vs-new self-join hazard class (the r9 flip-union lesson) is gone
+    # because old and new state are never joined at all.
+    for i in range(1, max_iter + 1):
         neighbor_min = (
-            both.join(labels, both.b == labels.id)
+            both.join(state, both.b == state.id)
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        return labels.join(neighbor_min, labels.id == F.col("a"), "left").select(
-            "id",
-            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                "label"
-            ),
+        new = (
+            state.join(neighbor_min, state.id == F.col("a"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
+                    "chg"
+                ),
+            )
+            .localCheckpoint()
         )
-
-    def changed(old: DataFrame, new: DataFrame) -> int:
-        return (
-            new.withColumnRenamed("label", "new_label")
-            .join(old, "id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-
-    return iterate_until_fixpoint(labels0, step, changed, max_iter)
+        state = new.select("id", "label")
+        if new.filter(F.col("chg")).count() == 0:
+            return state, i
+    return state, max_iter

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from duckdb_fastlanes_spark.catalog import table
 from duckdb_fastlanes_spark.registry import register
@@ -106,58 +105,57 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate line numbers per order), so the profiled column itself is
     # the tie-breaker — on BOTH engines — making the value sequence, and
     # therefore every run count, a canonical deterministic quantity instead
-    # of an artifact of scan order
-    prev = li.select(
+    # of an artifact of scan order.
+    #
+    # Expressions are built as SQL strings (one py4j round-trip per
+    # expression) instead of composed Column objects: the Column form made
+    # ~2,300 py4j calls and cost 0.9-1.5 s of PURE construction per build —
+    # the JVM↔Python boundary tax of guide §4 applies to plan construction
+    # too, and this operator is the registry's worst offender.
+    prev = li.selectExpr(
         "l_orderkey",
         *_COLS,
         *[
-            F.lag(c)
-            .over(
-                Window.partitionBy("l_orderkey").orderBy("l_linenumber", c)
-            )
-            .alias(f"p_{c}")
+            f"lag({c}) OVER (PARTITION BY l_orderkey"
+            f" ORDER BY l_linenumber, {c}) AS p_{c}"
             for c in _COLS
         ],
     )
     within = prev.agg(
         *[
-            F.sum(
-                F.when(F.col(f"p_{c}").isNotNull() & (F.col(c) != F.col(f"p_{c}")), 1)
-                .otherwise(0)
-            ).alias(f"w_{c}")
+            F.expr(
+                f"sum(CASE WHEN p_{c} IS NOT NULL AND {c} != p_{c}"
+                f" THEN 1 ELSE 0 END) AS w_{c}"
+            )
             for c in _COLS
         ]
     )
     per_order = li.groupBy("l_orderkey").agg(
         *[
-            F.min_by(c, F.struct("l_linenumber", c)).alias(f"first_{c}")
+            F.expr(f"min_by({c}, struct(l_linenumber, {c})) AS first_{c}")
             for c in _COLS
         ],
         *[
-            F.max_by(c, F.struct("l_linenumber", c)).alias(f"last_{c}")
+            F.expr(f"max_by({c}, struct(l_linenumber, {c})) AS last_{c}")
             for c in _COLS
         ],
     )
-    w_ord = Window.orderBy("l_orderkey")
-    bound = per_order.select(
-        *[F.col(f"first_{c}") for c in _COLS],
-        *[F.lag(f"last_{c}").over(w_ord).alias(f"pl_{c}") for c in _COLS],
+    bound = per_order.selectExpr(
+        *[f"first_{c}" for c in _COLS],
+        *[f"lag(last_{c}) OVER (ORDER BY l_orderkey) AS pl_{c}" for c in _COLS],
     )
     boundary = bound.agg(
         *[
-            F.sum(
-                F.when(
-                    F.col(f"pl_{c}").isNotNull()
-                    & (F.col(f"first_{c}") != F.col(f"pl_{c}")),
-                    1,
-                ).otherwise(0)
-            ).alias(f"b_{c}")
+            F.expr(
+                f"sum(CASE WHEN pl_{c} IS NOT NULL AND first_{c} != pl_{c}"
+                f" THEN 1 ELSE 0 END) AS b_{c}"
+            )
             for c in _COLS
         ]
     )
     stats = li.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        *[F.countDistinct(c).alias(f"ndv_{c}") for c in _COLS],
+        F.expr("count(1) AS n_rows"),
+        *[F.expr(f"count(DISTINCT {c}) AS ndv_{c}") for c in _COLS],
     )
     wide = stats.crossJoin(within).crossJoin(boundary)
     stack_args = ", ".join(

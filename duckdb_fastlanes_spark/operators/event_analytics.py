@@ -220,31 +220,44 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_fastlanes_spark.functions.ordering import ordered_small
 
     n_b = N_SWEEP_BUCKETS
+    # r11 (guide §2.4, plans/r11/events_max_concurrency_*): Catalyst INLINES
+    # every CTE reference, so the single-statement form re-derived the
+    # scan → union → (type, t) aggregate once per consumer (pts feeds the
+    # inner window, the bucket totals AND — through bounds — itself): 19
+    # scans / 20 exchanges at sf0.1. The collapsed per-instant point stream
+    # is now built once as a DataFrame and lazily localCheckpoint-ed —
+    # every downstream leg reads the one materialization (1 scan + 1
+    # aggregate exchange upstream of it). Algorithm, bucketing and results
+    # are unchanged.
+    pts0 = sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH iv AS (
+            SELECT event_type, unix_micros(ts) AS start_us,
+                   unix_micros(ts)
+                   + greatest(CAST(floor(value) AS BIGINT), 1) * 60000000
+                     AS end_us
+            FROM events),
+        points AS (
+            SELECT event_type, start_us AS t, 1 AS delta FROM iv
+            UNION ALL
+            SELECT event_type, end_us AS t, -1 AS delta FROM iv)
+        SELECT event_type, t, sum(delta) AS d, count(1) AS npts
+        FROM points GROUP BY event_type, t
+        """,
+    ).localCheckpoint(eager=False)
+    pts0.createOrReplaceTempView("emc_pts0")
     return ordered_small(
-        sql_q(
-            spark,
-            sf_dir,
+        spark.sql(
             f"""
-            WITH iv AS (
-                SELECT event_type, unix_micros(ts) AS start_us,
-                       unix_micros(ts)
-                       + greatest(CAST(floor(value) AS BIGINT), 1) * 60000000
-                         AS end_us
-                FROM events),
-            points AS (
-                SELECT event_type, start_us AS t, 1 AS delta FROM iv
-                UNION ALL
-                SELECT event_type, end_us AS t, -1 AS delta FROM iv),
-            pts0 AS (
-                SELECT event_type, t, sum(delta) AS d, count(1) AS npts
-                FROM points GROUP BY event_type, t),
-            bounds AS (SELECT min(t) AS lo, max(t) AS hi FROM pts0),
+            WITH bounds AS (SELECT min(t) AS lo, max(t) AS hi FROM emc_pts0),
             pts AS (
                 SELECT /*+ BROADCAST(bounds) */ p.*,
                        least({n_b - 1},
                              CAST((t - lo) * {n_b} / (hi - lo + 1) AS BIGINT))
                          AS bucket
-                FROM pts0 p CROSS JOIN bounds),
+                FROM emc_pts0 p CROSS JOIN bounds),
             inner_run AS (
                 SELECT event_type, bucket, npts,
                        sum(d) OVER (PARTITION BY event_type, bucket ORDER BY t)

@@ -425,12 +425,27 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Wedges are re-keyed onto the pair BEFORE the aggregate (measured A/B at
     sf0.1: shuffling the raw wedge stream then aggregating once runs 14.4 s
-    vs 45 s for partial-agg-inside-the-join-stage — fusing a 2 M-key hash
-    aggregate into the codegen-heavy join stage costs ~3× more than the
-    sequential shuffle write of small fixed-width rows). Per-wedge terms are
-    quantized to integer nano-units so pair sums are exact BIGINTs
+    vs 45 s for partial-agg-inside-the-generation-stage — fusing a 2 M-key
+    hash aggregate into the codegen-heavy generation stage costs ~3× more
+    than the sequential shuffle write of small fixed-width rows). Per-wedge
+    terms are quantized to integer nano-units so pair sums are exact BIGINTs
     (order-independent across engines); top-k is a TakeOrderedAndProject on
-    the exact cn_u with (s1, s2) tiebreak."""
+    the exact cn_u with (s1, s2) tiebreak.
+
+    r11 optimization (guide §2.3/§2.4, plans/r11/graph_link_prediction_*):
+    the r10 plan computed the node-degree aggregate FOUR times (one per
+    broadcast build: the sampling join plus the d1/d2 scoring joins) and ran
+    the md5 edge-sampling pass TWICE (once per self-join leg) — deg now
+    localCheckpoints lazily and is reused by all three joins, and wedges are
+    generated from per-dst adjacency arrays (the triangle-count
+    posexplode+slice pattern: ~CAP-bounded arrays, sorted so the suffix
+    slice emits exactly the s1 < s2 pairs) instead of a kept⋈kept SMJ, so
+    the sampled edge set is computed and shuffled ONCE. The wedge exchange
+    also narrows: it ships (s1, s2, d) and derives both nano-unit weight
+    terms from d after the shuffle, instead of shipping two precomputed
+    8-byte weight columns per wedge (~40% fewer shuffle bytes on the only
+    large exchange in the query). 14 exchanges → 7, one md5 pass, measured
+    8.8 s → see OPTIMIZATION_r11.md."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -443,7 +458,15 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.selectExpr("s1 AS src", "s2 AS dst").unionAll(
         pairs.selectExpr("s2 AS src", "s1 AS dst")
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # node-sized; lazily checkpointed because THREE joins consume it (the
+    # sampling join and the d1/d2 scoring joins) — without the checkpoint
+    # the optimizer re-derives the full union+aggregate once per broadcast
+    # build (4 redundant corpus passes in the r10 plan)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
     # degree-capped deterministic edge sampling (q = min(1, CAP/deg(dst)));
     # deg is NODE-sized: below the input gauge it broadcasts (node count is
     # bounded by the tiny input), above it the gauge picks a shuffled hash
@@ -480,33 +503,56 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("q", F.least(F.lit(1.0), F.lit(float(LP_DEG_CAP)) / F.col("d")))
         .filter(u01 < F.col("q"))
-        .select("src", "dst", "d", "q")
+        .select("src", "dst", "d")
     )
-    # wedge GENERATION runs at full core width (the join stage inherits the
-    # repartition width — the byte-sized small-input default of 4 partitions
-    # ran the uncapped form 143 s; see tune_for_input docstring)
+    # wedge GENERATION runs at full core width (the generation stage
+    # inherits the adjacency shuffle's width — the byte-sized small-input
+    # default of 4 partitions ran the uncapped form 143 s; see
+    # tune_for_input docstring)
     width = spark.sparkContext.defaultParallelism
-    kept_w = kept.repartition(width, "dst")
-    ea, eb = kept_w.alias("ea"), kept_w.alias("eb")
-    cand = (
-        ea.join(
-            eb,
-            (F.col("eb.dst") == F.col("ea.dst")) & (F.col("ea.src") < F.col("eb.src")),
+    # per-dst adjacency arrays (≤ ~CAP entries by the sampling bound): the
+    # sorted array's post-position suffix is exactly the s1 < s2 partner
+    # set, so pair generation is row-local codegen over ONE shuffle of the
+    # sampled edges — the r10 kept⋈kept self-join shuffled the sampled set
+    # twice and re-ran the md5 pass per leg. d rides along (functionally
+    # dependent on dst) via max(); both weight terms are derived from it
+    # AFTER the pair exchange so the only large shuffle carries 3 columns.
+    adj = (
+        kept.repartition(width, "dst")
+        .groupBy("dst")
+        .agg(
+            F.sort_array(F.collect_list("src")).alias("srcs"),
+            F.max("d").alias("d"),
         )
+        .where(F.size("srcs") > 1)
+    )
+    wedges = (
+        adj.select(F.posexplode("srcs").alias("pos", "s1"), "srcs", "d")
         .select(
-            F.col("ea.src").alias("s1"),
-            F.col("eb.src").alias("s2"),
-            F.round(F.lit(1000000000.0) / (F.col("ea.q") * F.col("ea.q")))
-            .cast("bigint")
-            .alias("w_u"),
+            "s1",
+            F.slice(
+                F.col("srcs"),
+                F.col("pos") + 2,
+                F.greatest(F.size("srcs") - F.col("pos") - 1, F.lit(0)),
+            ).alias("cand"),
+            "d",
+        )
+        .where(F.size("cand") > 0)
+        .select("s1", F.explode("cand").alias("s2"), "d")
+    )
+    q = F.least(F.lit(1.0), F.lit(float(LP_DEG_CAP)) / F.col("d"))
+    cand = (
+        wedges.repartition(width, "s1", "s2")
+        .select(
+            "s1",
+            "s2",
+            F.round(F.lit(1000000000.0) / (q * q)).cast("bigint").alias("w_u"),
             F.round(
-                F.lit(1000000000.0)
-                / (F.log(F.col("ea.d").cast("double")) * F.col("ea.q") * F.col("ea.q"))
+                F.lit(1000000000.0) / (F.log(F.col("d").cast("double")) * q * q)
             )
             .cast("bigint")
             .alias("aa_term"),
         )
-        .repartition(width, "s1", "s2")
         .groupBy("s1", "s2")
         .agg(F.sum("w_u").alias("cn_u"), F.sum("aa_term").alias("aa_u"))
     )
@@ -514,7 +560,12 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(_dim(deg.selectExpr("src AS s1", "d AS d1")), "s1")
         .join(_dim(deg.selectExpr("src AS s2", "d AS d2")), "s2")
-        .join(pairs, ["s1", "s2"], "left_anti")
+        # the adjacency filter: gated like the deg joins — as a SMJ this
+        # forced a partition-local SORT of the full aggregated candidate
+        # set (~18 M rows at sf0.1) just to meet the 1.2 M-row edge list;
+        # broadcast (small inputs) / shuffled-hash (at scale) keeps the
+        # candidate stream sort-free either way
+        .join(_dim(pairs), ["s1", "s2"], "left_anti")
         .select(
             "s1",
             "s2",

@@ -602,26 +602,40 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"min(substring(h, {i * 4 + 1}, 4)) AS mh{i}" for i in range(dd.N_MINHASH)
     )
     bands_sql = ", ".join(dd._band_expr(b) for b in range(n_bands))
-    return sql_q(
+    # r11 (guide §2.4, plans/r11/pipeline_curate_corpus_*): Catalyst inlines
+    # CTEs, so the one-statement form recomputed the quality gate 3×, the
+    # exact-dedup survivor set 2× and — worst — the whole shingle+minhash
+    # per_doc pipeline 2× (once per side of the band self-join): 20
+    # exchanges / 10 scans at sf0.1. Restructured with the SAME algebra:
+    # exact dedup keeps rn=1 per fingerprint via ONE window instead of a
+    # min()-groupBy + semi-join back (quality then derives once), and the
+    # two frames with multiple consumers (deduped: shingling + final stats;
+    # per_doc: both sides of the band join) materialize once as lazy
+    # localCheckpoints. Kept set, near-drop set and stats are unchanged.
+    deduped = sql_q(
         spark,
         sf_dir,
-        f"""
+        """
         WITH quality AS (
             SELECT doc_id, lang, text FROM documents
             WHERE length(text) BETWEEN 64 AND 4096
-              AND size(regexp_extract_all(text, '[A-Za-z]+', 0)) >= 10),
-        exact_kept AS (
-            SELECT min(doc_id) AS doc_id
-            FROM (SELECT md5(lower(regexp_replace(trim(text), '\\\\s+', ' ')))
-                      AS fp, doc_id
-                  FROM quality)
-            GROUP BY fp),
-        deduped AS (
-            SELECT q.* FROM quality q LEFT SEMI JOIN exact_kept k
-            ON q.doc_id = k.doc_id),
-        wtab AS (SELECT doc_id,
-                        regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS w
-                 FROM deduped),
+              AND size(regexp_extract_all(text, '[A-Za-z]+', 0)) >= 10)
+        SELECT doc_id, lang, text FROM (
+            SELECT doc_id, lang, text,
+                   row_number() OVER (
+                       PARTITION BY
+                           md5(lower(regexp_replace(trim(text), '\\\\s+', ' ')))
+                       ORDER BY doc_id) AS rn
+            FROM quality)
+        WHERE rn = 1
+        """,
+    ).localCheckpoint(eager=False)
+    deduped.createOrReplaceTempView("curate_deduped")
+    per_doc = spark.sql(
+        f"""
+        WITH wtab AS (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS w
+                      FROM curate_deduped),
         shingled AS (
             SELECT doc_id,
                    explode(zip_with(
@@ -630,15 +644,19 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (x, y) -> concat(x, ' ', y)),
                        (a, bc) -> concat(a, ' ', bc)
                    )) AS shingle
-            FROM wtab WHERE size(w) >= 3),
-        per_doc AS (
-            SELECT doc_id, collect_set(shingle) AS shingles, {mh_cols}
-            FROM (SELECT doc_id, shingle, md5(shingle) AS h FROM shingled)
-            GROUP BY doc_id),
-        banded AS (
+            FROM wtab WHERE size(w) >= 3)
+        SELECT doc_id, collect_set(shingle) AS shingles, {mh_cols}
+        FROM (SELECT doc_id, shingle, md5(shingle) AS h FROM shingled)
+        GROUP BY doc_id
+        """
+    ).localCheckpoint(eager=False)
+    per_doc.createOrReplaceTempView("curate_per_doc")
+    return spark.sql(
+        f"""
+        WITH banded AS (
             SELECT doc_id, shingles,
                    posexplode(array({bands_sql})) AS (band_id, band_key)
-            FROM per_doc),
+            FROM curate_per_doc),
         near_dropped AS (
             SELECT DISTINCT b.doc_id
             FROM banded a JOIN banded b
@@ -649,7 +667,7 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - size(array_intersect(a.shingles, b.shingles)))
                   >= {dd.JACCARD_THRESHOLD}),
         final AS (
-            SELECT d.* FROM deduped d LEFT ANTI JOIN near_dropped n
+            SELECT d.* FROM curate_deduped d LEFT ANTI JOIN near_dropped n
             ON d.doc_id = n.doc_id)
         SELECT lang, count(1) AS n_docs,
                sum(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)))
@@ -657,7 +675,7 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM final
         GROUP BY lang
         ORDER BY lang
-        """,
+        """
     )
 
 

@@ -348,15 +348,18 @@ def test_wedge_sampling_before_shuffle(spark):
     df = queries()["graph_link_prediction"](spark, SF_DIR)
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
-    # the wedge join is keyed on dst with the s1<s2 dedup condition
-    assert re.search(r"SortMergeJoin \[dst#\d+L\], \[dst#\d+L\], Inner, \(src", plan)
-    # every dst-keyed exchange has the sampling predicate BELOW it (child
-    # side): the md5 keep-test runs before rows reach the shuffle writer
+    # r11 shape: wedges are generated row-locally from per-dst adjacency
+    # arrays (posexplode + suffix slice), not a kept⋈kept self-join — the
+    # sampled edge set crosses ONE dst-keyed exchange into the adjacency
+    # groupBy, and the sampler must sit BELOW it
     sampler = "conv(substring(md5("
     idxs = [m.start() for m in re.finditer(r"Exchange hashpartitioning\(dst#", plan)]
-    assert len(idxs) >= 2  # both self-join legs shuffle the SAMPLED edges
+    assert len(idxs) == 1  # exactly one dst exchange: the adjacency shuffle
     for i in idxs:
         assert sampler in plan[i:], "sampling filter must sit below the wedge exchange"
+    # the generation is explode-based, in-stage (no join on dst remains)
+    assert "Generate posexplode" in plan and "Generate explode" in plan
+    assert not re.search(r"SortMergeJoin \[dst#\d+L\]", plan)
     # degree lookup rides a broadcast, never a shuffle of the edge stream
     assert "BroadcastExchange" in plan
 
