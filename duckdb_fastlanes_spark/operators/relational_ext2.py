@@ -722,18 +722,26 @@ def approx_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     group key: mixing countDistinct with sketch aggregates in one agg makes
     Spark's one-distinct rewrite key the partial aggregate by
     (group, distinct value), i.e. one quantile-sketch buffer PER DISTINCT
-    KEY (~150k sketches at sf0.1 — measured 23 s combined vs 0.8 s split)."""
+    KEY (~150k sketches at sf0.1 — measured 23 s combined vs 0.8 s split).
+    r11: the EXACT leg had the same trap in miniature — countDistinct +
+    percentile() in one agg keys the percentile's O(ndv) value buffer by
+    (group, l_orderkey), one buffer per distinct order. Split into three
+    legs (sketches / exact distinct / exact percentile) joined on the
+    ≤|groups|-row key: 2.3 s → ~1.3 s at sf0.1, same rows."""
     li = table(spark, sf_dir, "lineitem")
     approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_p50"),
     )
-    exact = li.groupBy("l_returnflag").agg(
+    exact_nd = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    exact_p50 = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50_raw"),
     )
     return (
-        approx.join(exact, "l_returnflag")
+        approx.join(exact_nd, "l_returnflag")
+        .join(exact_p50, "l_returnflag")
         .select(
             "l_returnflag",
             "approx_orders",
