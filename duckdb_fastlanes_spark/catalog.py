@@ -407,6 +407,51 @@ def sql_q(spark: SparkSession, sf_dir: str, sql: str) -> "DataFrame":
     return spark.sql(sql)
 
 
+def values_df(spark: SparkSession, rows: list[tuple], ddl: str) -> "DataFrame":
+    """Small driver-computed result set as a JVM LocalRelation.
+
+    r11 (guide §4): ``spark.createDataFrame(list, ddl)`` routes through
+    ``applySchemaToPythonRDD`` — a Python-RDD-backed relation whose every
+    execution (and any range-partitioner sampling pass an orderBy adds)
+    spins Python worker tasks. For the scalar/summary rows many operators
+    emit (roundtrip mismatch counts, MMR picks, DESCRIBE output) that is
+    ~0.2-1.5 s of pure boundary tax per run. A typed VALUES literal parses
+    once into a LocalRelation: same rows, same schema, no Python boundary.
+    Supports int/float/bool/str/None cells (explicit CAST per column pins
+    the declared type, so e.g. ``0.1234`` never lands as DECIMAL(4,4))."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(ddl)
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        raise TypeError(f"values_df: unsupported literal {type(v)}")
+
+    cols = ", ".join(
+        f"CAST(c{i} AS {f.dataType.simpleString()}) AS {f.name}"
+        for i, f in enumerate(schema.fields)
+    )
+    names = ", ".join(f"c{i}" for i in range(len(schema.fields)))
+    if rows:
+        body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+        tail = ""
+    else:  # typed empty relation: one NULL row folded away by the optimizer
+        body = "(" + ", ".join("NULL" for _ in schema.fields) + ")"
+        tail = " WHERE 1 = 0"
+    return spark.sql(
+        f"SELECT {cols} FROM (VALUES {body}) AS t({names}){tail}"
+    )
+
+
 def shared_ansi(spark: SparkSession, sf_dir: str, name: str) -> "DataFrame":
     """Run ``name``'s registered oracle SQL through Spark itself.
 

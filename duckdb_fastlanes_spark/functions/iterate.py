@@ -73,9 +73,27 @@ def min_label_propagation(
             )
         ).alias("e")
     ).select("e.a", "e.b")
-    both = both.localCheckpoint()
-    nodes = both.select(F.col("a").alias("id")).distinct()
-    state = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    # r11 (guide §2.4): pre-partition the edge table by the probe key ONCE —
+    # localCheckpoint preserves the physical partitioning, so every round's
+    # both⋈state join reuses it and only the (node-sized) state side is
+    # exchanged, instead of re-shuffling the edge table each round.
+    n_part = max(edges.sparkSession.sparkContext.defaultParallelism // 8, 4)
+    both = both.repartition(n_part, "b").localCheckpoint()
+
+    # r11: round 1 from state₀ (label=id) is a pure function of the edge
+    # list — label₁(x) = min(x, min over neighbors of x) — so the loop
+    # starts from the round-1 fixpoint step computed in ONE aggregate,
+    # skipping the nodes.distinct() exchange AND the first join round
+    # entirely (every node appears as `a` in `both` by construction).
+    state = (
+        both.groupBy("a")
+        .agg(F.min("b").alias("nmin"))
+        .select(
+            F.col("a").alias("id"),
+            F.least(F.col("a"), F.col("nmin")).alias("label"),
+        )
+        .localCheckpoint(eager=False)
+    )
 
     # r11 (guide §2.4): the convergence test used to be a SECOND shuffle
     # join per round (old ⋈ new + count). The step's own left join already
@@ -84,7 +102,10 @@ def min_label_propagation(
     # filter-count over the round's just-materialized checkpoint blocks —
     # one shuffle join per round instead of two, same round count, and the
     # old-vs-new self-join hazard class (the r9 flip-union lesson) is gone
-    # because old and new state are never joined at all.
+    # because old and new state are never joined at all. Checkpoints are
+    # LAZY: with no old-vs-new join left in the loop (the r9 eager-by-design
+    # rationale), the round's count() action materializes the checkpoint
+    # blocks in the SAME job — one action per round instead of two.
     for i in range(1, max_iter + 1):
         neighbor_min = (
             both.join(state, both.b == state.id)
@@ -102,7 +123,7 @@ def min_label_propagation(
                     "chg"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         state = new.select("id", "label")
         if new.filter(F.col("chg")).count() == 0:

@@ -326,13 +326,18 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist AS (
             SELECT l_returnflag, price_c, sum(qty) AS wsum
             FROM w GROUP BY l_returnflag, price_c),
+        -- r11 (guide §2.4): group totals as a 3-row aggregate JOINED back
+        -- instead of a second window — the unbounded-both-ways frame made
+        -- WindowExec buffer every group's full histogram per row batch;
+        -- the ordered cumulative window below is untouched
+        tot AS (
+            SELECT l_returnflag, sum(wsum) AS totw FROM hist GROUP BY l_returnflag),
         cum AS (
-            SELECT l_returnflag, price_c,
-                   sum(wsum) OVER (
-                       PARTITION BY l_returnflag ORDER BY price_c
-                       ROWS UNBOUNDED PRECEDING) AS cumw,
-                   sum(wsum) OVER (PARTITION BY l_returnflag) AS totw
-            FROM hist)
+            SELECT h.l_returnflag, h.price_c, t.totw,
+                   sum(h.wsum) OVER (
+                       PARTITION BY h.l_returnflag ORDER BY h.price_c
+                       ROWS UNBOUNDED PRECEDING) AS cumw
+            FROM hist h JOIN tot t ON t.l_returnflag = h.l_returnflag)
         SELECT l_returnflag,
                max(totw) AS total_weight,
                round(min(CASE WHEN 2 * cumw >= totw THEN price_c END)

@@ -214,17 +214,9 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate the optimizer chooses freely (shuffle join, or its own
     broadcast if stats allow). Round results are 1-row aggregates
     unioned lazily (no driver collect)."""
-    from duckdb_fastlanes_spark.catalog import table
+    from duckdb_fastlanes_spark.operators.graph import _copurchase_pairs
 
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2"))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _copurchase_pairs(spark, sf_dir).localCheckpoint()
 
     # hint gate: a BIGINT node id is ~8 B + row overhead; 4 M nodes keep the
     # built hash relation well under spark.driver.maxResultSize / executor

@@ -110,7 +110,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degree-annotated edges materialize ONCE and feed every round; the
     # per-round rank frame is |nodes|-sized and 3 rounds deep at most, so
     # its lineage stays shallow without per-round checkpoints (open-ended
-    # iteration — functions/iterate.py — checkpoints per round instead)
+    # iteration — functions/iterate.py — checkpoints per round instead).
+    # r11 audit (plans/r11/graph_pagerank_*): the checkpoint already
+    # preserves the edges⋈deg join's src partitioning AND sort order, so
+    # every unrolled round's SortMergeJoin consumes the edge side with no
+    # exchange and no sort — only the node-sized rank frame moves per
+    # round. Left as-is; the per-round (dst) exchange is the algorithm.
     with_deg = edges.join(deg, "src").localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # one scalar to the driver; state stays distributed
@@ -155,6 +160,40 @@ _TRI_ORACLE_PAIRS = """
     )
 """
 
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part co-purchase pairs (s1 < s2) — the shared edge list of
+    the graph family (triangle/degree/k-core/link-prediction; the DuckDB
+    oracle keeps its self-join form, `_TRI_ORACLE_PAIRS`).
+
+    r11 (guide §2.4, the orders_market_basket pattern, measured ~2× there):
+    per-order sorted adjacency arrays replace the lineitem SMJ self-join —
+    ONE exchange of lineitem to l_orderkey with a collect_set that dedups
+    in the same exchange, row-local ordered-pair generation (posexplode +
+    suffix slice emits exactly the s1 < s2 combinations), then the distinct
+    exchange the self-join form also paid. Basket sizes are bounded (order
+    line counts), so pair fan-out is Σ basket² — the blocked-pairwise
+    discipline; no join, no second lineitem pass."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    return (
+        baskets.where(F.size("parts") > 1)
+        .select(F.posexplode("parts").alias("pos", "s1"), "parts")
+        .select(
+            "s1",
+            F.slice(
+                F.col("parts"),
+                F.col("pos") + 2,
+                F.greatest(F.size("parts") - F.col("pos") - 1, F.lit(0)),
+            ).alias("cand"),
+        )
+        .where(F.size("cand") > 0)
+        .select("s1", F.explode("cand").alias("s2"))
+        .distinct()
+    )
+
+
 #: measured-size broadcast tiers for the triangle census (the BFS_BCAST_ROWS
 #: pattern: gate on a COUNTED payload, never a static hint or the input
 #: gauge — r10 ADVICE item 1). One adjacency copy per EXECUTOR (not per
@@ -183,7 +222,11 @@ TRI_NODE_BCAST_ROWS = 4_000_000
         JOIN pairs e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
     )
     SELECT (SELECT count(*) FROM pairs) AS n_edges,
-           (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) FROM deg) AS n_wedges,
+           -- coalesce: sum over an empty degree table is NULL, but the
+           -- engine side's census reads 0 (empty-catalog gate; regression
+           -- inherited from the r11-prep triangle rewrite)
+           (SELECT CAST(coalesce(sum(d * (d - 1)), 0) // 2 AS BIGINT)
+            FROM deg) AS n_wedges,
            (SELECT n_triangles FROM tri) AS n_triangles
     """,
 )
@@ -223,15 +266,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacency localCheckpoints once and is reused by the probe and the
     broadcast build.
     """
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2"))
-        .distinct()
-        .localCheckpoint()
-    )
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint()
     # one O(1)-result count job on the checkpointed edge list gates the
     # census join strategy below (job-at-build, the RFM/BFS precedent); the
     # value also rides into the result as a literal so the count is not paid
@@ -446,15 +481,8 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte weight columns per wedge (~40% fewer shuffle bytes on the only
     large exchange in the query). 14 exchanges → 7, one md5 pass, measured
     8.8 s → see OPTIMIZATION_r11.md."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2"))
-        .distinct()
-        .localCheckpoint()  # reused: adjacency, degree, anti-join
-    )
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint()
+    # reused: adjacency, degree, anti-join
     edges = pairs.selectExpr("s1 AS src", "s2 AS dst").unionAll(
         pairs.selectExpr("s2 AS src", "s1 AS dst")
     )
@@ -557,15 +585,26 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w_u").alias("cn_u"), F.sum("aa_term").alias("aa_u"))
     )
     est = F.col("cn_u") / F.lit(1000000000.0)
-    scored = (
-        cand.join(_dim(deg.selectExpr("src AS s1", "d AS d1")), "s1")
-        .join(_dim(deg.selectExpr("src AS s2", "d AS d2")), "s2")
+    # r11 (guide §2.3, plans/r11/graph_link_prediction_*2): ranking uses
+    # only (cn_u, s1, s2), so the top-25 TakeOrderedAndProject runs right
+    # after the adjacency anti-join (which MUST precede the cut — adjacent
+    # pairs may outrank every candidate) and the d1/d2 degree joins plus
+    # all three score expressions now touch 25 rows instead of the full
+    # ~18 M-row aggregated candidate set (two joins × 18 M rows removed).
+    top = (
+        cand
         # the adjacency filter: gated like the deg joins — as a SMJ this
         # forced a partition-local SORT of the full aggregated candidate
         # set (~18 M rows at sf0.1) just to meet the 1.2 M-row edge list;
         # broadcast (small inputs) / shuffled-hash (at scale) keeps the
         # candidate stream sort-free either way
         .join(_dim(pairs), ["s1", "s2"], "left_anti")
+        .orderBy(F.desc("cn_u"), "s1", "s2")
+        .limit(25)
+    )
+    return (
+        top.join(_dim(deg.selectExpr("src AS s1", "d AS d1")), "s1")
+        .join(_dim(deg.selectExpr("src AS s2", "d AS d2")), "s2")
         .select(
             "s1",
             "s2",
@@ -574,10 +613,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("aa_u") / 1000000000.0, AA_SCALE).alias("adamic_adar"),
             F.round(est / (F.col("d1") + F.col("d2") - est), AA_SCALE).alias("jaccard"),
         )
-    )
-    return (
-        scored.orderBy(F.desc("cn_u"), "s1", "s2")
-        .limit(25)
+        .orderBy(F.desc("cn_u"), "s1", "s2")
         .select("s1", "s2", "common_est", "adamic_adar", "jaccard")
     )
 
@@ -609,14 +645,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar via a tiny cross join. Nothing here is more than histogram-sized
     after the first shuffle.
     """
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2"))
-        .distinct()
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     deg = (
         # endpoint stream via one explode: single scan of pairs, and immune
         # to the unmaterialized-self-union rewrite hazard (r9)

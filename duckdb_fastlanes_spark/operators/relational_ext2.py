@@ -562,18 +562,29 @@ def dq_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cnt(df: DataFrame, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias(name))
 
+    # r11 (guide §2.3): the lineitem→orders FK probe shuffled the 6 M-row
+    # fact table into the anti-join. The violation COUNT only needs per-key
+    # line counts, so the (l_orderkey, l_linenumber) group frame (already
+    # computed for the duplicate check — its exchange is REUSED) rolls up
+    # to (l_orderkey, n_lines) and the anti-join moves |orders|-sized keys
+    # + counts instead of fact rows; orphan lines = sum(n_lines). NULL keys
+    # never match an anti-join probe on either engine, so they count as
+    # orphans exactly as the oracle's LEFT JOIN ... IS NULL does.
+    line_ids = li.groupBy("l_orderkey", "l_linenumber").count()
+    per_order = line_ids.groupBy("l_orderkey").agg(
+        F.sum("count").alias("n_lines")
+    )
     return (
         cnt(li.filter(F.col("l_orderkey").isNull()), "null_orderkeys")
         .crossJoin(
-            cnt(
-                li.groupBy("l_orderkey", "l_linenumber")
-                .count()
-                .filter(F.col("count") > 1),
-                "dup_line_ids",
-            )
+            cnt(line_ids.filter(F.col("count") > 1), "dup_line_ids")
         )
         .crossJoin(
-            cnt(li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"), "orphan_lines")
+            per_order.join(o, per_order.l_orderkey == o.o_orderkey, "left_anti").agg(
+                F.coalesce(F.sum("n_lines"), F.lit(0)).cast("bigint").alias(
+                    "orphan_lines"
+                )
+            )
         )
         .crossJoin(
             cnt(o.join(c, o.o_custkey == c.c_custkey, "left_anti"), "orphan_orders")

@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_fastlanes_spark.catalog import table
+from duckdb_fastlanes_spark.catalog import table, values_df
 from duckdb_fastlanes_spark.io.fls import read_fls, write_fls
 from duckdb_fastlanes_spark.registry import register
 
@@ -41,9 +41,9 @@ def roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff_b = rt.exceptAll(li)
     mismatches = diff_a.union(diff_b).count()
     n = rt.count()
-    return spark.createDataFrame(
-        [(n, mismatches)], "n_rows BIGINT, n_mismatches BIGINT"
-    )
+    # r11: LocalRelation result row (values_df) — createDataFrame's
+    # Python-RDD path cost ~0.25 s per execution for one scalar row
+    return values_df(spark, [(n, mismatches)], "n_rows BIGINT, n_mismatches BIGINT")
 
 
 @register(
@@ -64,7 +64,7 @@ def roundtrip_file_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_fls(o.coalesce(1), out, row_group_size=1024, row_groups_per_file=16)
     rt = read_fls(spark, out)
     n = rt.count()
-    return spark.createDataFrame([(-(-n // 16384), n)], "min_files BIGINT, n_rows BIGINT")
+    return values_df(spark, [(-(-n // 16384), n)], "min_files BIGINT, n_rows BIGINT")
 
 
 @register(
@@ -100,7 +100,8 @@ def roundtrip_text_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from_jsonl = read_jsonl(spark, jsonl_path, schema=schema)
     csv_mism = o.exceptAll(from_csv).union(from_csv.exceptAll(o)).count()
     jsonl_mism = o.exceptAll(from_jsonl).union(from_jsonl.exceptAll(o)).count()
-    return spark.createDataFrame(
+    return values_df(
+        spark,
         [(o.count(), csv_mism, jsonl_mism)],
         "n_rows BIGINT, csv_mismatches BIGINT, jsonl_mismatches BIGINT",
     )

@@ -1227,8 +1227,13 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         chosen.append(best[0])
         picked.append((step, best[0], round(best[1], 4)))
-    return spark.createDataFrame(
-        picked, "step INT, vec_id BIGINT, mmr_score DOUBLE"
+    # r11: LocalRelation result (values_df) — the Python-RDD createDataFrame
+    # path plus the orderBy's range-sampling pass spun Python workers twice
+    # to serve ≤MMR_K driver-computed rows
+    from duckdb_fastlanes_spark.catalog import values_df
+
+    return values_df(
+        spark, picked, "step INT, vec_id BIGINT, mmr_score DOUBLE"
     ).orderBy("step")
 
 

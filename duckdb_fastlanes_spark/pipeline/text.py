@@ -727,11 +727,21 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "bg.w1", "bg.w2")
     )
-    uni = bigrams.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("cu"))
+    # r11 (guide §2.3/§2.4, plans/r11/text_bigram_lm_score_*): the bigram
+    # stream fed THREE consumers (uni, bi, the scoring join), so CTE
+    # inlining ran the regexp tokenize + explode three times and both model
+    # joins probed the full occurrence stream. Now: (1) the stream
+    # materializes once (lazy localCheckpoint); (2) cu comes from bi
+    # (c(w1·) = Σ_w2 c(w1,w2) — exact integers, |bi|-sized aggregate
+    # instead of a second full-stream pass); (3) cu attaches to the MODEL
+    # (|bi| rows) first, so the occurrence stream is joined once on
+    # (w1, w2) instead of twice.
+    bigrams = bigrams.localCheckpoint(eager=False)
     bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uni = bi.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    model = bi.join(uni, "w1")
     return (
-        bigrams.join(bi, ["w1", "w2"])
-        .join(uni, bigrams["w1"] == uni["w"])
+        bigrams.join(model, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
