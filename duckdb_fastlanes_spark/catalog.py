@@ -417,8 +417,9 @@ def values_df(spark: SparkSession, rows: list[tuple], ddl: str) -> "DataFrame":
     emit (roundtrip mismatch counts, MMR picks, DESCRIBE output) that is
     ~0.2-1.5 s of pure boundary tax per run. A typed VALUES literal parses
     once into a LocalRelation: same rows, same schema, no Python boundary.
-    Supports int/float/bool/str/None cells (explicit CAST per column pins
-    the declared type, so e.g. ``0.1234`` never lands as DECIMAL(4,4))."""
+    Supports int/float/bool/str/None cells plus flat lists of those
+    (``array(...)`` literals); the explicit CAST per column pins the
+    declared type, so e.g. ``0.1234`` never lands as DECIMAL(4,4)."""
     from pyspark.sql.types import StructType
 
     schema = StructType.fromDDL(ddl)
@@ -434,6 +435,8 @@ def values_df(spark: SparkSession, rows: list[tuple], ddl: str) -> "DataFrame":
             return str(v)
         if isinstance(v, str):
             return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, (list, tuple)):
+            return "array(" + ", ".join(lit(x) for x in v) + ")"
         raise TypeError(f"values_df: unsupported literal {type(v)}")
 
     cols = ", ".join(

@@ -1005,7 +1005,13 @@ def read_fls_native(
                             arrays.append(pa.nulls(n_rows, t))
                     yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
-    files_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+    # r11 (guide §4): typed VALUES LocalRelation for the file list —
+    # createDataFrame(list) is a Python-RDD-backed relation whose every
+    # execution (plus the repartition) spins Python worker tasks just to
+    # emit the paths the decode tasks read
+    from duckdb_fastlanes_spark.catalog import values_df
+
+    files_df = values_df(spark, [(f,) for f in files], "path string").repartition(
         min(len(files), spark.sparkContext.defaultParallelism)
     )
     return files_df.mapInArrow(decode, ddl)

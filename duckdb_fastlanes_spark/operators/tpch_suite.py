@@ -871,15 +871,19 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_cents"),
         )
     )
-    total = natps.agg(
-        (F.sum("value_cents") / F.countDistinct("ps_partkey") * F.lit(1.5)).alias(
-            "threshold"
-        )
+    # r11 (guide §2.4, plans/r11/tpch_q11_*): the threshold used to
+    # aggregate natps directly with a countDistinct — a second full pass
+    # over the partsupp joins plus a distinct Expand. Σcents/|parts| over
+    # the PER-PART aggregate is the same number exactly (BIGINT sums,
+    # identical division operands), and because both consumers now share
+    # the identical groupBy subtree, exchange reuse computes the join
+    # pipeline ONCE.
+    perpart = natps.groupBy("ps_partkey").agg(F.sum("value_cents").alias("cents"))
+    total = perpart.agg(
+        (F.sum("cents") / F.count(F.lit(1)) * F.lit(1.5)).alias("threshold")
     )
     return (
-        natps.groupBy("ps_partkey")
-        .agg(F.sum("value_cents").alias("cents"))
-        .join(F.broadcast(total))
+        perpart.join(F.broadcast(total))
         .filter(F.col("cents") > F.col("threshold"))
         .select(
             "ps_partkey",

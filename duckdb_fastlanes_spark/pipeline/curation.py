@@ -154,32 +154,37 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     and score every training doc by the fraction of its shingles that appear in
     the dictionary. Same shingle definition as the dedup family (dedup.py), so
     the two operators share candidate machinery in a real pipeline."""
-    from duckdb_fastlanes_spark.catalog import sql_q
-    from duckdb_fastlanes_spark.pipeline.dedup import _SHINGLE_CTE
+    from duckdb_fastlanes_spark.pipeline.dedup import _shingle_rows
 
-    return sql_q(
-        spark,
-        sf_dir,
-        f"""
-        WITH {_SHINGLE_CTE},
-        sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
-        eval_sh AS (
-            SELECT DISTINCT shingle, 1 AS hit
-            FROM sh WHERE doc_id % {EVAL_MOD} = 0),
-        hits AS (
-            SELECT /*+ BROADCAST(eval_sh) */ sh.doc_id, eval_sh.hit
-            FROM sh LEFT JOIN eval_sh ON sh.shingle = eval_sh.shingle
-            WHERE sh.doc_id % {EVAL_MOD} <> 0)
-        SELECT doc_id, count(1) AS n_shingles,
-               sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap,
-               round(CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END)
-                          AS DOUBLE) / count(1), 4) AS overlap_ratio,
-               CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END)
-                    AS DOUBLE) / count(1) >= {CONTAM_THRESHOLD}
-                 AS contaminated
-        FROM hits
-        GROUP BY doc_id
-        """,
+    # r11 (guide §2.4, plans/r11/contamination_ngram_*): the former SQL
+    # body's `sh` CTE (distinct doc_id/shingle) fed two consumers — eval
+    # dictionary and train scoring — so CTE inlining ran the tokenize +
+    # shingle-explode + distinct pipeline twice. The distinct frame now
+    # lazily checkpoints once (its own exchange materializes it in the
+    # same job); both legs read the cached rows. Expressions unchanged.
+    sh = _shingle_rows(table(spark, sf_dir, "documents")).localCheckpoint(eager=False)
+    eval_sh = (
+        sh.where(f"doc_id % {EVAL_MOD} = 0")
+        .select("shingle")
+        .distinct()
+        .selectExpr("shingle", "1 AS hit")
+    )
+    hits = (
+        sh.where(f"doc_id % {EVAL_MOD} <> 0")
+        .join(F.broadcast(eval_sh), "shingle", "left")
+        .select("doc_id", "hit")
+    )
+    return hits.groupBy("doc_id").agg(
+        F.expr("count(1)").alias("n_shingles"),
+        F.expr("sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END)").alias("n_overlap"),
+        F.expr(
+            "round(CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END)"
+            " AS DOUBLE) / count(1), 4)"
+        ).alias("overlap_ratio"),
+        F.expr(
+            "CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END)"
+            f" AS DOUBLE) / count(1) >= {CONTAM_THRESHOLD}"
+        ).alias("contaminated"),
     )
 
 

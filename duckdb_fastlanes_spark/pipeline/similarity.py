@@ -358,10 +358,13 @@ def sim_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     cand = spark.read.option("basePath", idx).parquet(*paths)
+    # r11 (guide §4): values_df — the Python-RDD-backed createDataFrame
+    # spun Python worker tasks just to emit the ≤N_QUERIES query rows on
+    # every broadcast build; a typed VALUES literal is a JVM LocalRelation
+    from duckdb_fastlanes_spark.catalog import values_df
+
     q = F.broadcast(
-        spark.createDataFrame(
-            qrows, "query_id bigint, qe array<double>, qcell int"
-        )
+        values_df(spark, qrows, "query_id bigint, qe array<double>, qcell int")
     )
     from pyspark.sql.window import Window
 
@@ -897,33 +900,41 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cell").alias("qcell"),
         )
     )
+    # r11 (guide §2.4, plans/r11/sim_ivf_recall_*): bf and ivf used to be
+    # two branches over `cand` — the corpus×queries cosine scoring (the
+    # query's dominant work) evaluated twice, each under its own window
+    # sort, then re-joined. The IVF ranking is the brute-force ranking
+    # restricted to cell-matching rows, so ONE scored pass carries both
+    # ranks: rk_all over every candidate, rk_cell partitioned additionally
+    # by the cell-match flag (row_number within the in_cell=true slice ==
+    # row_number of the former filtered branch). n_hits = |bf ∩ ivf| =
+    # count of bf rows that are also ivf rows — same number the former
+    # left-join counted, one scoring pass instead of two.
     cand = assigned.crossJoin(q).filter(F.col("vec_id") != F.col("query_id"))
     cos = _cosine(F.col("e"), F.col("qe")).alias("cos")
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    bf = (
-        cand.select("query_id", "vec_id", cos)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "vec_id")
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        cos,
+        (F.col("cell") == F.col("qcell")).alias("in_cell"),
     )
-    ivf = (
-        cand.filter(F.col("cell") == F.col("qcell"))
-        .select("query_id", "vec_id", cos)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", F.col("vec_id").alias("ivf_vec_id"))
+    w_all = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    w_cell = Window.partitionBy("query_id", "in_cell").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
     )
+    flagged = scored.select(
+        "query_id",
+        "in_cell",
+        F.row_number().over(w_all).alias("rk_all"),
+        F.row_number().over(w_cell).alias("rk_cell"),
+    )
+    hit = F.when(F.col("in_cell") & (F.col("rk_cell") <= TOP_K), 1)
     return ordered_small(
-        bf.join(
-            F.broadcast(ivf),  # ≤ N_QUERIES × TOP_K rows — never shuffle for this
-            (bf.query_id == ivf.query_id) & (bf.vec_id == ivf.ivf_vec_id),
-            "left",
-        )
-        .select(bf.query_id, "ivf_vec_id")
+        flagged.filter(F.col("rk_all") <= TOP_K)
         .groupBy("query_id")
         .agg(
-            F.count("ivf_vec_id").alias("n_hits"),
-            F.round(F.count("ivf_vec_id") / TOP_K, 4).alias("recall"),
+            F.count(hit).alias("n_hits"),
+            F.round(F.count(hit) / TOP_K, 4).alias("recall"),
         ),
         "query_id",
     )

@@ -335,40 +335,63 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic per-row arithmetic quantized to integer micro-units; the
     per-doc sum is exact, and the top-k orders by that integer with doc_id
     tiebreak — a TakeOrderedAndProject, no global sort."""
-    from duckdb_fastlanes_spark.catalog import sql_q
-
-    # single-parse SQL body (r7); same IEEE double expression tree as the
-    # oracle, D-suffixed fractional literals, exact integer micro-unit sum
-    return sql_q(
-        spark,
-        sf_dir,
-        f"""
-        WITH toks AS (
-            SELECT doc_id,
-                   explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS w
-            FROM documents),
-        dl AS (SELECT doc_id, count(1) AS dl FROM toks GROUP BY doc_id),
-        stats AS (SELECT count(1) AS n_docs, sum(dl) AS tot_dl FROM dl),
-        tf AS (SELECT doc_id, w, count(1) AS tf
-               FROM toks WHERE w IN {BM25_TERMS!r} GROUP BY doc_id, w),
-        dft AS (SELECT w, count(1) AS df FROM tf GROUP BY w),
-        scored AS (
-            SELECT /*+ BROADCAST(dft), BROADCAST(stats) */ tf.doc_id,
-                   CAST(round(
-                       log(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))
-                       * (tf * (1.0D + {BM25_K1}D))
-                       / (tf + {BM25_K1}D * (1.0D - {BM25_B}D
-                          + {BM25_B}D * dl / (CAST(tot_dl AS DOUBLE) / n_docs)))
-                       * 1000000) AS BIGINT) AS u
-            FROM tf JOIN dft ON tf.w = dft.w
-                    JOIN dl ON tf.doc_id = dl.doc_id
-                    CROSS JOIN stats)
-        SELECT doc_id, n_terms_hit, su / 1000000.0D AS score
-        FROM (SELECT doc_id, count(1) AS n_terms_hit, sum(u) AS su
-              FROM scored GROUP BY doc_id)
-        ORDER BY su DESC, doc_id
-        LIMIT {BM25_TOPK}
-        """,
+    # r11 (guide §2.4, plans/r11/text_bm25_topk_*): the dl/tf CTE split
+    # re-ran the regexp tokenize + explode once per consumer (dl was itself
+    # read twice — stats and the scoring join — so the corpus tokenized
+    # 3×). Doc length and the |Q|={len(BM25_TERMS)} per-term frequencies
+    # now come out of ONE per-doc aggregate (conditional counts) that
+    # lazily checkpoints (doc-sized), the stack() unpivot emits (w, tf)
+    # row-locally with dl riding along (the former dl join disappears),
+    # and the corpus tokenizes exactly once. The scoring expression is the
+    # same IEEE double tree as the oracle (D-suffixed literals, exact
+    # integer micro-unit sum).
+    d = table(spark, sf_dir, "documents")
+    toks = d.selectExpr(
+        "doc_id", "explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS w"
+    )
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.expr("count(1)").alias("dl"),
+            *[
+                F.expr(f"count_if(w = '{t}')").alias(f"tf_{i}")
+                for i, t in enumerate(BM25_TERMS)
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = per_doc.agg(
+        F.expr("count(1)").alias("n_docs"), F.expr("sum(dl)").alias("tot_dl")
+    )
+    stack_args = ", ".join(f"'{t}', tf_{i}" for i, t in enumerate(BM25_TERMS))
+    tf = per_doc.selectExpr(
+        "doc_id",
+        "dl",
+        f"stack({len(BM25_TERMS)}, {stack_args}) AS (w, tf)",
+    ).where("tf > 0")
+    dft = tf.groupBy("w").agg(F.expr("count(1)").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dft), "w")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "doc_id",
+            f"""CAST(round(
+                log(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))
+                * (tf * (1.0D + {BM25_K1}D))
+                / (tf + {BM25_K1}D * (1.0D - {BM25_B}D
+                   + {BM25_B}D * dl / (CAST(tot_dl AS DOUBLE) / n_docs)))
+                * 1000000) AS BIGINT) AS u""",
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.expr("count(1)").alias("n_terms_hit"),
+            F.expr("sum(u)").alias("su"),
+        )
+        .orderBy(F.desc("su"), "doc_id")
+        .limit(BM25_TOPK)
+        .selectExpr("doc_id", "n_terms_hit", "su / 1000000.0D AS score")
     )
 
 
@@ -1105,17 +1128,25 @@ def text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                    explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0))
                      AS tok
             FROM documents),
-        train AS (SELECT * FROM toks WHERE bucket < 80),
         test AS (SELECT * FROM toks WHERE bucket >= 80),
-        class_tot AS (SELECT source, count(1) AS tot FROM train GROUP BY source),
-        vocab_n AS (SELECT count(DISTINCT tok) AS v FROM train),
+        -- r11 (guide §2.4): the train leg used to be scanned THREE times
+        -- (class totals, vocab size, model counts) — and CTE inlining
+        -- re-ran the regexp tokenize + explode for each. The (source, tok)
+        -- term-frequency aggregate is now the single train-side pass;
+        -- class totals (Σ cnt) and vocab size (distinct tok) derive from
+        -- it exactly, so the corpus tokenizes twice (train agg + test),
+        -- not four times.
+        tf AS (SELECT source AS m_source, tok AS m_tok, count(1) AS cnt
+               FROM toks WHERE bucket < 80 GROUP BY source, tok),
+        class_tot AS (SELECT m_source AS source, sum(cnt) AS tot
+                      FROM tf GROUP BY m_source),
+        vocab_n AS (SELECT count(DISTINCT m_tok) AS v FROM tf),
         model AS (
             SELECT /*+ BROADCAST(class_tot), BROADCAST(vocab_n) */
                    t.m_source, t.m_tok,
                    CAST(floor(1000000.0D * log((t.cnt + 1.0D) / (tot + v)))
                         AS BIGINT) AS l_tok
-            FROM (SELECT source AS m_source, tok AS m_tok, count(1) AS cnt
-                  FROM train GROUP BY source, tok) t
+            FROM tf t
             JOIN class_tot ON t.m_source = class_tot.source
             CROSS JOIN vocab_n),
         defaults AS (
