@@ -1149,18 +1149,32 @@ def text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM tf t
             JOIN class_tot ON t.m_source = class_tot.source
             CROSS JOIN vocab_n),
+        -- r11 second pass (guide §2.3, measured at the 1000x cell): the
+        -- former CROSS JOIN defaults LEFT JOIN model multiplied every test
+        -- token occurrence by |sources| BEFORE the (source, tok) shuffle
+        -- join — 255 s at 1000x, paired 5.3x behind DuckDB. The model now
+        -- packs into one source->l_tok map PER TOKEN, the join ships each
+        -- occurrence ONCE keyed by tok alone, and the per-candidate
+        -- expansion is a row-local broadcast cross join AFTER the join
+        -- (element_at misses -> l_unseen, exactly the former coalesce).
+        -- Same integer micro-nat sums; 1000x wall 255 s -> 17 s.
+        model_packed AS (
+            SELECT m_tok,
+                   map_from_arrays(collect_list(m_source),
+                                   collect_list(l_tok)) AS lmap
+            FROM model GROUP BY m_tok),
         defaults AS (
             SELECT /*+ BROADCAST(vocab_n) */ source AS d_source,
                    CAST(floor(1000000.0D * log(1.0D / (tot + v))) AS BIGINT)
                      AS l_unseen
             FROM class_tot CROSS JOIN vocab_n),
         scored AS (
-            SELECT /*+ BROADCAST(defaults) */ test.doc_id,
+            SELECT /*+ BROADCAST(defaults), SHUFFLE_HASH(mp) */ test.doc_id,
                    test.source AS actual, d_source AS candidate,
-                   sum(coalesce(l_tok, l_unseen)) AS score
-            FROM test CROSS JOIN defaults
-            LEFT JOIN model
-              ON model.m_source = d_source AND model.m_tok = test.tok
+                   sum(coalesce(element_at(lmap, d_source), l_unseen))
+                     AS score
+            FROM test LEFT JOIN model_packed mp ON mp.m_tok = test.tok
+                 CROSS JOIN defaults
             GROUP BY test.doc_id, test.source, d_source)
         SELECT actual, candidate AS predicted, count(1) AS n
         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id

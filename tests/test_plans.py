@@ -423,3 +423,26 @@ def test_triangle_count_measured_broadcast_tiers(spark, monkeypatch):
     for line in plan.splitlines():
         if "BroadcastHashJoin" in line:
             assert "l_orderkey" in line, line
+
+
+def test_nb_classifier_ships_test_tokens_once(spark):
+    """r11: the NB scorer must join each test-token occurrence ONCE, keyed by
+    tok alone, against the map-packed model (one source->log-likelihood map
+    per token). The former shape CROSS JOINed test tokens with the candidate
+    sources BEFORE the (m_source, m_tok) model join, multiplying the shuffled
+    occurrence stream by |sources| — 255 s at the 1000x cell. The candidate
+    expansion must sit ABOVE the model join as a row-local broadcast cross
+    join (element_at misses fall back to the unseen default)."""
+    from duckdb_fastlanes_spark.registry import queries
+
+    df = queries()["text_nb_source_classifier"](spark, SF_DIR)
+    # model packed into one map per token (aggregate exprs only print in
+    # formatted mode)...
+    assert "map_from_arrays" in explain_str(df, "formatted")
+    plan = explain_str(df, "simple")
+    # ...probed by exactly one shuffle join, keyed by the token alone
+    shuffle_joins = re.findall(r"(SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\]", plan)
+    assert len(shuffle_joins) == 1, shuffle_joins
+    assert "m_source" not in shuffle_joins[0][1]
+    # the per-candidate expansion is broadcast, never a shuffled cross join
+    assert "CartesianProduct" not in plan
