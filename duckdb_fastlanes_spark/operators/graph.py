@@ -569,21 +569,54 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s1", F.explode("cand").alias("s2"), "d")
     )
     q = F.least(F.lit(1.0), F.lit(float(LP_DEG_CAP)) / F.col("d"))
-    cand = (
-        wedges.repartition(width, "s1", "s2")
-        .select(
-            "s1",
-            "s2",
-            F.round(F.lit(1000000000.0) / (q * q)).cast("bigint").alias("w_u"),
-            F.round(
-                F.lit(1000000000.0) / (F.log(F.col("d").cast("double")) * q * q)
-            )
-            .cast("bigint")
-            .alias("aa_term"),
-        )
-        .groupBy("s1", "s2")
-        .agg(F.sum("w_u").alias("cn_u"), F.sum("aa_term").alias("aa_u"))
+    w_u = F.round(F.lit(1000000000.0) / (q * q)).cast("bigint").alias("w_u")
+    aa_term = (
+        F.round(F.lit(1000000000.0) / (F.log(F.col("d").cast("double")) * q * q))
+        .cast("bigint")
+        .alias("aa_term")
     )
+    # r11 session 2 (guide §2.3): the candidate aggregate plans TWO
+    # HashAggregates (Spark always splits partial+final; with the explicit
+    # repartition already satisfying the distribution BOTH land in the same
+    # stage back-to-back), each building a ~20.7 M-group map from ~21.9 M
+    # rows — measured 77% of the query's executor time (253 s CPU of 324 s,
+    # tools/sql_metrics.py) with per-task maps at the execution-memory
+    # ceiling. The pair key now PACKS into one BIGINT (s1·2³² + s2) through
+    # the exchange, both aggregate builds and the anti-join: map rows shrink
+    # 40 → 32 B, hash/compare work one long instead of two ints, and the
+    # broadcast anti side becomes a dense single-long relation. pk's numeric
+    # order IS (s1, s2) lexicographic order (both non-negative), so the
+    # top-25 tiebreak is unchanged. Gated on the key domain from parquet
+    # footer statistics (driver-only, no job): beyond 2³¹ the unpacked shape
+    # stands — results are identical either way (A/B'd top-25 equal;
+    # tools/lp_agg_ab.py: tail 4.72 → 3.41 s min-of-3).
+    from duckdb_fastlanes_spark.session import parquet_column_range
+
+    _rng = parquet_column_range(sf_dir, "lineitem", "l_partkey")
+    _pack = _rng is not None and 0 <= _rng[0] and _rng[1] < (1 << 31)
+    if _pack:
+        _PK = F.lit(1 << 32).cast("bigint")
+        pk = (F.col("s1").cast("bigint") * _PK + F.col("s2")).alias("pk")
+        cand = (
+            wedges.select(pk, "d")
+            .repartition(width, "pk")
+            .select("pk", w_u, aa_term)
+            .groupBy("pk")
+            .agg(F.sum("w_u").alias("cn_u"), F.sum("aa_term").alias("aa_u"))
+        )
+        anti_keys = ["pk"]
+        anti_side = pairs.select(pk)
+        order_cols = [F.desc("cn_u"), F.col("pk")]
+    else:
+        cand = (
+            wedges.repartition(width, "s1", "s2")
+            .select("s1", "s2", w_u, aa_term)
+            .groupBy("s1", "s2")
+            .agg(F.sum("w_u").alias("cn_u"), F.sum("aa_term").alias("aa_u"))
+        )
+        anti_keys = ["s1", "s2"]
+        anti_side = pairs
+        order_cols = [F.desc("cn_u"), F.col("s1"), F.col("s2")]
     est = F.col("cn_u") / F.lit(1000000000.0)
     # r11 (guide §2.3, plans/r11/graph_link_prediction_*2): ranking uses
     # only (cn_u, s1, s2), so the top-25 TakeOrderedAndProject runs right
@@ -598,10 +631,19 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         # set (~18 M rows at sf0.1) just to meet the 1.2 M-row edge list;
         # broadcast (small inputs) / shuffled-hash (at scale) keeps the
         # candidate stream sort-free either way
-        .join(_dim(pairs), ["s1", "s2"], "left_anti")
-        .orderBy(F.desc("cn_u"), "s1", "s2")
+        .join(_dim(anti_side), anti_keys, "left_anti")
+        .orderBy(*order_cols)
         .limit(25)
     )
+    if _pack:
+        # unpack AFTER the 25-row cut (row-local bit ops; original dtype)
+        _kt = dict(pairs.dtypes)["s1"]
+        top = top.select(
+            F.shiftrightunsigned("pk", 32).cast(_kt).alias("s1"),
+            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).cast(_kt).alias("s2"),
+            "cn_u",
+            "aa_u",
+        )
     return (
         top.join(_dim(deg.selectExpr("src AS s1", "d AS d1")), "s1")
         .join(_dim(deg.selectExpr("src AS s2", "d AS d2")), "s2")

@@ -172,6 +172,56 @@ def input_gauge_bytes(data_dir: str) -> int:
     return gauge
 
 
+#: (data_dir, table, column) → (file stat fingerprint, (min, max) | None)
+_COL_RANGE_MEMO: dict[tuple[str, str, str], tuple[tuple, tuple | None]] = {}
+
+
+def parquet_column_range(
+    data_dir: str, table: str, column: str
+) -> tuple[int, int] | None:
+    """(min, max) of ``column`` across ``<table>.parquet``'s row-group footer
+    statistics — driver-only metadata, no Spark job (the zone-map machinery
+    operators/scan.py already relies on). Returns None when the file or its
+    stats are unavailable, so callers degrade to their stat-free path.
+    Memoized on the file's stat fingerprint (size/mtime/inode), the
+    input_gauge_bytes pattern. Used to gate key-packing rewrites (e.g.
+    graph_link_prediction packs a pair of keys into one BIGINT only while
+    the key domain provably fits 32 bits)."""
+    src = os.path.join(data_dir.rstrip("/"), f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        fp = (st.st_size, st.st_mtime_ns, st.st_ino)
+    except OSError:
+        return None
+    key = (data_dir, table, column)
+    hit = _COL_RANGE_MEMO.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    rng: tuple | None = None
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(src).metadata
+        lo = hi = None
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                if c.path_in_schema != column:
+                    continue
+                s = c.statistics
+                if s is None or not s.has_min_max:
+                    raise ValueError("missing stats")
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            rng = (lo, hi)
+    except Exception:
+        rng = None
+    _COL_RANGE_MEMO[key] = (fp, rng)
+    return rng
+
+
 def tune_for_input(spark: SparkSession, data_dir: str) -> None:
     """Adapt session conf to the catalog's input size (runtime-settable confs
     only; call any time, cheap enough to call per run).

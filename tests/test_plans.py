@@ -446,3 +446,24 @@ def test_nb_classifier_ships_test_tokens_once(spark):
     assert "m_source" not in shuffle_joins[0][1]
     # the per-candidate expansion is broadcast, never a shuffled cross join
     assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_packs_pair_key_through_aggregate(spark):
+    """r11 session 2: the candidate aggregate's pair key must pack into ONE
+    bigint through the exchange, both aggregate builds and the anti-join —
+    the (s1, s2) form built every ~20.7 M-group hash map over two columns
+    twice (77% of the query's executor time, tools/sql_metrics.py). Packing
+    is gated on the key domain from parquet footer statistics; at the test
+    scale the gate is always open, so the plan must show the packed shape."""
+    from duckdb_fastlanes_spark.registry import queries
+    from duckdb_fastlanes_spark.session import parquet_column_range
+
+    rng = parquet_column_range(SF_DIR, "lineitem", "l_partkey")
+    assert rng is not None and 0 <= rng[0] and rng[1] < (1 << 31)
+    df = queries()["graph_link_prediction"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    # the big exchange carries the packed key, not the two-column pair
+    assert re.search(r"hashpartitioning\(pk#\d+L", plan), plan
+    # top-25 tiebreak rides the same packed key (numeric order == (s1, s2)
+    # lexicographic order for non-negative 32-bit keys)
+    assert re.search(r"TakeOrderedAndProject.*pk#\d+L ASC", plan), plan
