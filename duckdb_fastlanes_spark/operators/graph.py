@@ -536,8 +536,18 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wedge GENERATION runs at full core width (the generation stage
     # inherits the adjacency shuffle's width — the byte-sized small-input
     # default of 4 partitions ran the uncapped form 143 s; see
-    # tune_for_input docstring)
-    width = spark.sparkContext.defaultParallelism
+    # tune_for_input docstring). The width additionally scales with the
+    # INPUT (guide §2.2: size partitions from data, not cores): wedge count
+    # grows linearly with the corpus, and at the 1000× cell the core-count
+    # exchange put a ~65 M-group hash map in every aggregate task — the
+    # aggregate starved the anti-join's hash build ("Can't acquire ...
+    # bytes to build hash relation"). One partition per ~24 MB of decoded
+    # input keeps per-task maps spill-safe; the local bench (22 MB decoded)
+    # stays at core width, so the driver's measurement is unchanged.
+    width = max(
+        spark.sparkContext.defaultParallelism,
+        min(4096, input_gauge_bytes(sf_dir) // (24 * 1024**2)),
+    )
     # per-dst adjacency arrays (≤ ~CAP entries by the sampling bound): the
     # sorted array's post-position suffix is exactly the s1 < s2 partner
     # set, so pair generation is row-local codegen over ONE shuffle of the
