@@ -47,8 +47,30 @@ def iterate_until_fixpoint(
     return state, max_iter
 
 
+def cc_edge_width(spark, sf_dir: str) -> int:
+    """Data-scaled partition width for the CC loop's pre-partitioned edge
+    table (r11 verdict item: the core-derived ``defaultParallelism // 8``
+    constant capped every round's join at 4-way parallelism regardless of
+    data size — the same "constant tuned from cores, not data" anti-pattern
+    fixed on graph_link_prediction). The near-dup pair graph is a small
+    fraction of the documents corpus, so one partition per ~16 MB of decoded
+    ``documents`` bytes (floor = the measured-best tiny-input width, cap
+    4096) keeps partitions meaningful at every scale: sf0.1 stays at the
+    4-partition width the tiny-input sweep chose, the sf10 cell gets ~15,
+    and a 100 TB corpus hits the cap instead of 4. Unreadable footers
+    degrade to the whole-catalog gauge."""
+    from duckdb_fastlanes_spark.session import (
+        input_gauge_bytes,
+        parquet_table_bytes,
+    )
+
+    docs = parquet_table_bytes(sf_dir, "documents") or input_gauge_bytes(sf_dir)
+    floor = max(spark.sparkContext.defaultParallelism // 8, 4)
+    return max(floor, min(4096, docs // (16 * 1024**2)))
+
+
 def min_label_propagation(
-    edges: DataFrame, max_iter: int = 50
+    edges: DataFrame, max_iter: int = 50, width: int | None = None
 ) -> tuple[DataFrame, int]:
     """Connected components by min-label propagation over an undirected edge
     list (columns ``a``, ``b``): every node converges to the minimum node id
@@ -77,8 +99,12 @@ def min_label_propagation(
     # localCheckpoint preserves the physical partitioning, so every round's
     # both⋈state join reuses it and only the (node-sized) state side is
     # exchanged, instead of re-shuffling the edge table each round.
-    n_part = max(edges.sparkSession.sparkContext.defaultParallelism // 8, 4)
-    both = both.repartition(n_part, "b").localCheckpoint()
+    # r12: width comes from the caller's DATA gauge (cc_edge_width) instead
+    # of a core-derived constant; the old constant stays only as the
+    # gauge-less fallback for direct library callers.
+    if width is None:
+        width = max(edges.sparkSession.sparkContext.defaultParallelism // 8, 4)
+    both = both.repartition(width, "b").localCheckpoint()
 
     # r11: round 1 from state₀ (label=id) is a pure function of the edge
     # list — label₁(x) = min(x, min over neighbors of x) — so the loop

@@ -541,12 +541,27 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grows linearly with the corpus, and at the 1000× cell the core-count
     # exchange put a ~65 M-group hash map in every aggregate task — the
     # aggregate starved the anti-join's hash build ("Can't acquire ...
-    # bytes to build hash relation"). One partition per ~24 MB of decoded
-    # input keeps per-task maps spill-safe; the local bench (22 MB decoded)
-    # stays at core width, so the driver's measurement is unchanged.
+    # bytes to build hash relation"). One partition per ~18 MB of decoded
+    # LINEITEM keeps per-task maps spill-safe; the local bench (13 MB
+    # lineitem) stays at core width, so the driver's measurement is
+    # unchanged. r12 (ADVICE item): the gauge is lineitem's OWN decoded
+    # bytes, not the whole-catalog total — wedge volume is driven by
+    # lineitem alone, and a catalog dominated by other tables (wide
+    # documents/events text) must not over-partition this query into many
+    # tiny aggregate tasks. The 18 MB divisor reproduces the r11-calibrated
+    # width at the sf10 cell (330 → 322 partitions, ~6 M groups/task);
+    # unreadable footers (gauge 0) degrade to the whole-catalog gauge.
+    from duckdb_fastlanes_spark.session import parquet_table_bytes
+
+    _li_bytes = parquet_table_bytes(sf_dir, "lineitem")
     width = max(
         spark.sparkContext.defaultParallelism,
-        min(4096, input_gauge_bytes(sf_dir) // (24 * 1024**2)),
+        min(
+            4096,
+            _li_bytes // (18 * 1024**2)
+            if _li_bytes
+            else input_gauge_bytes(sf_dir) // (24 * 1024**2),
+        ),
     )
     # per-dst adjacency arrays (≤ ~CAP entries by the sampling bound): the
     # sorted array's post-position suffix is exactly the s1 < s2 partner

@@ -21,6 +21,17 @@ from duckdb_fastlanes_spark.io.fls import read_fls, write_fls
 from duckdb_fastlanes_spark.registry import register
 
 
+def _tmp_out(name: str) -> str:
+    """Per-process output dir for roundtrip writes. A fixed shared path let
+    two CONCURRENT check processes race on the same directory (one process
+    overwrites while the other reads — observed as a spurious empty-gate
+    failure in r11). The PID token keeps every rerun within one process
+    overwriting its own dir (no per-process accumulation) while distinct
+    processes never share a path. Build-time string only — the timed
+    write/read path is unchanged."""
+    return os.path.join(tempfile.gettempdir(), f"{name}_pid{os.getpid()}")
+
+
 @register(
     "roundtrip_lineitem",
     oracle="""
@@ -34,7 +45,7 @@ def roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_rows, n_mismatches=0) so the oracle verifies both write fidelity and
     cardinality preservation."""
     li = table(spark, sf_dir, "lineitem")
-    out = os.path.join(tempfile.gettempdir(), "dfs_roundtrip_lineitem")
+    out = _tmp_out("dfs_roundtrip_lineitem")
     write_fls(li, out, row_group_size=64 * 1024)
     rt = read_fls(spark, out)
     diff_a = li.exceptAll(rt)
@@ -60,7 +71,7 @@ def roundtrip_file_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     file count is asserted ≥ min_files in tests (Spark may split further by
     input partition)."""
     o = table(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.gettempdir(), "dfs_roundtrip_rotation")
+    out = _tmp_out("dfs_roundtrip_rotation")
     write_fls(o.coalesce(1), out, row_group_size=1024, row_groups_per_file=16)
     rt = read_fls(spark, out)
     n = rt.count()
@@ -91,7 +102,7 @@ def roundtrip_text_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = table(spark, sf_dir, "orders")
-    base = os.path.join(tempfile.gettempdir(), "dfs_roundtrip_text")
+    base = _tmp_out("dfs_roundtrip_text")
     csv_path, jsonl_path = base + "_csv", base + "_jsonl"
     write_csv(o, csv_path)
     write_jsonl(o, jsonl_path)
@@ -188,7 +199,7 @@ def fls_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    out = os.path.join(tempfile.gettempdir(), "dfs_flsnative_documents")
+    out = _tmp_out("dfs_flsnative_documents")
     write_fls_native(d, out, row_group_size=16 * 1024)
     rt = read_fls_native(spark, out)
     return (
@@ -230,7 +241,7 @@ def fls_native_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    out = os.path.join(tempfile.gettempdir(), "dfs_flsnative_lineitem")
+    out = _tmp_out("dfs_flsnative_lineitem")
     # repartitionByRange + local sort → each row group covers a tight,
     # non-overlapping key range: the layout that makes zone maps effective
     # (same reason the reference sorts before writing its bench files)
@@ -290,7 +301,7 @@ def fls_native_adaptive_filter_scan(spark: SparkSession, sf_dir: str) -> DataFra
         # into the file so BOTH predicates run inside the reader
         "CAST(l_orderkey % 8 AS BIGINT) AS key_bucket",
     )
-    out = os.path.join(tempfile.gettempdir(), "dfs_flsnative_adaptive")
+    out = _tmp_out("dfs_flsnative_adaptive")
     write_fls_native(li, out, row_group_size=8 * 1024)
     rt = read_fls_native(
         spark,
@@ -340,7 +351,7 @@ def fls_native_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = table(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.gettempdir(), "dfs_flsnative_evo")
+    out = _tmp_out("dfs_flsnative_evo")
     gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
         F.col("o_orderkey").cast("int").alias("o_orderkey"), "o_totalprice"
     )

@@ -168,14 +168,17 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels (only docs that HAVE a near-dup, a small fraction of the corpus)
     broadcast-join back onto the full corpus, and split assignment itself is
     a row-local md5 CASE — no extra shuffle at any corpus size."""
-    from duckdb_fastlanes_spark.functions.iterate import min_label_propagation
+    from duckdb_fastlanes_spark.functions.iterate import (
+        cc_edge_width,
+        min_label_propagation,
+    )
     from duckdb_fastlanes_spark.functions.ordering import ordered_small
     from duckdb_fastlanes_spark.pipeline.dedup import dedup_minhash_lsh
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    labels, _ = min_label_propagation(pairs)
+    labels, _ = min_label_propagation(pairs, width=cc_edge_width(spark, sf_dir))
     d = table(spark, sf_dir, "documents")
     joined = d.join(
         F.broadcast(labels.withColumnRenamed("id", "doc_id")), "doc_id", "left"

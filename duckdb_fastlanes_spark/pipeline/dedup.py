@@ -746,12 +746,17 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence rationale). The DuckDB oracle computes the same components
     with a recursive-CTE transitive closure — tractable at oracle scale, n²
     at ours, which is exactly why the Spark side iterates instead."""
-    from duckdb_fastlanes_spark.functions.iterate import min_label_propagation
+    from duckdb_fastlanes_spark.functions.iterate import (
+        cc_edge_width,
+        min_label_propagation,
+    )
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    labels, _n_iter = min_label_propagation(pairs)
+    labels, _n_iter = min_label_propagation(
+        pairs, width=cc_edge_width(spark, sf_dir)
+    )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")

@@ -175,6 +175,44 @@ def input_gauge_bytes(data_dir: str) -> int:
 #: (data_dir, table, column) → (file stat fingerprint, (min, max) | None)
 _COL_RANGE_MEMO: dict[tuple[str, str, str], tuple[tuple, tuple | None]] = {}
 
+#: (data_dir, table) → (file stat fingerprint, decoded bytes)
+_TABLE_BYTES_MEMO: dict[tuple[str, str], tuple[tuple, int]] = {}
+
+
+def parquet_table_bytes(data_dir: str, table: str) -> int:
+    """Decoded bytes of ONE table (``<table>.parquet`` row-group
+    total_byte_size sum) — the per-table sibling of ``input_gauge_bytes``.
+    Exchange widths that scale with a single table's volume (e.g. the
+    link-prediction wedge width, driven by lineitem alone) gauge this
+    instead of the whole-catalog total, so a catalog dominated by OTHER
+    tables (wide text columns in documents/events) does not over-partition
+    the query into many tiny tasks (r11 ADVICE item). Returns 0 when the
+    file or its footer is unreadable — callers treat 0 as "unknown, use
+    the floor". Memoized on the file's stat fingerprint."""
+    data_dir = data_dir.rstrip("/")
+    src = os.path.join(data_dir, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        fp = (st.st_size, st.st_mtime_ns, st.st_ino)
+    except OSError:
+        return 0
+    key = (data_dir, table)
+    hit = _TABLE_BYTES_MEMO.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    total = 0
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(src).metadata
+        total = sum(
+            md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+        )
+    except Exception:
+        total = 0
+    _TABLE_BYTES_MEMO[key] = (fp, total)
+    return total
+
 
 def parquet_column_range(
     data_dir: str, table: str, column: str
@@ -187,12 +225,16 @@ def parquet_column_range(
     input_gauge_bytes pattern. Used to gate key-packing rewrites (e.g.
     graph_link_prediction packs a pair of keys into one BIGINT only while
     the key domain provably fits 32 bits)."""
-    src = os.path.join(data_dir.rstrip("/"), f"{table}.parquet")
+    data_dir = data_dir.rstrip("/")
+    src = os.path.join(data_dir, f"{table}.parquet")
     try:
         st = os.stat(src)
         fp = (st.st_size, st.st_mtime_ns, st.st_ino)
     except OSError:
         return None
+    # key normalized on the rstripped dir so 'dir' and 'dir/' share one memo
+    # entry (r11 ADVICE: the raw string keyed duplicate entries — extra
+    # footer reads, no correctness impact)
     key = (data_dir, table, column)
     hit = _COL_RANGE_MEMO.get(key)
     if hit is not None and hit[0] == fp:
@@ -217,7 +259,19 @@ def parquet_column_range(
         if lo is not None:
             rng = (lo, hi)
     except Exception:
+        # conservative: ANY stats-less row group disables the whole range
+        # (a chunk written without min/max could hide out-of-range keys).
+        # Observable on purpose (r11 ADVICE): a silently-disabled packing
+        # fast path is otherwise invisible.
         rng = None
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "parquet_column_range: footer stats unavailable for %s.%s — "
+            "range-gated fast paths fall back to the unpacked shape",
+            table,
+            column,
+        )
     _COL_RANGE_MEMO[key] = (fp, rng)
     return rng
 
