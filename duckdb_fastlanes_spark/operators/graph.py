@@ -397,6 +397,23 @@ _LP_U_SQL = (
 )
 
 
+def _lp_candidate_agg(batches):
+    """Complete per-partition candidate aggregate for graph_link_prediction
+    (r12, guide §4.2): the stream is already hash-partitioned on the packed
+    pair key, so each pk lives in exactly one task and ONE pyarrow group_by
+    per task replaces the JVM's partial+final HashAggregate pair (which
+    built two ~20.7 M-group maps back-to-back — 77% of the query's executor
+    CPU). int64 sums are bit-identical to the JVM aggregate."""
+    import pyarrow as pa
+
+    got = list(batches)
+    if not got:
+        return
+    tbl = pa.Table.from_batches(got)
+    out = tbl.group_by("pk").aggregate([("w_u", "sum"), ("aa_term", "sum")])
+    yield from out.rename_columns(["pk", "cn_u", "aa_u"]).to_batches()
+
+
 @register(
     "graph_link_prediction",
     oracle=f"""
@@ -600,74 +617,78 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("aa_term")
     )
-    # r11 session 2 (guide §2.3): the candidate aggregate plans TWO
-    # HashAggregates (Spark always splits partial+final; with the explicit
-    # repartition already satisfying the distribution BOTH land in the same
-    # stage back-to-back), each building a ~20.7 M-group map from ~21.9 M
-    # rows — measured 77% of the query's executor time (253 s CPU of 324 s,
-    # tools/sql_metrics.py) with per-task maps at the execution-memory
-    # ceiling. The pair key now PACKS into one BIGINT (s1·2³² + s2) through
-    # the exchange, both aggregate builds and the anti-join: map rows shrink
-    # 40 → 32 B, hash/compare work one long instead of two ints, and the
-    # broadcast anti side becomes a dense single-long relation. pk's numeric
-    # order IS (s1, s2) lexicographic order (both non-negative), so the
-    # top-25 tiebreak is unchanged. Gated on the key domain from parquet
-    # footer statistics (driver-only, no job): beyond 2³¹ the unpacked shape
-    # stands — results are identical either way (A/B'd top-25 equal;
-    # tools/lp_agg_ab.py: tail 4.72 → 3.41 s min-of-3).
+    # r11 session 2 (guide §2.3): the pair key PACKS into one BIGINT
+    # (s1·2³² + s2) through the exchange, the aggregate and the anti-join:
+    # rows shrink 40 → 32 B, hash/compare work one long instead of two
+    # ints. pk's numeric order IS (s1, s2) lexicographic order (both
+    # non-negative), so the top-25 tiebreak is unchanged. Gated on the key
+    # domain from parquet footer statistics (driver-only, no job): beyond
+    # 2³¹ the unpacked shape stands — results identical either way.
+    #
+    # r12 (VERDICT item 1, guide §2.3/§4.2, tools/lp_agg_ab3/4/5.py): the
+    # packed candidate aggregate planned TWO back-to-back HashAggregates
+    # (partial+final in one stage — the partial shrank the stream only ~6%,
+    # measured 77% of executor CPU building two ~20.7 M-group maps). A/B'd
+    # fixes: single SortAggregate (replaceHashWithSortAgg) LOST — sorting
+    # the stream costs more than the saved build; the winner is (a) the
+    # pair ANTI-JOIN moved BELOW the pk exchange and ABOVE the aggregate —
+    # result-identical (dropping wedges whose pk is an existing edge
+    # removes exactly the groups the post-agg anti-join removed, no other
+    # group's sum changes) and it frees the aggregate output to feed
+    # TakeOrdered directly with no post-agg join/exchange at any scale —
+    # plus (b) the aggregate itself as ONE complete pyarrow group_by inside
+    # mapInArrow (zero JVM hash builds; int64 sums, bit-identical).
+    # Measured adjacent at the 300× cell: pack 116.3 s → 82.0 s (−30%),
+    # identical top-25; sf0.1 min-of-6 flat (3.31 → 3.27 s). The arrow
+    # boundary ships only (pk, w_u, aa_term) — 24 B/row — and per-task
+    # group counts are bounded by the data-scaled exchange width above.
     from duckdb_fastlanes_spark.session import parquet_column_range
 
     _rng = parquet_column_range(sf_dir, "lineitem", "l_partkey")
     _pack = _rng is not None and 0 <= _rng[0] and _rng[1] < (1 << 31)
+    est = F.col("cn_u") / F.lit(1000000000.0)
     if _pack:
         _PK = F.lit(1 << 32).cast("bigint")
         pk = (F.col("s1").cast("bigint") * _PK + F.col("s2")).alias("pk")
-        cand = (
+        stream = (
             wedges.select(pk, "d")
             .repartition(width, "pk")
+            # adjacency filter BEFORE the aggregate (see r12 note above);
+            # broadcast (small inputs) / shuffled-hash (at scale) — the
+            # stream side is already partitioned on pk, so the shuffled
+            # form exchanges only the edge list
+            .join(_dim(pairs.select(pk)), ["pk"], "left_anti")
             .select("pk", w_u, aa_term)
-            .groupBy("pk")
-            .agg(F.sum("w_u").alias("cn_u"), F.sum("aa_term").alias("aa_u"))
         )
-        anti_keys = ["pk"]
-        anti_side = pairs.select(pk)
-        order_cols = [F.desc("cn_u"), F.col("pk")]
+        cand = stream.mapInArrow(
+            _lp_candidate_agg, "pk bigint, cn_u bigint, aa_u bigint"
+        )
+        # top-25 straight off the aggregate: TakeOrderedAndProject, no
+        # post-agg join; unpack AFTER the cut (row-local bit ops)
+        _kt = dict(pairs.dtypes)["s1"]
+        top = (
+            cand.orderBy(F.desc("cn_u"), F.col("pk"))
+            .limit(25)
+            .select(
+                F.shiftrightunsigned("pk", 32).cast(_kt).alias("s1"),
+                F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).cast(_kt).alias("s2"),
+                "cn_u",
+                "aa_u",
+            )
+        )
     else:
+        # unpacked fallback (key domain unprovable): r11 shape — JVM
+        # aggregate, then anti-join, then the cut
         cand = (
             wedges.repartition(width, "s1", "s2")
             .select("s1", "s2", w_u, aa_term)
             .groupBy("s1", "s2")
             .agg(F.sum("w_u").alias("cn_u"), F.sum("aa_term").alias("aa_u"))
         )
-        anti_keys = ["s1", "s2"]
-        anti_side = pairs
-        order_cols = [F.desc("cn_u"), F.col("s1"), F.col("s2")]
-    est = F.col("cn_u") / F.lit(1000000000.0)
-    # r11 (guide §2.3, plans/r11/graph_link_prediction_*2): ranking uses
-    # only (cn_u, s1, s2), so the top-25 TakeOrderedAndProject runs right
-    # after the adjacency anti-join (which MUST precede the cut — adjacent
-    # pairs may outrank every candidate) and the d1/d2 degree joins plus
-    # all three score expressions now touch 25 rows instead of the full
-    # ~18 M-row aggregated candidate set (two joins × 18 M rows removed).
-    top = (
-        cand
-        # the adjacency filter: gated like the deg joins — as a SMJ this
-        # forced a partition-local SORT of the full aggregated candidate
-        # set (~18 M rows at sf0.1) just to meet the 1.2 M-row edge list;
-        # broadcast (small inputs) / shuffled-hash (at scale) keeps the
-        # candidate stream sort-free either way
-        .join(_dim(anti_side), anti_keys, "left_anti")
-        .orderBy(*order_cols)
-        .limit(25)
-    )
-    if _pack:
-        # unpack AFTER the 25-row cut (row-local bit ops; original dtype)
-        _kt = dict(pairs.dtypes)["s1"]
-        top = top.select(
-            F.shiftrightunsigned("pk", 32).cast(_kt).alias("s1"),
-            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).cast(_kt).alias("s2"),
-            "cn_u",
-            "aa_u",
+        top = (
+            cand.join(_dim(pairs), ["s1", "s2"], "left_anti")
+            .orderBy(F.desc("cn_u"), F.col("s1"), F.col("s2"))
+            .limit(25)
         )
     return (
         top.join(_dim(deg.selectExpr("src AS s1", "d AS d1")), "s1")

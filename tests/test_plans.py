@@ -467,3 +467,29 @@ def test_link_prediction_packs_pair_key_through_aggregate(spark):
     # top-25 tiebreak rides the same packed key (numeric order == (s1, s2)
     # lexicographic order for non-negative 32-bit keys)
     assert re.search(r"TakeOrderedAndProject.*pk#\d+L ASC", plan), plan
+
+
+def test_link_prediction_single_candidate_aggregate_build(spark):
+    """r12 (VERDICT item 1): the packed candidate aggregate must run as ONE
+    complete pyarrow group_by inside mapInArrow — zero JVM HashAggregate
+    builds between the pk exchange and the top-25 cut (the r11 shape built
+    two ~20.7 M-group maps back-to-back, 77% of executor CPU) — and the
+    pair anti-join must sit BELOW the aggregate (pre-agg filtering is
+    result-identical and removes the post-agg join/exchange)."""
+    from duckdb_fastlanes_spark.registry import queries
+
+    df = queries()["graph_link_prediction"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    # the candidate aggregate is the Arrow complete form
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan
+    # the anti-join feeds the aggregate, not the other way round: between
+    # the MapInArrow node and the TakeOrdered cut there is NO join and NO
+    # aggregate (the degree joins below the cut touch 25 rows)
+    take_pos = plan.find("TakeOrderedAndProject")
+    arrow_pos = plan.find("MapInArrow")
+    assert 0 <= take_pos < arrow_pos, plan
+    between = plan[take_pos:arrow_pos]
+    assert "HashAggregate" not in between, between
+    # anti-join is below (printed after) the arrow aggregate
+    anti_pos = plan.find("LeftAnti")
+    assert anti_pos > arrow_pos, plan
