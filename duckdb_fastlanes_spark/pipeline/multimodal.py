@@ -202,164 +202,6 @@ def decode_bmp(payload: bytes) -> tuple[str, int, int, int, int]:
     return "bmp", w, aht, len(payload), sum_luma
 
 
-# -- batch-vectorized codec paths (r12, guide §4.2) --------------------------
-# The per-doc decode/write loops above are exact but pay ~10 numpy-call
-# overheads per FRAME; at the 1000× cell the parse share alone was 7.5 s of
-# multimodal_features' 9.1 s wall (SCALE_RUNS decomp-r11). The batch forms
-# below run the SAME byte-level parse/synthesis — headers read from / written
-# to the bytes, padded bottom-up rows walked, per-pixel (b+g+r)//3 — as a
-# constant number of vectorized numpy ops over ALL frames of an Arrow batch
-# at once (positions computed with repeat/cumsum segment arithmetic).
-# tests/test_multimodal_batch_codecs.py pins byte- and value-equality
-# against the scalar forms.
-
-
-def _seg_starts(counts):
-    """Exclusive prefix sum: global start index of each variable-size
-    segment in a concatenated array."""
-    import numpy as np
-
-    out = np.zeros(len(counts), dtype=np.int64)
-    np.cumsum(counts[:-1], out=out[1:])
-    return out
-
-
-def _seg_local_idx(counts):
-    """For segments of the given sizes concatenated, the within-segment
-    index of every element (0..count-1 per segment), vectorized."""
-    import numpy as np
-
-    total = int(counts.sum())
-    return np.arange(total, dtype=np.int64) - np.repeat(_seg_starts(counts), counts)
-
-
-def _gather_u(buf, pos, nbytes):
-    """Little-endian unsigned int of ``nbytes`` bytes at each position."""
-    import numpy as np
-
-    v = np.zeros(len(pos), dtype=np.int64)
-    for k in range(nbytes):
-        v |= buf[pos + k].astype(np.int64) << (8 * k)
-    return v
-
-
-def decode_bmp_batch(buf, starts, sizes):
-    """Vectorized REAL BMP parse of many frames living in one uint8 buffer:
-    same header validation (magic, bpp, data bounds) and the same exact
-    per-pixel (b+g+r)//3 luma sum as ``decode_bmp``, for all frames at once.
-    Returns (width, height, sum_luma) int64 arrays."""
-    import numpy as np
-
-    n = len(starts)
-    if n == 0:
-        z = np.zeros(0, dtype=np.int64)
-        return z, z, z
-    starts = np.asarray(starts, dtype=np.int64)
-    sizes = np.asarray(sizes, dtype=np.int64)
-    if not ((buf[starts] == 0x42) & (buf[starts + 1] == 0x4D)).all():
-        raise ValueError("not a BMP payload")
-    data_off = _gather_u(buf, starts + 10, 4)
-    w = _gather_u(buf, starts + 18, 4)
-    ht = _gather_u(buf, starts + 22, 4)
-    # i32 sign-correct (height may be negative = top-down storage)
-    w = np.where(w >= 1 << 31, w - (1 << 32), w)
-    ht = np.where(ht >= 1 << 31, ht - (1 << 32), ht)
-    bpp = _gather_u(buf, starts + 28, 2)
-    if (bpp != 24).any():
-        raise ValueError("unsupported bpp")
-    aht = np.abs(ht)
-    row_bytes = (w * 3 + 3) // 4 * 4
-    if (data_off + row_bytes * aht > sizes).any() or (w < 0).any():
-        raise ValueError("bad BMP geometry")
-    # global start byte of every stored row (row order is irrelevant to a sum)
-    row_doc = np.repeat(np.arange(n), aht)
-    row_start = (
-        starts[row_doc]
-        + data_off[row_doc]
-        + _seg_local_idx(aht) * row_bytes[row_doc]
-    )
-    # global position of every pixel's first channel byte
-    wpx = w[row_doc]
-    px_row = np.repeat(np.arange(len(row_doc)), wpx)
-    pos = row_start[px_row] + 3 * _seg_local_idx(wpx)
-    s = (buf[pos].astype(np.int32) + buf[pos + 1] + buf[pos + 2]) // 3
-    # per-doc segmented sums, robust to zero-pixel docs
-    cs = np.zeros(len(s) + 1, dtype=np.int64)
-    np.cumsum(s, out=cs[1:])
-    px_per_doc = w * aht
-    ends = np.cumsum(px_per_doc)
-    sum_luma = cs[ends] - cs[ends - px_per_doc]
-    return w, aht, sum_luma
-
-
-#: fixed BMP header prefix (fileSize/w/ht/dataSize vary per frame):
-#: BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40), fields as in write_bmp
-_BMP_HDR_SIZE = 54
-
-
-def write_bmp_batch(hs: list) -> tuple[bytes, "object", "object"]:
-    """Vectorized form of ``b''.join(write_bmp(h) for h in hs)``: synthesizes
-    every frame's header fields and gray-ramp pixels into ONE buffer with a
-    constant number of numpy ops (byte-identical to the scalar writer —
-    pinned by test). Returns (payload_bytes, frame_starts, frame_sizes)."""
-    import numpy as np
-
-    n = len(hs)
-    if n == 0:
-        z = np.zeros(0, dtype=np.int64)
-        return b"", z, z
-    par = np.array([_bmp_params(h) for h in hs], dtype=np.int64)
-    w, ht, pseed, pstep = par[:, 0], par[:, 1], par[:, 2], par[:, 3]
-    row_bytes = (w * 3 + 3) // 4 * 4
-    data_size = row_bytes * ht
-    fsize = _BMP_HDR_SIZE + data_size
-    starts = _seg_starts(fsize)
-    out = np.zeros(int(fsize.sum()), dtype=np.uint8)
-
-    def put_u(pos, val, nbytes):
-        val = np.asarray(val, dtype=np.int64) & ((1 << (8 * nbytes)) - 1)
-        for k in range(nbytes):
-            out[pos + k] = (val >> (8 * k)) & 0xFF
-
-    # BITMAPFILEHEADER: 'BM', fileSize, reserved=0, offBits=54
-    out[starts] = 0x42
-    out[starts + 1] = 0x4D
-    put_u(starts + 2, fsize, 4)
-    put_u(starts + 10, np.full(n, _BMP_HDR_SIZE), 4)
-    # BITMAPINFOHEADER: size=40, w, ht, planes=1, bpp=24, comp=0, dataSize,
-    # 2835 ppm both axes, 0, 0
-    put_u(starts + 14, np.full(n, 40), 4)
-    put_u(starts + 18, w, 4)
-    put_u(starts + 22, ht, 4)
-    put_u(starts + 26, np.full(n, 1), 2)
-    put_u(starts + 28, np.full(n, 24), 2)
-    put_u(starts + 34, data_size, 4)
-    put_u(starts + 38, np.full(n, 2835), 4)
-    put_u(starts + 42, np.full(n, 2835), 4)
-    # pixels: logical pixel i of frame f has gray level
-    # (pseed + i*pstep) % 256 in all three channels; stored bottom-up, so
-    # logical row y lands at stored row (ht-1-y); padding bytes stay 0
-    row_doc = np.repeat(np.arange(n), ht)
-    y = _seg_local_idx(ht)  # logical row index
-    row_start = (
-        starts[row_doc]
-        + _BMP_HDR_SIZE
-        + (ht[row_doc] - 1 - y) * row_bytes[row_doc]
-    )
-    wpx = w[row_doc]
-    px_row = np.repeat(np.arange(len(row_doc)), wpx)
-    x = _seg_local_idx(wpx)
-    pos = row_start[px_row] + 3 * x
-    lin = y[px_row] * wpx[px_row] + x  # logical linear pixel index
-    val = ((pseed[row_doc[px_row]] + lin * pstep[row_doc[px_row]]) % 256).astype(
-        np.uint8
-    )
-    out[pos] = val
-    out[pos + 1] = val
-    out[pos + 2] = val
-    return out.tobytes(), starts, fsize
-
-
 #: decoded-BMP feature row (all-exact columns; luma in micro-units)
 BMP_FEATURE_SCHEMA = T.StructType(
     [
@@ -401,13 +243,9 @@ def attach_bmp(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # batch-vectorized synthesis (r12); per-doc payloads sliced out
-            # of the one buffer for the binary column
-            payload, starts, sizes = write_bmp_batch(
-                [hashlib.md5(t.encode("utf-8")).hexdigest() for t in pdf["text"]]
-            )
             payloads = [
-                payload[int(s) : int(s + z)] for s, z in zip(starts, sizes)
+                write_bmp(hashlib.md5(t.encode("utf-8")).hexdigest())
+                for t in pdf["text"]
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
 
@@ -424,26 +262,13 @@ def extract_bmp_features(media_df: DataFrame) -> DataFrame:
     floor(x + 0.5) diverges on representable-boundary inputs)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            # batch-vectorized parse (r12): concatenate the payload column
-            # once, decode every frame in constant numpy ops
-            payloads = [bytes(m) for m in pdf["media"]]
-            sizes = np.fromiter(
-                (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
-            )
-            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-            w, ht, sum_luma = decode_bmp_batch(buf, _seg_starts(sizes), sizes)
+            rows = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                fmt, w, ht, nbytes, sum_luma = decode_bmp(bytes(media))
+                rows.append((int(doc_id), fmt, w, ht, nbytes, sum_luma))
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "media_format": "bmp",
-                    "width": w.astype("int32"),
-                    "height": ht.astype("int32"),
-                    "payload_bytes": sizes,
-                    "sum_luma": sum_luma,
-                }
+                rows, columns=[f.name for f in _BMP_RAW_SCHEMA.fields]
             )
 
     return (
@@ -498,32 +323,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-stage composition stays exported (attach_bmp /
     extract_bmp_features) for pipelines that persist the binary column."""
 
-    # r12 (guide §4.2): whole-batch vectorized write→parse — the bytes are
-    # still fully synthesized AND re-parsed (headers read back from the
-    # buffer, padded bottom-up rows walked), but as a constant number of
-    # numpy ops per Arrow batch instead of ~10 numpy calls per doc (the
-    # per-doc loop's parse share alone was 7.5 s of the 9.1 s 1000× wall,
-    # SCALE_RUNS decomp-r11). Byte/value equality with the scalar codecs is
-    # pinned by tests/test_multimodal_batch_codecs.py.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            hs = [
-                hashlib.md5(t.encode("utf-8")).hexdigest() for t in pdf["text"]
-            ]
-            payload, starts, sizes = write_bmp_batch(hs)
-            buf = np.frombuffer(payload, dtype=np.uint8)
-            w, ht, sum_luma = decode_bmp_batch(buf, starts, sizes)
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = write_bmp(hashlib.md5(text.encode("utf-8")).hexdigest())
+                fmt, w, ht, nbytes, sum_luma = decode_bmp(payload)
+                rows.append((int(doc_id), fmt, w, ht, nbytes, sum_luma))
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "media_format": "bmp",
-                    "width": w.astype("int32"),
-                    "height": ht.astype("int32"),
-                    "payload_bytes": sizes,
-                    "sum_luma": sum_luma,
-                }
+                rows, columns=[f.name for f in _BMP_RAW_SCHEMA.fields]
             )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -655,43 +463,17 @@ def sample_container_frames(media_df: DataFrame, stride: int = FRAME_STRIDE) -> 
     from input). Quantization is engine-side (see _BMP_RAW_SCHEMA)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            # real per-container walk + batch-vectorized decode of the
-            # sampled frames (r12; see multimodal_frame_sample)
-            payloads = [bytes(m) for m in pdf["media"]]
-            sizes = np.fromiter(
-                (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
-            )
-            starts = _seg_starts(sizes)
-            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-            ids = pdf["doc_id"].astype("int64").to_numpy()
-            out_doc, out_idx, out_off, out_size, out_abs = [], [], [], [], []
-            for k, payload in enumerate(payloads):
-                base = int(starts[k])
+            rows = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(media)
                 for i, off, size in parse_frame_offsets(payload):
                     if i % stride:
                         continue
-                    out_doc.append(ids[k])
-                    out_idx.append(i)
-                    out_off.append(off)
-                    out_size.append(size)
-                    out_abs.append(base + off)
-            w, ht, sum_luma = decode_bmp_batch(
-                buf,
-                np.array(out_abs, dtype=np.int64),
-                np.array(out_size, dtype=np.int64),
-            )
+                    _, w, ht, _, sum_luma = decode_bmp(payload[off : off + size])
+                    rows.append((int(doc_id), i, off, w, ht, sum_luma))
             yield pd.DataFrame(
-                {
-                    "doc_id": np.array(out_doc, dtype=np.int64),
-                    "frame_idx": np.array(out_idx, dtype=np.int32),
-                    "frame_offset": np.array(out_off, dtype=np.int64),
-                    "width": w.astype("int32"),
-                    "height": ht.astype("int32"),
-                    "sum_luma": sum_luma,
-                }
+                rows, columns=[f.name for f in FRAME_FEATURE_SCHEMA.fields]
             )
 
     return (
@@ -777,56 +559,18 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality = docs × {N_CONTAINER_FRAMES}/{FRAME_STRIDE}. Empty feed:
     zero rows, both engines."""
 
-    # r12 (guide §4.2): frame synthesis and sampled-frame decode run as
-    # whole-batch vectorized numpy passes (write_bmp_batch of all docs'
-    # frames back-to-back IS the concatenation of the containers —
-    # byte-equality pinned by test); the CONTAINER WALK stays the real
-    # per-doc parse_frame_offsets over a zero-copy memoryview — frame
-    # boundaries are still discovered only by validating each magic and
-    # reading each size field from the bytes.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            ids = pdf["doc_id"].astype("int64").to_numpy()
-            hs = [
-                hashlib.md5(f"{t}#{i}".encode("utf-8")).hexdigest()
-                for t in pdf["text"]
-                for i in range(N_CONTAINER_FRAMES)
-            ]
-            payload, fstarts, _ = write_bmp_batch(hs)
-            buf = np.frombuffer(payload, dtype=np.uint8)
-            mv = memoryview(payload)
-            doc_start = fstarts[::N_CONTAINER_FRAMES] if len(ids) else fstarts
-            doc_end = np.append(doc_start[1:], len(payload))
-            out_doc, out_idx, out_off, out_size, out_abs = [], [], [], [], []
-            for k in range(len(ids)):
-                base = int(doc_start[k])
-                container = mv[base : int(doc_end[k])]
-                for i, off, size in parse_frame_offsets(container):
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = write_frame_container(text)
+                for i, off, size in parse_frame_offsets(payload):
                     if i % FRAME_STRIDE:
                         continue
-                    out_doc.append(ids[k])
-                    out_idx.append(i)
-                    out_off.append(off)
-                    out_size.append(size)
-                    out_abs.append(base + off)
-            # sampled frames decoded at the WALKED offsets (1/FRAME_STRIDE
-            # of the frames, exactly like the scalar loop)
-            w, ht, sum_luma = decode_bmp_batch(
-                buf,
-                np.array(out_abs, dtype=np.int64),
-                np.array(out_size, dtype=np.int64),
-            )
+                    _, w, ht, _, sum_luma = decode_bmp(payload[off : off + size])
+                    rows.append((int(doc_id), i, off, w, ht, sum_luma))
             yield pd.DataFrame(
-                {
-                    "doc_id": np.array(out_doc, dtype=np.int64),
-                    "frame_idx": np.array(out_idx, dtype=np.int32),
-                    "frame_offset": np.array(out_off, dtype=np.int64),
-                    "width": w.astype("int32"),
-                    "height": ht.astype("int32"),
-                    "sum_luma": sum_luma,
-                }
+                rows, columns=[f.name for f in FRAME_FEATURE_SCHEMA.fields]
             )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -924,125 +668,6 @@ def decode_wav(payload: bytes) -> tuple[int, int, int]:
     return rate, n, ss
 
 
-def decode_wav_batch(buf, starts, sizes):
-    """Vectorized REAL WAV parse of many payloads living in one uint8
-    buffer (r12, guide §4.2 — decomp-r11 measured the per-doc wave.open
-    loop at 3.9 s of the 5.4 s 1000× wall): RIFF/WAVE tags validated, the
-    chunk chain WALKED (all docs advance through their chunk lists in
-    lockstep — fmt/data need not sit at fixed offsets), PCM16-mono
-    enforced like ``decode_wav``, and the sum of squares computed over the
-    little-endian frames in one segmented pass. Returns (rate, n_samples,
-    sum_sq) int64 arrays; value-equality with decode_wav is pinned by
-    test."""
-    import numpy as np
-
-    n = len(starts)
-    if n == 0:
-        z = np.zeros(0, dtype=np.int64)
-        return z, z, z
-    starts = np.asarray(starts, dtype=np.int64)
-    sizes = np.asarray(sizes, dtype=np.int64)
-
-    def _tag_ok(pos, tag):
-        ok = np.ones(len(pos), dtype=bool)
-        for k, ch in enumerate(tag):
-            ok &= buf[pos + k] == ch
-        return ok
-
-    if not (_tag_ok(starts, b"RIFF") & _tag_ok(starts + 8, b"WAVE")).all():
-        raise ValueError("not a WAV payload")
-    off = np.full(n, 12, dtype=np.int64)  # first chunk header
-    rate = np.zeros(n, dtype=np.int64)
-    channels = np.zeros(n, dtype=np.int64)
-    bits = np.zeros(n, dtype=np.int64)
-    data_off = np.full(n, -1, dtype=np.int64)
-    data_len = np.full(n, -1, dtype=np.int64)
-    fmt_seen = np.zeros(n, dtype=bool)
-    for _ in range(16):  # bounded chunk walk (well-formed files have 2)
-        active = (~fmt_seen | (data_off < 0)) & (off + 8 <= sizes)
-        if not active.any():
-            break
-        p = starts + off
-        csize = _gather_u(buf, p + 4, 4)
-        is_fmt = active & _tag_ok(p, b"fmt ")
-        if is_fmt.any():
-            channels = np.where(is_fmt, _gather_u(buf, p + 10, 2), channels)
-            rate = np.where(is_fmt, _gather_u(buf, p + 12, 4), rate)
-            bits = np.where(is_fmt, _gather_u(buf, p + 22, 2), bits)
-            fmt_seen |= is_fmt
-        is_data = active & _tag_ok(p, b"data")
-        data_off = np.where(is_data & (data_off < 0), off + 8, data_off)
-        data_len = np.where(is_data & (data_len < 0), csize, data_len)
-        # word-aligned advance for every still-walking doc
-        off = np.where(active, off + 8 + csize + (csize & 1), off)
-    if not fmt_seen.all() or (data_off < 0).any():
-        raise ValueError("missing fmt/data chunk")
-    if (channels != 1).any() or (bits != 16).any():
-        raise ValueError("expected PCM16 mono")
-    if (data_off + data_len > sizes).any():
-        raise ValueError("data chunk overruns payload")
-    n_samples = data_len // 2
-    doc_of = np.repeat(np.arange(n), n_samples)
-    pos = (starts + data_off)[doc_of] + 2 * _seg_local_idx(n_samples)
-    v = buf[pos].astype(np.int64) | (buf[pos + 1].astype(np.int64) << 8)
-    v -= (v >= 32768) * 65536
-    sq = v * v
-    cs = np.zeros(len(sq) + 1, dtype=np.int64)
-    np.cumsum(sq, out=cs[1:])
-    ends = np.cumsum(n_samples)
-    ss = cs[ends] - cs[ends - n_samples]
-    return rate, n_samples, ss
-
-
-def write_wav_batch(hs: list) -> tuple[bytes, "object", "object"]:
-    """Vectorized form of ``b''.join(write_wav(h) for h in hs)``:
-    synthesizes every payload's 44-byte canonical RIFF/fmt/data header and
-    PCM16 sawtooth frames into ONE buffer with a constant number of numpy
-    ops (byte-identical to the stdlib-wave writer — pinned by test).
-    Returns (payload_bytes, starts, sizes)."""
-    import numpy as np
-
-    n = len(hs)
-    if n == 0:
-        z = np.zeros(0, dtype=np.int64)
-        return b"", z, z
-    par = np.array([_wav_params(h) for h in hs], dtype=np.int64)
-    rate, ns, seed, step = par[:, 0], par[:, 1], par[:, 2], par[:, 3]
-    fsize = 44 + 2 * ns
-    starts = _seg_starts(fsize)
-    out = np.zeros(int(fsize.sum()), dtype=np.uint8)
-
-    def put_u(pos, val, nbytes):
-        val = np.asarray(val, dtype=np.int64) & ((1 << (8 * nbytes)) - 1)
-        for k in range(nbytes):
-            out[pos + k] = (val >> (8 * k)) & 0xFF
-
-    def put_tag(pos, tag):
-        for k, ch in enumerate(tag):
-            out[pos + k] = ch
-
-    put_tag(starts, b"RIFF")
-    put_u(starts + 4, fsize - 8, 4)
-    put_tag(starts + 8, b"WAVE")
-    put_tag(starts + 12, b"fmt ")
-    put_u(starts + 16, np.full(n, 16), 4)  # fmt chunk size
-    put_u(starts + 20, np.full(n, 1), 2)  # PCM
-    put_u(starts + 22, np.full(n, 1), 2)  # mono
-    put_u(starts + 24, rate, 4)
-    put_u(starts + 28, rate * 2, 4)  # byte rate
-    put_u(starts + 32, np.full(n, 2), 2)  # block align
-    put_u(starts + 34, np.full(n, 16), 2)  # bits
-    put_tag(starts + 36, b"data")
-    put_u(starts + 40, 2 * ns, 4)
-    doc_of = np.repeat(np.arange(n), ns)
-    i = _seg_local_idx(ns)
-    v = (seed[doc_of] + i * step[doc_of]) % 65536 - 32768
-    pos = (starts + 44)[doc_of] + 2 * i
-    out[pos] = v & 0xFF
-    out[pos + 1] = (v >> 8) & 0xFF
-    return out.tobytes(), starts, fsize
-
-
 def extract_audio_features(media_df: DataFrame) -> DataFrame:
     """Arrow-batched REAL WAV decode over mapInPandas: header fields and
     PCM frames parsed from the bytes; RMS from the exact integer
@@ -1052,26 +677,12 @@ def extract_audio_features(media_df: DataFrame) -> DataFrame:
     floor(x + 0.5) which can round up across a representable boundary)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            # batch-vectorized parse (r12): one concatenated buffer, chunk
-            # chains walked in lockstep, segmented sample sums
-            payloads = [bytes(m) for m in pdf["media"]]
-            sizes = np.fromiter(
-                (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
-            )
-            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-            rate, n, ss = decode_wav_batch(buf, _seg_starts(sizes), sizes)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "sample_rate": rate.astype("int32"),
-                    "n_samples": n,
-                    "duration_ms": n * 1000 // rate,
-                    "sum_sq": ss,
-                }
-            )
+            rows = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                rate, n, ss = decode_wav(bytes(media))
+                rows.append((int(doc_id), rate, n, n * 1000 // rate, ss))
+            yield pd.DataFrame(rows, columns=[f.name for f in _WAV_RAW_SCHEMA.fields])
 
     return (
         media_df.mapInPandas(run, _WAV_RAW_SCHEMA)
@@ -1086,13 +697,9 @@ def attach_wav(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # batch-vectorized synthesis (r12); per-doc payloads sliced out
-            # of the one buffer for the binary column
-            payload, starts, sizes = write_wav_batch(
-                [hashlib.md5(t.encode("utf-8")).hexdigest() for t in pdf["text"]]
-            )
             payloads = [
-                payload[int(s) : int(s + z)] for s, z in zip(starts, sizes)
+                write_wav(hashlib.md5(t.encode("utf-8")).hexdigest())
+                for t in pdf["text"]
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
 
@@ -1146,31 +753,14 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip of the payloads for no semantic gain). attach_wav /
     extract_audio_features stay exported for binary-column pipelines."""
 
-    # r12 (guide §4.2): whole-batch vectorized write→parse, mirroring
-    # multimodal_features — the RIFF chunk chain is still walked and the
-    # PCM frames still decoded from the bytes, in a constant number of
-    # numpy ops per Arrow batch (per-doc wave.open parse was 3.9 s of the
-    # 5.4 s 1000× wall, SCALE_RUNS decomp-r11). Equality with the scalar
-    # codecs pinned by tests/test_multimodal_batch_codecs.py.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            hs = [
-                hashlib.md5(t.encode("utf-8")).hexdigest() for t in pdf["text"]
-            ]
-            payload, starts, sizes = write_wav_batch(hs)
-            buf = np.frombuffer(payload, dtype=np.uint8)
-            rate, n, ss = decode_wav_batch(buf, starts, sizes)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "sample_rate": rate.astype("int32"),
-                    "n_samples": n,
-                    "duration_ms": n * 1000 // rate,
-                    "sum_sq": ss,
-                }
-            )
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = write_wav(hashlib.md5(text.encode("utf-8")).hexdigest())
+                rate, n, ss = decode_wav(payload)
+                rows.append((int(doc_id), rate, n, n * 1000 // rate, ss))
+            yield pd.DataFrame(rows, columns=[f.name for f in _WAV_RAW_SCHEMA.fields])
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     return (
