@@ -340,6 +340,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         # engine-side quantization: same round() primitive as the oracle
         .withColumn("mean_luma_micro", F.expr(_BMP_LUMA_MICRO))
         .drop("sum_luma")
+        # r12 (guide §2.4): the global sort's range partitioner SAMPLES its
+        # child, and a no-shuffle python pipeline has no reusable stage —
+        # the whole write+decode ran TWICE per query (measured at the 1000×
+        # cell: tools/mm_parse_decomp.py — quantized pipeline 5.4 s, + the
+        # bare ORDER BY 8.4 s). The lazy checkpoint materializes the
+        # feature rows once; the sampler and the sort both read the blocks.
+        .localCheckpoint(eager=False)
         .orderBy("doc_id")
     )
 
@@ -585,6 +592,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .drop("sum_luma")
+        # lazy checkpoint before the global sort — the range sampler would
+        # otherwise re-run the whole container write+walk+decode pipeline
+        # (see multimodal_features, tools/mm_parse_decomp.py)
+        .localCheckpoint(eager=False)
         .orderBy("doc_id", "frame_idx")
     )
 
@@ -768,6 +779,10 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         # engine-side quantization: same round() primitive as the oracle
         .withColumn("rms_milli", F.expr(_WAV_RMS_MILLI))
         .drop("sum_sq")
+        # lazy checkpoint before the global sort — the range sampler would
+        # otherwise re-run the whole write+parse pipeline (see
+        # multimodal_features, tools/mm_parse_decomp.py)
+        .localCheckpoint(eager=False)
         .orderBy("doc_id")
     )
 
