@@ -27,3 +27,26 @@ from pyspark.sql import Column, DataFrame
 
 def ordered_small(df: DataFrame, *cols: Column | str) -> DataFrame:
     return df.coalesce(1).sortWithinPartitions(*cols)
+
+
+def ordered_checkpointed(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """Total ordering for UNBOUNDED results whose sort child ends in an
+    expensive final stage (post-shuffle aggregate, window, python pipeline).
+
+    ``orderBy`` plans a range-partitioned sort whose bounds come from a
+    SAMPLING JOB over the child; shuffle map outputs below are reused, but
+    the child's final stage re-executes once per query (r12,
+    tools/sort_resample_audit.py — measured 5.4 s → 8.4 s on
+    multimodal_features' python pipeline at the 1000× cell). The lazy
+    localCheckpoint materializes the result rows exactly once; the sampler
+    and the sort both read the checkpointed blocks. Scale-safe: the
+    materialization is bounded by the result size, which the sort has to
+    hold anyway, and the range sort itself stays fully parallel (unlike
+    ``ordered_small``'s single-partition form, which is only for
+    provably-bounded results).
+
+    Note: a checkpointed plan has no honest prepared-bench number (the
+    handle would reuse the materialization), so bench.py times such
+    queries in constructed mode — the LogicalRDD detector already
+    enforces that."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)

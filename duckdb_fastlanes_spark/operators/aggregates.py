@@ -313,8 +313,9 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregate. The DuckDB oracle keeps the per-row tie-broken
     formulation as an independent derivation of the same statistic."""
     from duckdb_fastlanes_spark.catalog import sql_q
+    from duckdb_fastlanes_spark.functions.ordering import ordered_checkpointed
 
-    return sql_q(
+    df = sql_q(
         spark,
         sf_dir,
         """
@@ -344,6 +345,10 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / CAST(100 AS DOUBLE), 2) AS weighted_median_price
         FROM cum
         GROUP BY l_returnflag
-        ORDER BY l_returnflag
         """,
     )
+    # r12 (guide §2.4, tools/sort_resample_audit.py): the final ORDER BY
+    # sampled its child — re-running the cumulative window + final
+    # aggregate over the full histogram once per query. Checkpoint the
+    # 3-row result, then sort it.
+    return ordered_checkpointed(df, "l_returnflag")

@@ -303,8 +303,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t=0.5 prefix is half of each doc's shingles — it pruned little and paid
     two extra full-stream passes)."""
     from duckdb_fastlanes_spark.catalog import sql_q
+    from duckdb_fastlanes_spark.functions.ordering import ordered_checkpointed
 
-    return sql_q(
+    df = sql_q(
         spark,
         sf_dir,
         _pair_count_sql(JACCARD_THRESHOLD)
@@ -312,9 +313,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b, round(jac, 4) AS jaccard
     FROM (SELECT doc_a, doc_b, CAST(c AS DOUBLE)/(na + nb - c) AS jac FROM c)
     WHERE jac >= {JACCARD_THRESHOLD}
-    ORDER BY doc_a, doc_b
     """,
     )
+    # r12 (guide §2.4): the final ORDER BY's range sampler re-ran the pair
+    # aggregate's final merge + threshold filter over the full pair
+    # exchange once per query; checkpoint the surviving pairs, sort those
+    return ordered_checkpointed(df, "doc_a", "doc_b")
 
 
 def _minhash_aggs() -> list[Column]:
@@ -449,8 +453,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (size(sa.shingles) + size(sb.shingles)"
         "    - size(array_intersect(sa.shingles, sb.shingles)))"
     )
-    return spark.sql(
-        f"""
+    return (
+        spark.sql(
+            f"""
         WITH sigs AS (
             SELECT doc_id,
                    posexplode(array({bands_sql})) AS (band_id, band_key)
@@ -468,8 +473,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
               JOIN mh_per_doc sa ON sa.doc_id = doc_a
               JOIN mh_per_doc sb ON sb.doc_id = doc_b)
         WHERE jac >= {JACCARD_THRESHOLD}
-        ORDER BY doc_a, doc_b
         """
+        )
+        # r12 (guide §2.4, tools/sort_resample_audit.py): the global sort's
+        # range sampler re-ran this plan's FINAL stage — band explode,
+        # distinct finish and both verify joins — once per query before the
+        # real pass. The lazy checkpoint materializes the surviving pairs
+        # once; sampler and sort read the blocks. (This query already has
+        # no prepared bench number — it persists per_doc — so the bench
+        # discipline is unchanged.)
+        .localCheckpoint(eager=False)
+        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -841,8 +855,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's 63 s on the mirrored SQL (r4 set-verify form: 160 s; prefix
     form: 185 s)."""
     from duckdb_fastlanes_spark.catalog import sql_q
+    from duckdb_fastlanes_spark.functions.ordering import ordered_checkpointed
 
-    return sql_q(
+    df = sql_q(
         spark,
         sf_dir,
         _pair_count_sql(None)
@@ -853,9 +868,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(c AS DOUBLE)/(na + nb - c) AS jac
           FROM c)
     WHERE cont >= {CONTAINMENT_THRESHOLD}
-    ORDER BY doc_a, doc_b
     """,
     )
+    # r12 (guide §2.4): same sort-resampling fix as dedup_ngram_jaccard
+    return ordered_checkpointed(df, "doc_a", "doc_b")
 
 
 

@@ -493,3 +493,27 @@ def test_link_prediction_single_candidate_aggregate_build(spark):
     # anti-join is below (printed after) the arrow aggregate
     anti_pos = plan.find("LeftAnti")
     assert anti_pos > arrow_pos, plan
+
+
+def test_sort_resample_fix_checkpoints_before_global_sort(spark):
+    """r12: queries whose global sort sampled an expensive final stage
+    (agg_weighted_median's cumulative window, the pair dedups' final pair
+    aggregate, minhash's verify joins) must materialize the result once —
+    the sort's child is a checkpoint scan, not the recomputable pipeline."""
+    from duckdb_fastlanes_spark.registry import queries
+
+    for name in (
+        "agg_weighted_median",
+        "dedup_containment",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+    ):
+        df = queries()[name](spark, SF_DIR)
+        plan = explain_str(df, "simple")
+        sort_pos = plan.find("Exchange rangepartitioning")
+        assert sort_pos >= 0, (name, plan)
+        below = plan[sort_pos:]
+        assert "Scan ExistingRDD" in below, (name, below)
+        # nothing heavy re-executes under the sampler
+        for heavy in ("Window", "HashAggregate", "SortMergeJoin"):
+            assert heavy not in below, (name, heavy, below)
